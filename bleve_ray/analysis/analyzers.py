@@ -1,0 +1,180 @@
+"""Analyzer = char filters -> tokenizer -> token filters
+(reference analysis/type.go:85-98), plus a plain-dict registry like the
+reference's registry/ package.
+
+An Analyzer carries vectorization hints (``lowercase``, ``stop_set``) so the
+batch path (freq.analyze_batch) can run the standard chain fully vectorized;
+analyzers with other token filters fall back to the exact per-doc chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+from .stopwords_en import ENGLISH_STOP_WORDS
+from .token_filters import lowercase_filter, lower_term, make_stop_filter
+from .tokenizers import (
+    LetterTokenizer,
+    SingleTokenTokenizer,
+    Token,
+    UnicodeTokenizer,
+    WhitespaceTokenizer,
+)
+
+
+@dataclass
+class Analyzer:
+    name: str
+    tokenizer: object
+    token_filters: Sequence[Callable[[List[Token]], List[Token]]] = ()
+    char_filters: Sequence[Callable[[str], str]] = ()
+    # vectorization hints: set iff token_filters == [lowercase?] + [stop?]
+    lowercase: bool = False
+    stop_set: Optional[frozenset] = None
+    fast_path: bool = True
+
+    def apply_char_filters(self, text: str) -> str:
+        for cf in self.char_filters:
+            text = cf(text)
+        return text
+
+    def analyze(self, text: str) -> List[Token]:
+        """Exact chain (reference Analyzer.Analyze, analysis/type.go:85-98)."""
+        text = self.apply_char_filters(text)
+        tokens = self.tokenizer.tokenize(text)
+        for tf in self.token_filters:
+            tokens = tf(tokens)
+        return tokens
+
+    def terms(self, text: str) -> List[str]:
+        """Analyzed terms in order (positions implied); used by query-side
+        match analysis when offsets are not needed."""
+        return [t.term for t in self.analyze(text)]
+
+
+_REGISTRY = {}
+
+
+def register_analyzer(analyzer: Analyzer) -> Analyzer:
+    _REGISTRY[analyzer.name] = analyzer
+    return analyzer
+
+
+def analyzer_named(name: str) -> Analyzer:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"no analyzer named {name!r} registered; have {sorted(_REGISTRY)}"
+        )
+
+
+def registered_analyzers() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+# --- built-ins -------------------------------------------------------------
+
+# standard: unicode tokenizer + to_lower + english stop words
+# (reference analysis/analyzer/standard/standard.go:26-48)
+STANDARD = register_analyzer(
+    Analyzer(
+        name="standard",
+        tokenizer=UnicodeTokenizer(),
+        token_filters=[lowercase_filter, make_stop_filter(ENGLISH_STOP_WORDS)],
+        lowercase=True,
+        stop_set=ENGLISH_STOP_WORDS,
+    )
+)
+
+# simple: letter tokenizer + to_lower (reference analysis/analyzer/simple)
+SIMPLE = register_analyzer(
+    Analyzer(
+        name="simple",
+        tokenizer=LetterTokenizer(),
+        token_filters=[lowercase_filter],
+        lowercase=True,
+    )
+)
+
+# keyword: whole value = single token (reference analysis/analyzer/keyword)
+KEYWORD = register_analyzer(
+    Analyzer(name="keyword", tokenizer=SingleTokenTokenizer())
+)
+
+# whitespace + lower (not a named reference analyzer, but the whitespace
+# tokenizer is reference analysis/tokenizer/whitespace); useful for oracles.
+WHITESPACE_LOWER = register_analyzer(
+    Analyzer(
+        name="whitespace_lower",
+        tokenizer=WhitespaceTokenizer(),
+        token_filters=[lowercase_filter],
+        lowercase=True,
+    )
+)
+
+# en: unicode + possessive-strip + to_lower + english stop (reference
+# analysis/lang/en/analyzer_en.go, minus the snowball stemmer which is
+# [later]); registered as "en_nostem" to be explicit about the difference.
+
+
+def _possessive_filter(tokens: List[Token]) -> List[Token]:
+    # reference analysis/lang/en/possessive_filter_en.go: strip trailing 's
+    for t in tokens:
+        if len(t.term) >= 2 and t.term[-1] in ("s", "S") and t.term[-2] in (
+            "'",
+            "’",
+            "＇",
+        ):
+            t.term = t.term[:-2]
+    return tokens
+
+
+EN_NOSTEM = register_analyzer(
+    Analyzer(
+        name="en_nostem",
+        tokenizer=UnicodeTokenizer(),
+        token_filters=[
+            _possessive_filter,
+            lowercase_filter,
+            make_stop_filter(ENGLISH_STOP_WORDS),
+        ],
+        fast_path=False,
+    )
+)
+
+
+# ascii_alnum_lower: regexp tokenizer [A-Za-z0-9]+ + to_lower.  Used by the
+# driver-facing DuckDB-oracle queries because it is exactly expressible as
+# regexp_extract_all(lower(text), '[a-z0-9]+') in SQL.
+from .tokenizers import RegexpTokenizer  # noqa: E402
+
+ASCII_ALNUM_LOWER = register_analyzer(
+    Analyzer(
+        name="ascii_alnum_lower",
+        tokenizer=RegexpTokenizer("[A-Za-z0-9]+"),
+        token_filters=[lowercase_filter],
+        lowercase=True,
+    )
+)
+
+
+def make_custom_analyzer(
+    name: str,
+    tokenizer,
+    token_filters=(),
+    char_filters=(),
+    register: bool = True,
+) -> Analyzer:
+    """Custom analyzer by parts (reference analysis/analyzer/custom)."""
+    a = Analyzer(
+        name=name,
+        tokenizer=tokenizer,
+        token_filters=list(token_filters),
+        char_filters=list(char_filters),
+        fast_path=False,
+    )
+    if register:
+        register_analyzer(a)
+    return a

@@ -1,0 +1,187 @@
+"""Batch analysis + within-batch inversion (the TokenFrequency equivalent,
+reference analysis/freq.go:21-70, vectorized over an Arrow batch).
+
+``analyze_batch`` turns a batch of documents into flat numpy/arrow arrays
+(token terms, doc index, 1-based positions) -- positions are assigned BEFORE
+stop-word removal is applied, so gaps remain exactly like the reference's
+stop filter (analysis/token/stop/stop.go:43-54 removes tokens without
+renumbering).
+
+``invert_batch`` groups the flat arrays by (term, doc) to produce one row per
+term with parallel posting arrays -- the "partial inversion" / mini-segment
+chunk that the groupby-term shuffle moves (SURVEY.md §2.4, §4-skew).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analyzers import Analyzer
+
+
+def analyze_batch(
+    texts: Sequence[Optional[str]], analyzer: Analyzer
+) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Analyze a batch of docs.
+
+    Returns ``(terms, doc_idx, positions, field_len)`` where
+
+    - terms: pa.StringArray of analyzed terms (stop words removed), flat
+    - doc_idx: int64 index into ``texts`` per token
+    - positions: int32 1-based position per token (pre-stop-removal numbering)
+    - field_len: int64 per doc = token count AFTER the filter chain
+      (reference document/field_text.go:104 sets length = len(analyzed tokens))
+    """
+    n_docs = len(texts)
+    if analyzer.fast_path and (analyzer.char_filters == () or not analyzer.char_filters):
+        tok = analyzer.tokenizer
+        toks_per_doc = [
+            tok.findall(t) if t is not None else [] for t in texts
+        ]
+        counts = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
+        )
+        total = int(counts.sum())
+        flat: List[str] = []
+        for t in toks_per_doc:
+            flat.extend(t)
+        terms = pa.array(flat, type=pa.string())
+        if analyzer.lowercase:
+            terms = pc.utf8_lower(terms)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        positions = (
+            np.arange(total, dtype=np.int64) - np.repeat(starts, counts) + 1
+        ).astype(np.int32)
+        if analyzer.stop_set is not None:
+            keep = np.asarray(
+                pc.invert(
+                    pc.is_in(
+                        terms,
+                        value_set=pa.array(sorted(analyzer.stop_set)),
+                    )
+                )
+            )
+            terms = terms.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            positions = positions[keep]
+    else:
+        # exact per-doc chain fallback (custom filter chains)
+        flat = []
+        di = []
+        pos = []
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            for tk in analyzer.analyze(t):
+                flat.append(tk.term)
+                di.append(i)
+                pos.append(tk.position)
+        terms = pa.array(flat, type=pa.string())
+        doc_idx = np.asarray(di, dtype=np.int64)
+        positions = np.asarray(pos, dtype=np.int32)
+
+    field_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    return terms, doc_idx, positions, field_len
+
+
+def invert_batch(
+    terms: pa.Array,
+    doc_idx: np.ndarray,
+    positions: np.ndarray,
+    docnums: np.ndarray,
+    field_len: np.ndarray,
+    keep_positions: bool = True,
+) -> pa.Table:
+    """Group flat token arrays by (term, doc) -> one row per distinct term.
+
+    Output schema (the shuffle chunk):
+      term: string
+      df: int32                       docs containing term in this batch
+      docnums: list<int64>            ascending (batch docnums are ascending)
+      tfs: list<int32>
+      norms: list<float32>            float32(1/sqrt(field_len[doc])), the
+                                      quantization bleve stores
+                                      (index/upsidedown/row.go:388)
+      positions: list<list<int32>>    per doc, ascending (absent if
+                                      keep_positions=False)
+    """
+    n_tokens = len(terms)
+    if n_tokens == 0:
+        schema = _chunk_schema(keep_positions)
+        return schema.empty_table()
+
+    enc = pc.dictionary_encode(terms)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    term_codes = np.asarray(enc.indices, dtype=np.int64)
+    dictionary = enc.dictionary
+
+    # sort by (term_code, doc_idx), stable so positions stay ascending per doc
+    key = term_codes * len(field_len) + doc_idx
+    order = np.argsort(key, kind="stable")
+    k_sorted = key[order]
+    # run boundaries per (term, doc)
+    runs = np.flatnonzero(np.diff(k_sorted)) + 1
+    run_starts = np.concatenate(([0], runs))
+    run_ends = np.concatenate((runs, [n_tokens]))
+    tfs_flat = (run_ends - run_starts).astype(np.int32)
+    tdoc = doc_idx[order][run_starts]
+    tcode = term_codes[order][run_starts]
+
+    # per-term boundaries over the run arrays
+    term_breaks = np.flatnonzero(np.diff(tcode)) + 1
+    term_offsets = np.concatenate(([0], term_breaks, [len(tcode)])).astype(
+        np.int32
+    )
+    uniq_codes = tcode[term_offsets[:-1]]
+    term_strs = dictionary.take(pa.array(uniq_codes, type=pa.int64()))
+
+    docnums_flat = docnums[tdoc].astype(np.int64)
+    norms_flat = (
+        1.0 / np.sqrt(field_len[tdoc].astype(np.float64))
+    ).astype(np.float32)
+
+    offsets = pa.array(term_offsets, type=pa.int32())
+    cols = {
+        "term": term_strs,
+        "df": pa.array(np.diff(term_offsets).astype(np.int32)),
+        "docnums": pa.ListArray.from_arrays(
+            offsets, pa.array(docnums_flat, type=pa.int64())
+        ),
+        "tfs": pa.ListArray.from_arrays(
+            offsets, pa.array(tfs_flat, type=pa.int32())
+        ),
+        "norms": pa.ListArray.from_arrays(
+            offsets, pa.array(norms_flat, type=pa.float32())
+        ),
+    }
+    if keep_positions:
+        # inner: positions per (term,doc) run; outer: runs per term
+        pos_sorted = positions[order]
+        inner_offsets = pa.array(
+            np.concatenate((run_starts, [n_tokens])).astype(np.int32)
+        )
+        inner = pa.ListArray.from_arrays(
+            inner_offsets, pa.array(pos_sorted, type=pa.int32())
+        )
+        cols["positions"] = pa.ListArray.from_arrays(offsets, inner)
+    return pa.table(cols)
+
+
+def _chunk_schema(keep_positions: bool) -> pa.Schema:
+    fields = [
+        ("term", pa.string()),
+        ("df", pa.int32()),
+        ("docnums", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+        ("norms", pa.list_(pa.float32())),
+    ]
+    if keep_positions:
+        fields.append(("positions", pa.list_(pa.list_(pa.int32()))))
+    return pa.schema(fields)

@@ -1,0 +1,193 @@
+"""Token filters: TokenStream -> TokenStream, mirroring the semantics of the
+reference's analysis/token/* packages.  All are pure functions over
+``list[Token]``.  Filters that the fast batch path can vectorize also expose
+a term-level form used by ``freq.analyze_batch``.
+
+Key parity notes:
+
+- ``stop``: removes tokens found in the stop set WITHOUT renumbering
+  positions (reference analysis/token/stop/stop.go:43-54) -- position gaps
+  remain and phrase matching relies on them.
+- ``lowercase``: per-codepoint simple lowering like Go's unicode.ToLower
+  (reference analysis/token/lowercase/lowercase.go:38-47).  We special-case
+  U+0130 (which Python's str.lower expands to two codepoints but Go maps to
+  a single 'i').
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Sequence, Set
+
+import regex as uregex
+
+from .tokenizers import Token
+
+_DOTTED_I = "İ"
+
+
+def lower_term(term: str) -> str:
+    """Simple per-codepoint lowercase, matching Go unicode.ToLower."""
+    if _DOTTED_I in term:
+        term = term.replace(_DOTTED_I, "i")
+    return term.lower()
+
+
+def lowercase_filter(tokens: List[Token]) -> List[Token]:
+    for t in tokens:
+        t.term = lower_term(t.term)
+    return tokens
+
+
+def make_stop_filter(stop_words: Set[str]):
+    def stop_filter(tokens: List[Token]) -> List[Token]:
+        # positions are NOT renumbered (stop.go:43-54)
+        return [t for t in tokens if t.term not in stop_words]
+
+    return stop_filter
+
+
+def make_length_filter(min_len: int, max_len: int):
+    """reference analysis/token/length: drop tokens outside [min,max] runes."""
+
+    def length_filter(tokens: List[Token]) -> List[Token]:
+        return [t for t in tokens if min_len <= len(t.term) <= max_len]
+
+    return length_filter
+
+
+def apostrophe_filter(tokens: List[Token]) -> List[Token]:
+    """Strip everything from the first apostrophe on
+    (reference analysis/token/apostrophe)."""
+    for t in tokens:
+        for ch in ("'", "’", "＇"):
+            i = t.term.find(ch)
+            if i >= 0:
+                t.term = t.term[:i]
+                break
+    return tokens
+
+
+_CAMEL_RE = re.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+|[^A-Za-z0-9]+"
+)
+
+
+def camelcase_filter(tokens: List[Token]) -> List[Token]:
+    """Split identifiers into case-class runs (reference
+    analysis/token/camelcase/camelcase.go:26-70): 'camelCaseABCDef' ->
+    'camel','Case','ABC','Def'.  Positions: each split token keeps the parent
+    position semantics of the reference (parent replaced by parts, positions
+    renumbered sequentially by the reference's filter building new tokens with
+    same position? -- the reference emits parts as separate tokens each at the
+    parent's position index; we renumber sequentially like its output order)."""
+    out: List[Token] = []
+    pos = 1
+    for t in tokens:
+        parts = _CAMEL_RE.findall(t.term)
+        off = t.start
+        for p in parts:
+            blen = len(p.encode("utf-8"))
+            out.append(Token(p, pos, off, off + blen, t.type))
+            off += blen
+            pos += 1
+    return out
+
+
+def unique_filter(tokens: List[Token]) -> List[Token]:
+    """Keep only the first occurrence of each term (reference
+    analysis/token/unique)."""
+    seen = set()
+    out = []
+    for t in tokens:
+        if t.term not in seen:
+            seen.add(t.term)
+            out.append(t)
+    return out
+
+
+def reverse_filter(tokens: List[Token]) -> List[Token]:
+    for t in tokens:
+        t.term = t.term[::-1]
+    return tokens
+
+
+def make_truncate_filter(length: int):
+    def truncate_filter(tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            if len(t.term) > length:
+                t.term = t.term[:length]
+        return tokens
+
+    return truncate_filter
+
+
+def make_ngram_filter(min_n: int, max_n: int):
+    """reference analysis/token/ngram: all n-grams of each token."""
+
+    def ngram_filter(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for t in tokens:
+            term = t.term
+            for n in range(min_n, max_n + 1):
+                for i in range(0, len(term) - n + 1):
+                    out.append(Token(term[i : i + n], t.position, t.start, t.end, t.type))
+        return out
+
+    return ngram_filter
+
+
+def make_edge_ngram_filter(min_n: int, max_n: int, back: bool = False):
+    """reference analysis/token/edgengram."""
+
+    def edge_ngram_filter(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for t in tokens:
+            term = t.term
+            for n in range(min_n, min(max_n, len(term)) + 1):
+                gram = term[-n:] if back else term[:n]
+                out.append(Token(gram, t.position, t.start, t.end, t.type))
+        return out
+
+    return edge_ngram_filter
+
+
+def make_shingle_filter(min_n: int, max_n: int, sep: str = " "):
+    """Token n-grams (reference analysis/token/shingle), contiguous windows."""
+
+    def shingle_filter(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        pos = 1
+        for i in range(len(tokens)):
+            for n in range(min_n, max_n + 1):
+                if i + n <= len(tokens):
+                    window = tokens[i : i + n]
+                    out.append(
+                        Token(
+                            sep.join(w.term for w in window),
+                            window[0].position,
+                            window[0].start,
+                            window[-1].end,
+                            "Shingle",
+                        )
+                    )
+        return out
+
+    return shingle_filter
+
+
+_NORM_FORMS = {"nfc", "nfd", "nfkc", "nfkd"}
+
+
+def make_unicodenorm_filter(form: str):
+    import unicodedata
+
+    form_u = form.upper()
+    assert form.lower() in _NORM_FORMS
+
+    def unicodenorm_filter(tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            t.term = unicodedata.normalize(form_u, t.term)
+        return tokens
+
+    return unicodenorm_filter

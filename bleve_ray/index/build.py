@@ -1,0 +1,646 @@
+"""The Ray-Data index build pipeline.
+
+Model: the reference's offline Builder (index.go:334-346,
+index/scorch/builder.go:116-236 -- batch docs, analyze, build segments,
+tiered-merge until compact), re-expressed Ray-Data-first:
+
+  read+analyze+partial-invert  (map_batches over row-group descriptors;
+                                emits per-(term, batch) posting CHUNKS =
+                                the partial pre-aggregation that keeps the
+                                shuffle balanced under Zipf terms)
+  -> groupby(shard, bucket)    (the groupby-term shuffle; shard =
+                                hash(field,term) % S, bucket = docnum-range
+                                salt so one hot term cannot form an
+                                unbounded group)
+  -> map_groups(build segment) (encode delta-varint postings, write one
+                                sorted segment parquet per (shard, bucket))
+  -> tiered merge              (actor-pool map_batches over MergeTask rows,
+                                fan-in 10 per round, builder.go:169-236)
+  -> manifest commit per phase (checkpoint/resume; per-partition lineage)
+
+Doc numbering is deterministic under retries: docnum = file_idx << 32 |
+row_within_file (derived from input layout, never from execution order --
+SURVEY.md §7.5 risk 5).  Build partitions (groups of input files) are the
+checkpoint unit: a partition already in the manifest is skipped on re-run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis.analyzers import analyzer_named
+from ..analysis.freq import analyze_batch, invert_batch
+from . import codec, manifest as manifest_mod, segment as segment_mod
+from .manifest import (
+    DocmetaEntry,
+    Manifest,
+    PartitionEntry,
+    SegmentEntry,
+)
+from .mergeplan import MergeTask, plan_merges
+
+DOCNUM_FILE_SHIFT = 32  # docnum = file_idx << 32 | row_in_file
+
+
+@dataclass
+class FieldConfig:
+    analyzer: str = "standard"
+    positions: bool = True  # IncludeTermVectors equivalent (mapping/field.go:60)
+
+
+@dataclass
+class IndexOptions:
+    fields: Dict[str, FieldConfig] = dc_field(
+        default_factory=lambda: {"content": FieldConfig()}
+    )
+    doc_id_fields: Optional[List[str]] = None  # None -> corpus doc_id rule
+    num_shards: int = 8
+    bucket_bits: int = 20  # docnum-range salt: docs per bucket within a file
+    scoring_model: str = "bm25"
+    analyze_rows: int = 256  # rows per analyze sub-batch
+    merge_fan_in: int = 10
+    target_segments_per_shard: int = 1
+    merge_concurrency: int = 4
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "fields": {
+                k: {"analyzer": v.analyzer, "positions": v.positions}
+                for k, v in self.fields.items()
+            },
+            "doc_id_fields": self.doc_id_fields,
+            "num_shards": self.num_shards,
+            "bucket_bits": self.bucket_bits,
+            "scoring_model": self.scoring_model,
+        }
+
+
+def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
+    if options.doc_id_fields is None:
+        from ..corpus import doc_id_array
+
+        if "repo" in batch.column_names:
+            return doc_id_array(batch)
+        # generic fallback: first string-ish column named *id* else row hash
+        for c in ("doc_id", "id"):
+            if c in batch.column_names:
+                return pc.cast(batch[c], pa.string())
+        raise ValueError("cannot derive doc_id; set doc_id_fields")
+    cols = [pc.cast(batch[c], pa.string()) for c in options.doc_id_fields]
+    if len(cols) == 1:
+        return cols[0]
+    return pc.binary_join_element_wise(*cols, "/")
+
+
+def shard_of_terms(fields: np.ndarray, terms: pa.Array, num_shards: int) -> np.ndarray:
+    """Deterministic shard id per (field, term): first 4 bytes of
+    sha1(field:term) mod S.  Stable across runs/processes (no PYTHONHASHSEED
+    dependence)."""
+    out = np.empty(len(terms), dtype=np.int32)
+    tl = terms.to_pylist()
+    for i, (f, t) in enumerate(zip(fields, tl)):
+        h = hashlib.sha1(f"{f}\x1f{t}".encode()).digest()
+        out[i] = int.from_bytes(h[:4], "little") % num_shards
+    return out
+
+
+class ReadAnalyzeInvert:
+    """Stage 1 UDF: row-group descriptor -> posting chunk rows.
+
+    Side effects (deterministic, idempotent under retry): writes one docmeta
+    parquet per analyze sub-batch, named by its docnum range.
+    """
+
+    def __init__(self, index_dir: str, options: IndexOptions):
+        self.index_dir = index_dir
+        self.options = options
+        self.analyzers = {
+            f: analyzer_named(cfg.analyzer) for f, cfg in options.fields.items()
+        }
+
+    def __call__(self, descs: pa.Table) -> Iterator[pa.Table]:
+        for d in descs.to_pylist():
+            yield from self._process_rg(d)
+
+    def _process_rg(self, d: dict) -> Iterator[pa.Table]:
+        opts = self.options
+        pf = pq.ParquetFile(d["path"])
+        cols = list(
+            dict.fromkeys(
+                list(opts.fields)
+                + (opts.doc_id_fields or ["repo", "path", "commit", "doc_id", "id"])
+            )
+        )
+        cols = [c for c in cols if c in pf.schema_arrow.names]
+        row = d["row_start"]
+        for rb in pf.iter_batches(
+            batch_size=opts.analyze_rows,
+            row_groups=[d["rg"]],
+            columns=cols,
+        ):
+            tbl = pa.Table.from_batches([rb])
+            n = len(tbl)
+            docnums = (
+                (d["file_idx"] << DOCNUM_FILE_SHIFT) + np.arange(row, row + n)
+            ).astype(np.int64)
+            yield from self._process_subbatch(tbl, docnums)
+            row += n
+
+    def _process_subbatch(
+        self, tbl: pa.Table, docnums: np.ndarray
+    ) -> Iterator[pa.Table]:
+        opts = self.options
+        doc_ids = compute_doc_ids(tbl, opts)
+        # docmeta side-write (one file per sub-batch, docnum-range named)
+        meta_rows = {
+            "docnum": [],
+            "doc_id": [],
+            "field": [],
+            "field_len": [],
+            "sha256": [],
+        }
+        chunk_tables = []
+        primary_field = next(iter(opts.fields))
+        shas = [
+            hashlib.sha256(
+                (tbl[primary_field][i].as_py() or "").encode("utf-8")
+            ).hexdigest()
+            for i in range(len(tbl))
+        ]
+        for fname, fcfg in opts.fields.items():
+            texts = tbl[fname].to_pylist() if fname in tbl.column_names else []
+            if not texts:
+                continue
+            analyzer = self.analyzers[fname]
+            terms, doc_idx, positions, field_len = analyze_batch(texts, analyzer)
+            meta_rows["docnum"].extend(docnums.tolist())
+            meta_rows["doc_id"].extend(doc_ids.to_pylist())
+            meta_rows["field"].extend([fname] * len(tbl))
+            meta_rows["field_len"].extend(field_len.tolist())
+            meta_rows["sha256"].extend(shas)
+            # split by bucket so chunk docnum ranges never span buckets
+            bucket_per_doc = docnums >> opts.bucket_bits
+            bucket_per_tok = bucket_per_doc[doc_idx]
+            for b in np.unique(bucket_per_tok):
+                sel = bucket_per_tok == b
+                chunk = invert_batch(
+                    terms.filter(pa.array(sel)),
+                    doc_idx[sel],
+                    positions[sel],
+                    docnums,
+                    field_len,
+                    keep_positions=fcfg.positions,
+                )
+                if len(chunk) == 0:
+                    continue
+                nrows = len(chunk)
+                if not fcfg.positions:
+                    chunk = chunk.append_column(
+                        "positions",
+                        pa.array(
+                            [None] * nrows, type=pa.list_(pa.list_(pa.int32()))
+                        ),
+                    )
+                shard = shard_of_terms(
+                    np.full(nrows, fname, dtype=object),
+                    chunk["term"],
+                    opts.num_shards,
+                )
+                min_dn = pa.array(
+                    [v.values[0].as_py() for v in chunk["docnums"]],
+                    type=pa.int64(),
+                )
+                chunk = (
+                    chunk.append_column("field", pa.array([fname] * nrows))
+                    .append_column("shard", pa.array(shard, type=pa.int32()))
+                    .append_column(
+                        "bucket", pa.array(np.full(nrows, b), type=pa.int64())
+                    )
+                    .append_column("min_docnum", min_dn)
+                )
+                chunk_tables.append(chunk)
+        self._write_docmeta(meta_rows, docnums)
+        for c in chunk_tables:
+            yield c
+
+    def _write_docmeta(self, meta_rows: dict, docnums: np.ndarray) -> None:
+        meta = pa.table(
+            {
+                "docnum": pa.array(meta_rows["docnum"], type=pa.int64()),
+                "doc_id": pa.array(meta_rows["doc_id"], type=pa.string()),
+                "field": pa.array(meta_rows["field"], type=pa.string()),
+                "field_len": pa.array(meta_rows["field_len"], type=pa.int64()),
+                "sha256": pa.array(meta_rows["sha256"], type=pa.string()),
+            }
+        )
+        dmdir = os.path.join(self.index_dir, "docmeta")
+        os.makedirs(dmdir, exist_ok=True)
+        name = f"dm_{int(docnums[0]):016x}_{int(docnums[-1]):016x}.parquet"
+        path = os.path.join(dmdir, name)
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(meta, tmp, compression="zstd")
+        os.replace(tmp, path)
+
+
+def _concat_group_postings(group: pa.Table) -> pa.Table:
+    """Merge chunk rows (or decoded segment rows) that share (field, term)
+    into one encoded segment row each.  group must contain list-typed
+    docnums/tfs/norms/positions plus field/term/min_docnum columns."""
+    group = group.sort_by(
+        [("field", "ascending"), ("term", "ascending"), ("min_docnum", "ascending")]
+    )
+    fields = group["field"].to_pylist()
+    terms = group["term"].to_pylist()
+    keys = list(zip(fields, terms))
+    n = len(keys)
+    # run boundaries per (field, term)
+    breaks = [0] + [i for i in range(1, n) if keys[i] != keys[i - 1]] + [n]
+
+    docnums_col = group["docnums"].combine_chunks()
+    tfs_col = group["tfs"].combine_chunks()
+    norms_col = group["norms"].combine_chunks()
+    pos_col = group["positions"].combine_chunks()
+
+    out = {
+        "field": [],
+        "term": [],
+        "df": [],
+        "docnums": [],
+        "tfs": [],
+        "norms": [],
+        "positions": [],
+        "min_docnum": [],
+        "max_docnum": [],
+    }
+    for bi in range(len(breaks) - 1):
+        lo, hi = breaks[bi], breaks[bi + 1]
+        dns = np.concatenate(
+            [np.asarray(docnums_col[i].values) for i in range(lo, hi)]
+        )
+        tfs = np.concatenate(
+            [np.asarray(tfs_col[i].values) for i in range(lo, hi)]
+        )
+        nrm = np.concatenate(
+            [np.asarray(norms_col[i].values) for i in range(lo, hi)]
+        )
+        out["field"].append(fields[lo])
+        out["term"].append(terms[lo])
+        out["df"].append(len(dns))
+        out["docnums"].append(codec.delta_varint_encode(dns))
+        out["tfs"].append(codec.varint_encode(tfs.astype(np.uint64)))
+        out["norms"].append(codec.norms_encode(nrm))
+        if pos_col[lo].is_valid:
+            pflat = np.concatenate(
+                [np.asarray(pos_col[i].values.flatten()) for i in range(lo, hi)]
+            )
+            out["positions"].append(
+                codec.positions_encode(pflat, tfs)
+            )
+        else:
+            out["positions"].append(b"")
+        out["min_docnum"].append(int(dns[0]))
+        out["max_docnum"].append(int(dns[-1]))
+    return pa.table(
+        {
+            "field": pa.array(out["field"], type=pa.string()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "df": pa.array(out["df"], type=pa.int64()),
+            "docnums": pa.array(out["docnums"], type=pa.binary()),
+            "tfs": pa.array(out["tfs"], type=pa.binary()),
+            "norms": pa.array(out["norms"], type=pa.binary()),
+            "positions": pa.array(out["positions"], type=pa.binary()),
+            "min_docnum": pa.array(out["min_docnum"], type=pa.int64()),
+            "max_docnum": pa.array(out["max_docnum"], type=pa.int64()),
+        }
+    )
+
+
+def make_build_segment_group(index_dir: str, partition_id: int):
+    """map_groups fn: all chunk rows of one (shard, bucket) -> one segment."""
+
+    def build_segment_group(group: pa.Table) -> pa.Table:
+        shard = group["shard"][0].as_py()
+        bucket = group["bucket"][0].as_py()
+        seg_tbl = _concat_group_postings(group)
+        seg_id = f"p{partition_id:05d}_s{shard:04d}_b{bucket:012x}"
+        rel = os.path.join("segments", f"{seg_id}.parquet")
+        path = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        segment_mod.write_segment(path, seg_tbl)
+        entry = {
+            "seg_id": seg_id,
+            "path": rel,
+            "shard": shard,
+            "min_docnum": int(pc.min(seg_tbl["min_docnum"]).as_py()),
+            "max_docnum": int(pc.max(seg_tbl["max_docnum"]).as_py()),
+            "term_count": len(seg_tbl),
+            "posting_count": int(pc.sum(seg_tbl["df"]).as_py()),
+            "size_bytes": os.path.getsize(path),
+            "tier": 0,
+        }
+        return pa.table({k: [v] for k, v in entry.items()})
+
+    return build_segment_group
+
+
+class MergeWorker:
+    """Stateful merge actor (the merger loop, index/scorch/merge.go:305-520):
+    merges up to fan-in segments into one, tier by tier.  Being an actor pool
+    lets readers/buffers persist across merge tasks within a round."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    def __call__(self, tasks: pa.Table) -> pa.Table:
+        rows = []
+        for t in tasks.to_pylist():
+            rows.append(self._merge_one(t))
+        return pa.Table.from_pylist(rows)
+
+    def _merge_one(self, t: dict) -> dict:
+        inputs = json.loads(t["inputs_json"])
+        out_id = t["out_id"]
+        rel = os.path.join("segments", f"{out_id}.parquet")
+        path = os.path.join(self.index_dir, rel)
+        if not os.path.exists(path):
+            tables = []
+            for i, rel_in in enumerate(inputs):
+                tbl = pq.read_table(os.path.join(self.index_dir, rel_in))
+                # decode blobs back to list columns for _concat_group_postings
+                tables.append(_segment_to_lists(tbl))
+            merged_lists = pa.concat_tables(tables, promote_options="default")
+            seg_tbl = _concat_group_postings(merged_lists)
+            segment_mod.write_segment(path, seg_tbl)
+        pf = pq.ParquetFile(path)
+        tbl_meta = pq.read_table(path, columns=["df", "min_docnum", "max_docnum"])
+        return {
+            "seg_id": out_id,
+            "path": rel,
+            "shard": int(t["shard"]),
+            "min_docnum": int(pc.min(tbl_meta["min_docnum"]).as_py()),
+            "max_docnum": int(pc.max(tbl_meta["max_docnum"]).as_py()),
+            "term_count": pf.metadata.num_rows,
+            "posting_count": int(pc.sum(tbl_meta["df"]).as_py()),
+            "size_bytes": os.path.getsize(path),
+            "tier": int(t["out_tier"]),
+        }
+
+
+def _segment_to_lists(seg: pa.Table) -> pa.Table:
+    """Decode a segment table's blob columns into list columns so merge can
+    reuse _concat_group_postings.  tfs/norms/positions blobs are concat-safe;
+    docnums must be decoded (delta restart)."""
+    docnums, tfs, norms, positions = [], [], [], []
+    for i in range(len(seg)):
+        dns = codec.delta_varint_decode(seg["docnums"][i].as_py()).astype(np.int64)
+        tf = codec.varint_decode(seg["tfs"][i].as_py()).astype(np.int32)
+        nm = codec.norms_decode(seg["norms"][i].as_py())
+        docnums.append(dns)
+        tfs.append(tf)
+        norms.append(nm)
+        pblob = seg["positions"][i].as_py()
+        if pblob:
+            pf = codec.positions_decode(pblob, tf)
+            starts = np.zeros(len(tf), dtype=np.int64)
+            np.cumsum(np.asarray(tf, dtype=np.int64)[:-1], out=starts[1:])
+            positions.append(
+                [
+                    pf[s : s + c].astype(np.int32)
+                    for s, c in zip(starts, tf)
+                ]
+            )
+        else:
+            positions.append(None)
+    return pa.table(
+        {
+            "field": seg["field"],
+            "term": seg["term"],
+            "min_docnum": seg["min_docnum"],
+            "docnums": pa.array([d.tolist() for d in docnums], type=pa.list_(pa.int64())),
+            "tfs": pa.array([t.tolist() for t in tfs], type=pa.list_(pa.int32())),
+            "norms": pa.array([n.tolist() for n in norms], type=pa.list_(pa.float32())),
+            "positions": pa.array(
+                [
+                    [p.tolist() for p in ps] if ps is not None else None
+                    for ps in positions
+                ],
+                type=pa.list_(pa.list_(pa.int32())),
+            ),
+        }
+    )
+
+
+def build_index(
+    input_files: List[str],
+    index_dir: str,
+    options: Optional[IndexOptions] = None,
+    files_per_partition: int = 64,
+    resume: bool = True,
+) -> Manifest:
+    """Build (or resume building) an index over parquet input files."""
+    import ray.data
+
+    options = options or IndexOptions()
+    os.makedirs(index_dir, exist_ok=True)
+    man = manifest_mod.load(index_dir) if resume else None
+    if man is None:
+        man = Manifest(options=options.to_dict())
+    done = man.completed_partition_ids()
+
+    input_files = sorted(input_files)
+    partitions = [
+        (pid, input_files[i : i + files_per_partition])
+        for pid, i in enumerate(range(0, len(input_files), files_per_partition))
+    ]
+
+    for pid, files in partitions:
+        if pid in done:
+            continue
+        t0 = time.time()
+        seg_entries, part_entry = _build_partition(
+            pid, files, [input_files.index(f) for f in files], index_dir, options
+        )
+        part_entry.metrics["build_seconds"] = round(time.time() - t0, 3)
+        man.segments.extend(seg_entries)
+        man.partitions.append(part_entry)
+        man.merge_done = False
+        manifest_mod.commit(index_dir, man)
+
+    # tiered merge to target_per_shard (builder.go:169-236 doMerge loop)
+    man = run_merge_phase(index_dir, man, options)
+    man = finalize_stats(index_dir, man, options)
+    return man
+
+
+def _build_partition(
+    partition_id: int,
+    files: List[str],
+    file_indexes: List[int],
+    index_dir: str,
+    options: IndexOptions,
+):
+    import ray.data
+
+    descs = []
+    total_rows = 0
+    for fi, path in zip(file_indexes, files):
+        pf = pq.ParquetFile(path)
+        row = 0
+        for rg in range(pf.metadata.num_row_groups):
+            nr = pf.metadata.row_group(rg).num_rows
+            descs.append(
+                {"path": path, "file_idx": fi, "rg": rg, "row_start": row}
+            )
+            row += nr
+        total_rows += row
+
+    ds = ray.data.from_items(descs, override_num_blocks=max(1, len(descs)))
+    chunks = ds.map_batches(
+        ReadAnalyzeInvert(index_dir, options),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    seg_rows = (
+        chunks.groupby(["shard", "bucket"])
+        .map_groups(
+            make_build_segment_group(index_dir, partition_id),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    seg_entries = [SegmentEntry(**r) for r in seg_rows]
+
+    # lineage: aggregate per-row sha256 from the docmeta this partition wrote
+    lo = min(file_indexes) << DOCNUM_FILE_SHIFT
+    hi = ((max(file_indexes) + 1) << DOCNUM_FILE_SHIFT) - 1
+    dm_tbl = _read_docmeta_range(index_dir, lo, hi, columns=["docnum", "field", "sha256"])
+    primary = next(iter(options.fields))
+    prim = dm_tbl.filter(pc.equal(dm_tbl["field"], primary)).sort_by("docnum")
+    sha_list = prim["sha256"].to_pylist()
+    part_entry = PartitionEntry(
+        partition_id=partition_id,
+        input_files=files,
+        file_indexes=file_indexes,
+        row_count=len(prim),
+        content_sha256_agg=manifest_mod.sha_agg(sha_list),
+        metrics={"rows": total_rows, "segments": len(seg_entries)},
+    )
+    return seg_entries, part_entry
+
+
+def _docmeta_files(index_dir: str):
+    import glob as _glob
+
+    out = []
+    for p in sorted(_glob.glob(os.path.join(index_dir, "docmeta", "dm_*.parquet"))):
+        base = os.path.basename(p)[3 : -len(".parquet")]
+        lo_s, hi_s = base.split("_")
+        out.append((p, int(lo_s, 16), int(hi_s, 16)))
+    return out
+
+
+def _read_docmeta_range(
+    index_dir: str, lo: int, hi: int, columns=None
+) -> pa.Table:
+    parts = [
+        pq.read_table(p, columns=columns)
+        for p, flo, fhi in _docmeta_files(index_dir)
+        if not (fhi < lo or flo > hi)
+    ]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts)
+
+
+def run_merge_phase(
+    index_dir: str, man: Manifest, options: IndexOptions
+) -> Manifest:
+    import ray.data
+
+    while True:
+        tasks = plan_merges(
+            man.segments,
+            fan_in=options.merge_fan_in,
+            target_per_shard=options.target_segments_per_shard,
+        )
+        if not tasks:
+            break
+        task_rows = []
+        for t in tasks:
+            ids = "+".join(s.seg_id for s in t.inputs)
+            out_id = "m" + hashlib.sha1(ids.encode()).hexdigest()[:16]
+            task_rows.append(
+                {
+                    "shard": t.shard,
+                    "out_tier": t.out_tier,
+                    "out_id": out_id,
+                    "inputs_json": json.dumps([s.path for s in t.inputs]),
+                    "input_ids_json": json.dumps([s.seg_id for s in t.inputs]),
+                }
+            )
+        ds = ray.data.from_items(task_rows, override_num_blocks=len(task_rows))
+        results = ds.map_batches(
+            MergeWorker,
+            fn_constructor_args=(index_dir,),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=options.merge_concurrency,
+        ).take_all()
+        merged_inputs = set()
+        for tr in task_rows:
+            merged_inputs.update(json.loads(tr["input_ids_json"]))
+        man.segments = [
+            s for s in man.segments if s.seg_id not in merged_inputs
+        ] + [SegmentEntry(**r) for r in results]
+        manifest_mod.commit(index_dir, man)
+        # old segment files are kept for rollback; GC beyond KEEP_EPOCHS [later]
+    man.merge_done = True
+    return man
+
+
+def finalize_stats(
+    index_dir: str, man: Manifest, options: IndexOptions
+) -> Manifest:
+    """Global BM25 stats (the 'presearch' data, computed once at build time:
+    SURVEY.md §2.9 -- DocCount + FieldCardinality per field summed over
+    partitions, consumed by every query without an extra round-trip)."""
+    files = _docmeta_files(index_dir)
+    field_stats: Dict[str, Dict[str, int]] = {}
+    doc_count = 0
+    dm_entries = []
+    primary = next(iter(options.fields))
+    for p, lo, hi in files:
+        t = pq.read_table(p, columns=["field", "field_len"])
+        df = t.to_pandas()
+        g = df.groupby("field")["field_len"].agg(["sum", "count"])
+        for fname, row in g.iterrows():
+            st = field_stats.setdefault(fname, {"sum_field_len": 0, "doc_count": 0})
+            st["sum_field_len"] += int(row["sum"])
+            st["doc_count"] += int(row["count"])
+        dm_entries.append(
+            DocmetaEntry(
+                path=os.path.relpath(p, index_dir),
+                min_docnum=lo,
+                max_docnum=hi,
+                rows=len(df),
+            )
+        )
+    doc_count = field_stats.get(primary, {}).get("doc_count", 0)
+    man.docmeta = dm_entries
+    man.stats = {
+        "doc_count": doc_count,
+        "field_stats": field_stats,
+        "scoring_model": options.scoring_model,
+    }
+    manifest_mod.commit(index_dir, man)
+    return man

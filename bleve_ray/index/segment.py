@@ -1,0 +1,193 @@
+"""Segment format: an immutable inverted-index slice, Parquet-backed.
+
+Mirrors the role of the reference's zap segments (scorch's
+``index/scorch/segment_plugin.go:37-80`` New/Persist/Open/Merge contract):
+a sorted term dictionary with per-term compressed posting lists.  Layout:
+
+one parquet file, rows sorted by (field, term), small row groups so a term
+lookup prunes to one row group via parquet column statistics:
+
+  field:     string        indexed field name
+  term:      string
+  df:        int64         number of docs containing (field, term)
+  docnums:   binary        delta-varint, ascending
+  tfs:       binary        varint
+  norms:     binary        raw little-endian float32 (bleve stores the norm
+                           as float32 -- index/upsidedown/row.go:383-390 --
+                           and the scorer recovers fieldLength = 1/norm²,
+                           search/scorer/scorer_term.go:146)
+  positions: binary        per-doc delta-varint (empty if positions disabled)
+
+Segment-level stats (doc_count, sum_field_len per field, docnum range) live
+in the manifest entry, not the file.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import codec
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("docnums", pa.binary()),
+        ("tfs", pa.binary()),
+        ("norms", pa.binary()),
+        ("positions", pa.binary()),
+    ]
+)
+
+ROW_GROUP_TERMS = 2048
+
+
+@dataclass
+class Posting:
+    """Decoded posting list for one (field, term)."""
+
+    docnums: np.ndarray  # int64, ascending
+    tfs: np.ndarray  # int64
+    norms: np.ndarray  # float32
+    positions_flat: Optional[np.ndarray] = None  # concat per-doc positions
+
+    @property
+    def df(self) -> int:
+        return len(self.docnums)
+
+    def positions_for(self, i: int) -> np.ndarray:
+        starts = np.zeros(len(self.tfs), dtype=np.int64)
+        np.cumsum(self.tfs[:-1], out=starts[1:])
+        return self.positions_flat[starts[i] : starts[i] + self.tfs[i]]
+
+
+def encode_posting_columns(
+    docnums_list: List[np.ndarray],
+    tfs_list: List[np.ndarray],
+    norms_list: List[np.ndarray],
+    positions_list: Optional[List[np.ndarray]],
+) -> Dict[str, List[bytes]]:
+    """Encode per-term posting arrays into blob columns."""
+    out = {
+        "docnums": [codec.delta_varint_encode(d) for d in docnums_list],
+        "tfs": [codec.varint_encode(np.asarray(t, dtype=np.uint64)) for t in tfs_list],
+        "norms": [codec.norms_encode(n) for n in norms_list],
+    }
+    if positions_list is not None:
+        out["positions"] = [
+            codec.positions_encode(p, t)
+            for p, t in zip(positions_list, tfs_list)
+        ]
+    else:
+        out["positions"] = [b""] * len(docnums_list)
+    return out
+
+
+def write_segment(path: str, table: pa.Table) -> None:
+    """Write a segment table (already sorted by field, term) atomically."""
+    tmp = path + ".tmp"
+    pq.write_table(
+        table,
+        tmp,
+        row_group_size=ROW_GROUP_TERMS,
+        compression="zstd",
+        write_statistics=["field", "term"],
+    )
+    os.replace(tmp, path)
+
+
+def decode_posting(row: dict, want_positions: bool = False) -> Posting:
+    docnums = codec.delta_varint_decode(row["docnums"]).astype(np.int64)
+    tfs = codec.varint_decode(row["tfs"]).astype(np.int64)
+    norms = codec.norms_decode(row["norms"])
+    pos = None
+    if want_positions and row["positions"]:
+        pos = codec.positions_decode(row["positions"], tfs)
+    return Posting(docnums, tfs, norms, pos)
+
+
+class SegmentReader:
+    """Reader over one segment file with row-group pruning for term lookup.
+
+    Equivalent role: zap segment open + TermFieldReader
+    (index/scorch/snapshot_index_tfr.go:36-57) -- returns whole decoded
+    posting arrays instead of an iterator; the vectorized searchers consume
+    arrays directly.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._pf = pq.ParquetFile(path)
+        # row-group (field,term) min/max for pruning
+        md = self._pf.metadata
+        self._rg_bounds: List[Tuple[Tuple[str, str], Tuple[str, str]]] = []
+        fidx = {c: i for i, c in enumerate(self._pf.schema_arrow.names)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            fstat = g.column(fidx["field"]).statistics
+            tstat = g.column(fidx["term"]).statistics
+            self._rg_bounds.append(
+                (
+                    (fstat.min, tstat.min),
+                    (fstat.max, tstat.max),
+                )
+            )
+        self._cache: Dict[int, pa.Table] = {}
+
+    def lookup(
+        self, field: str, term: str, want_positions: bool = False
+    ) -> Optional[Posting]:
+        key = (field, term)
+        for rg, (lo, hi) in enumerate(self._rg_bounds):
+            if lo <= key <= hi:
+                tbl = self._cache.get(rg)
+                if tbl is None:
+                    tbl = self._pf.read_row_group(rg)
+                    self._cache[rg] = tbl
+                mask = pc.and_(
+                    pc.equal(tbl["field"], field), pc.equal(tbl["term"], term)
+                )
+                hit = tbl.filter(mask)
+                if len(hit) > 0:
+                    return decode_posting(
+                        {c: hit[c][0].as_py() for c in hit.column_names},
+                        want_positions,
+                    )
+        return None
+
+    def iter_terms(self, field: Optional[str] = None) -> Iterator[Tuple[str, str, int]]:
+        """Iterate (field, term, df) over the dictionary in sorted order."""
+        for batch in self._pf.iter_batches(columns=["field", "term", "df"]):
+            fields = batch["field"].to_pylist()
+            terms = batch["term"].to_pylist()
+            dfs = batch["df"].to_pylist()
+            for f, t, d in zip(fields, terms, dfs):
+                if field is None or f == field:
+                    yield f, t, d
+
+    def read_all(self) -> pa.Table:
+        return self._pf.read()
+
+    def dictionary_range(
+        self, field: str, lo: str, hi: str, inclusive_hi: bool = False
+    ) -> List[Tuple[str, int]]:
+        """Terms in [lo, hi) (or [lo,hi]) for a field -- FieldDictRange
+        equivalent (snapshot_index.go:242-400)."""
+        out = []
+        for f, t, d in self.iter_terms(field):
+            if t < lo:
+                continue
+            if t > hi or (t == hi and not inclusive_hi):
+                if f == field and t > hi:
+                    break
+                continue
+            out.append((t, d))
+        return out
