@@ -1,0 +1,369 @@
+"""Query AST + JSON-dict parsing, mirroring the reference's
+search/query/query.go:146-382 JSON dispatch and the query constructors:
+
+- {"term": t, "field": f}                      -> TermQuery
+- {"match": text, "field": f, "operator": o}   -> MatchQuery (match.go:123-186)
+- {"match_phrase": text, "field": f}           -> MatchPhraseQuery
+  (match_phrase.go:37-90 + tokenStreamToPhrase keeping stop-word gaps)
+- {"prefix": p, "field": f}                    -> PrefixQuery
+- {"conjuncts": [...]}                         -> ConjunctionQuery
+- {"disjuncts": [...], "min": n}               -> DisjunctionQuery
+- {"must":..., "should":..., "must_not":...}   -> BooleanQuery (boolean.go)
+- {"match_all": {}} / {"match_none": {}}
+- {"terms": [[...], ...], "field": f}          -> MultiPhraseQuery
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence
+
+from ..analysis.analyzers import analyzer_named
+from .searcher import (
+    BooleanSearcher,
+    ConjunctionSearcher,
+    DisjunctionSearcher,
+    MatchAllSearcher,
+    MatchNoneSearcher,
+    MultiTermSearcher,
+    PhraseSearcher,
+    Searcher,
+    TermSearcher,
+)
+
+
+class Query:
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options) -> Searcher:
+        raise NotImplementedError
+
+
+@dataclass
+class TermQuery(Query):
+    term: str
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        return TermSearcher(reader, self.term, field, self.boost, options)
+
+
+@dataclass
+class MatchQuery(Query):
+    """match.go:123-186: analyze text -> term queries -> disjunction(min=1)
+    for operator 'or' (default) / conjunction for 'and'."""
+
+    match: str
+    field: str = ""
+    operator: str = "or"
+    analyzer: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        analyzer = analyzer_named(
+            self.analyzer or mapping.analyzer_for(field)
+        )
+        tokens = analyzer.analyze(self.match)
+        if not tokens:
+            return MatchNoneSearcher()
+        tqs = [
+            TermSearcher(reader, t.term, field, self.boost, options)
+            for t in tokens
+        ]
+        if self.operator == "and":
+            return ConjunctionSearcher(tqs)
+        return DisjunctionSearcher(tqs, min_match=1)
+
+
+def token_stream_to_phrase(tokens) -> List[List[str]]:
+    """match_phrase.go:119-130 tokenStreamToPhrase: position-indexed slots
+    relative to the first token position; stop-word gaps become empty slots."""
+    if not tokens:
+        return []
+    first = min(t.position for t in tokens)
+    last = max(t.position for t in tokens)
+    phrase: List[List[str]] = [[] for _ in range(last - first + 1)]
+    for t in tokens:
+        phrase[t.position - first].append(t.term)
+    return phrase
+
+
+@dataclass
+class MatchPhraseQuery(Query):
+    match_phrase: str
+    field: str = ""
+    analyzer: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        analyzer = analyzer_named(
+            self.analyzer or mapping.analyzer_for(field)
+        )
+        tokens = analyzer.analyze(self.match_phrase)
+        if not tokens:
+            return MatchNoneSearcher()
+        phrase = token_stream_to_phrase(tokens)
+        return PhraseSearcher(reader, phrase, field, self.boost, options)
+
+
+@dataclass
+class MultiPhraseQuery(Query):
+    terms: List[List[str]]
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        return PhraseSearcher(reader, self.terms, field, self.boost, options)
+
+
+@dataclass
+class PrefixQuery(Query):
+    prefix: str
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        terms = reader.terms_with_prefix(field, self.prefix)
+        if not terms:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, terms, field, self.boost, options)
+
+
+@dataclass
+class TermRangeQuery(Query):
+    """search_term_range.go equivalent over the dictionary."""
+
+    min: str
+    max: str
+    field: str = ""
+    inclusive_min: bool = True
+    inclusive_max: bool = False
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        terms = [
+            t
+            for t in reader.terms_in_range(
+                field, self.min, self.max, self.inclusive_max
+            )
+            if (t > self.min or (self.inclusive_min and t == self.min))
+        ]
+        if not terms:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, terms, field, self.boost, options)
+
+
+@dataclass
+class FuzzyQuery(Query):
+    """search_fuzzy.go: Levenshtein (<=2) expansion over the dictionary."""
+
+    term: str
+    field: str = ""
+    fuzziness: int = 1
+    prefix_length: int = 0
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        from .levenshtein import within_distance
+
+        field = self.field or mapping.default_field
+        fuzz = min(self.fuzziness, 2)  # MaxFuzziness (search_fuzzy.go:26)
+        prefix = self.term[: self.prefix_length]
+        cands = [
+            t
+            for t, df in reader.dictionary(field)
+            if t.startswith(prefix) and within_distance(self.term, t, fuzz)
+        ]
+        if not cands:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, cands, field, self.boost, options)
+
+
+@dataclass
+class RegexpQuery(Query):
+    """search_regexp.go: dictionary scan by regex (anchored, like Bleve)."""
+
+    regexp: str
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import re
+
+        field = self.field or mapping.default_field
+        pat = re.compile(self.regexp)
+        terms = [t for t, df in reader.dictionary(field) if pat.fullmatch(t)]
+        if not terms:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, terms, field, self.boost, options)
+
+
+@dataclass
+class WildcardQuery(Query):
+    """wildcard.go: * and ? translated to an anchored regex."""
+
+    wildcard: str
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import re
+
+        regex = "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in self.wildcard
+        )
+        return RegexpQuery(regex, self.field, self.boost).searcher(
+            reader, mapping, options
+        )
+
+
+@dataclass
+class ConjunctionQuery(Query):
+    conjuncts: Sequence[Query] = ()
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        children = [q.searcher(reader, mapping, options) for q in self.conjuncts]
+        return ConjunctionSearcher(children)
+
+
+@dataclass
+class DisjunctionQuery(Query):
+    disjuncts: Sequence[Query] = ()
+    min: int = 0
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        children = [q.searcher(reader, mapping, options) for q in self.disjuncts]
+        return DisjunctionSearcher(children, min_match=self.min)
+
+
+@dataclass
+class BooleanQuery(Query):
+    """boolean.go: must -> conjunction, should -> disjunction(minShould,
+    default 0 -- boolean.go:71-74), must_not -> disjunction."""
+
+    must: Optional[Query] = None
+    should: Optional[Query] = None
+    must_not: Optional[Query] = None
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        m = self.must.searcher(reader, mapping, options) if self.must else None
+        s = self.should.searcher(reader, mapping, options) if self.should else None
+        mn = (
+            self.must_not.searcher(reader, mapping, options)
+            if self.must_not
+            else None
+        )
+        return BooleanSearcher(m, s, mn)
+
+
+@dataclass
+class MatchAllQuery(Query):
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        return MatchAllSearcher(reader, self.boost)
+
+
+@dataclass
+class MatchNoneQuery(Query):
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        return MatchNoneSearcher()
+
+
+def parse_query(d: Dict) -> Query:
+    """JSON-dict -> Query (dispatch mirrors query.go:146-382)."""
+    boost = d.get("boost", 1.0)
+    if "match" in d:
+        return MatchQuery(
+            d["match"],
+            field=d.get("field", ""),
+            operator=d.get("operator", "or"),
+            analyzer=d.get("analyzer", ""),
+            boost=boost,
+        )
+    if "match_phrase" in d:
+        return MatchPhraseQuery(
+            d["match_phrase"],
+            field=d.get("field", ""),
+            analyzer=d.get("analyzer", ""),
+            boost=boost,
+        )
+    if "fuzziness" in d and "term" in d:
+        return FuzzyQuery(
+            d["term"],
+            field=d.get("field", ""),
+            fuzziness=d.get("fuzziness", 1),
+            prefix_length=d.get("prefix_length", 0),
+            boost=boost,
+        )
+    if "term" in d:
+        return TermQuery(d["term"], field=d.get("field", ""), boost=boost)
+    if "prefix" in d:
+        return PrefixQuery(d["prefix"], field=d.get("field", ""), boost=boost)
+    if "regexp" in d:
+        return RegexpQuery(d["regexp"], field=d.get("field", ""), boost=boost)
+    if "wildcard" in d:
+        return WildcardQuery(d["wildcard"], field=d.get("field", ""), boost=boost)
+    if "terms" in d:
+        terms = d["terms"]
+        if terms and isinstance(terms[0], str):
+            terms = [[t] for t in terms]
+        return MultiPhraseQuery(terms, field=d.get("field", ""), boost=boost)
+    if "min" in d and "max" in d:
+        return TermRangeQuery(
+            d["min"],
+            d["max"],
+            field=d.get("field", ""),
+            inclusive_min=d.get("inclusive_min", True),
+            inclusive_max=d.get("inclusive_max", False),
+            boost=boost,
+        )
+    if "conjuncts" in d:
+        return ConjunctionQuery(
+            [parse_query(c) for c in d["conjuncts"]], boost=boost
+        )
+    if "disjuncts" in d:
+        return DisjunctionQuery(
+            [parse_query(c) for c in d["disjuncts"]],
+            min=d.get("min", 0),
+            boost=boost,
+        )
+    if "must" in d or "should" in d or "must_not" in d:
+        def _sub(key, min_default):
+            v = d.get(key)
+            if v is None:
+                return None
+            if isinstance(v, dict) and ("conjuncts" in v or "disjuncts" in v):
+                return parse_query(v)
+            if isinstance(v, list):
+                if key == "must":
+                    return ConjunctionQuery([parse_query(c) for c in v])
+                return DisjunctionQuery(
+                    [parse_query(c) for c in v], min=min_default
+                )
+            return parse_query(v)
+
+        return BooleanQuery(
+            must=_sub("must", 0),
+            should=_sub("should", d.get("min_should", 0)),
+            must_not=_sub("must_not", 0),
+            boost=boost,
+        )
+    if "match_all" in d:
+        return MatchAllQuery(boost=boost)
+    if "match_none" in d:
+        return MatchNoneQuery(boost=boost)
+    raise ValueError(f"unrecognized query: {d!r}")

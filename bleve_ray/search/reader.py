@@ -1,0 +1,193 @@
+"""IndexReader: snapshot-style reader over a built index directory.
+
+Equivalent of scorch's refcounted IndexSnapshot + TermFieldReader
+(index/scorch/snapshot_index.go): opens the manifest, lazily opens segment
+readers (cached), merges per-segment postings into global arrays (segments
+hold disjoint docnum ranges, so concatenation in min_docnum order IS the
+ascending-docnum merge), and resolves docnums back to external doc IDs via
+the docmeta files.
+
+BM25 global stats come from the manifest ("presearch" at zero cost --
+SURVEY.md §2.9): avgDocLength = ceil(fieldCardinality/docCount) exactly like
+search/searcher/search_term.go:113.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, replace
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..index import manifest as manifest_mod
+from ..index.build import shard_of_terms
+from ..index.segment import Posting, SegmentReader
+
+
+@dataclass
+class SearchOptions:
+    scoring_model: str = "bm25"
+    need_positions: bool = False
+
+    def with_positions(self) -> "SearchOptions":
+        return replace(self, need_positions=True)
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = manifest_mod.load(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.options = self.manifest.options
+        self.num_shards = self.options["num_shards"]
+        self._by_shard: Dict[int, list] = {}
+        for s in self.manifest.segments:
+            self._by_shard.setdefault(s.shard, []).append(s)
+        for shard in self._by_shard:
+            self._by_shard[shard].sort(key=lambda e: e.min_docnum)
+        self._seg_readers: Dict[str, SegmentReader] = {}
+        self._docmeta_cache: Dict[str, Tuple[np.ndarray, list]] = {}
+        self._all_docnums: Optional[np.ndarray] = None
+
+    # --- postings ---------------------------------------------------------
+
+    def _segments_for(self, field: str, term: str) -> list:
+        import hashlib
+
+        h = hashlib.sha1(f"{field}\x1f{term}".encode()).digest()
+        shard = int.from_bytes(h[:4], "little") % self.num_shards
+        return self._by_shard.get(shard, [])
+
+    def _reader(self, entry) -> SegmentReader:
+        r = self._seg_readers.get(entry.seg_id)
+        if r is None:
+            r = SegmentReader(os.path.join(self.index_dir, entry.path))
+            self._seg_readers[entry.seg_id] = r
+        return r
+
+    def posting(
+        self, field: str, term: str, want_positions: bool = False
+    ) -> Optional[Posting]:
+        parts: List[Posting] = []
+        for entry in self._segments_for(field, term):
+            p = self._reader(entry).lookup(field, term, want_positions)
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        # disjoint docnum ranges sorted by min_docnum -> concat is the merge
+        parts.sort(key=lambda p: p.docnums[0] if len(p.docnums) else 0)
+        return Posting(
+            docnums=np.concatenate([p.docnums for p in parts]),
+            tfs=np.concatenate([p.tfs for p in parts]),
+            norms=np.concatenate([p.norms for p in parts]),
+            positions_flat=(
+                np.concatenate([p.positions_flat for p in parts])
+                if want_positions and all(p.positions_flat is not None for p in parts)
+                else None
+            ),
+        )
+
+    # --- stats ------------------------------------------------------------
+
+    def doc_count(self) -> int:
+        return int(self.manifest.stats["doc_count"])
+
+    def field_cardinality(self, field: str) -> int:
+        fs = self.manifest.stats["field_stats"].get(field)
+        return int(fs["sum_field_len"]) if fs else 0
+
+    def bm25_metrics(self, field: str) -> Tuple[int, float]:
+        """(docCount, avgDocLength) -- bm25ScoreMetrics
+        (search_term.go:83-113, including the ceil)."""
+        count = self.doc_count()
+        card = self.field_cardinality(field)
+        if count == 0 and card == 0:
+            return 0, 0.0
+        return count, math.ceil(card / count)
+
+    # --- docmeta ----------------------------------------------------------
+
+    def _load_docmeta(self, path: str) -> Tuple[np.ndarray, list]:
+        cached = self._docmeta_cache.get(path)
+        if cached is None:
+            t = pq.read_table(
+                os.path.join(self.index_dir, path),
+                columns=["docnum", "doc_id", "field"],
+            )
+            primary = next(iter(self.options["fields"]))
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t["field"], primary)).sort_by("docnum")
+            cached = (
+                np.asarray(t["docnum"], dtype=np.int64),
+                t["doc_id"].to_pylist(),
+            )
+            self._docmeta_cache[path] = cached
+        return cached
+
+    def doc_ids_for(self, docnums: np.ndarray) -> List[str]:
+        """Resolve docnums -> external IDs (stored-field lookup equivalent,
+        snapshot_index_doc.go)."""
+        out = [None] * len(docnums)
+        entries = self.manifest.docmeta
+        for i, dn in enumerate(docnums):
+            dn = int(dn)
+            for e in entries:
+                if e.min_docnum <= dn <= e.max_docnum:
+                    nums, ids = self._load_docmeta(e.path)
+                    j = int(np.searchsorted(nums, dn))
+                    if j < len(nums) and nums[j] == dn:
+                        out[i] = ids[j]
+                        break
+        return out
+
+    def all_docnums(self) -> np.ndarray:
+        if self._all_docnums is None:
+            parts = [
+                self._load_docmeta(e.path)[0] for e in self.manifest.docmeta
+            ]
+            self._all_docnums = (
+                np.sort(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+        return self._all_docnums
+
+    def dictionary(self, field: str) -> List[Tuple[str, int]]:
+        """Full sorted term dictionary with global df (FieldDict equivalent,
+        snapshot_index.go:242+)."""
+        agg: Dict[str, int] = {}
+        for shard_entries in self._by_shard.values():
+            for entry in shard_entries:
+                for f, t, d in self._reader(entry).iter_terms(field):
+                    agg[t] = agg.get(t, 0) + d
+        return sorted(agg.items())
+
+    def terms_with_prefix(self, field: str, prefix: str) -> List[str]:
+        """FieldDictPrefix equivalent."""
+        out = []
+        for shard_entries in self._by_shard.values():
+            for entry in shard_entries:
+                for f, t, d in self._reader(entry).iter_terms(field):
+                    if t.startswith(prefix):
+                        out.append(t)
+        return sorted(set(out))
+
+    def terms_in_range(
+        self, field: str, lo: str, hi: str, inclusive_hi: bool = True
+    ) -> List[str]:
+        out = set()
+        for shard_entries in self._by_shard.values():
+            for entry in shard_entries:
+                for f, t, d in self._reader(entry).iter_terms(field):
+                    if t > lo or t == lo:
+                        if t < hi or (inclusive_hi and t == hi):
+                            out.add(t)
+        return sorted(out)

@@ -1,0 +1,399 @@
+"""Searchers -- vectorized (array-at-a-time) equivalents of the reference's
+iterator searchers (search/searcher/*).  Each searcher produces the FULL
+sorted (docnum, score) arrays for its subtree; set operations that the
+reference does by leapfrog iteration are numpy sorted-array intersections /
+unions, which give identical results order-free.
+
+queryNorm plumbing mirrors the reference exactly: composite searchers
+compute queryNorm = 1/sqrt(sum of children Weight()) at construction and
+push it down (search_conjunction.go:90-101, search_disjunction_heap.go:94+,
+search_boolean.go:92-110); a single bare term searcher never receives a
+queryNorm so its queryWeight stays 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .scorer import ConstantScorer, TermQueryScorer
+
+
+@dataclass
+class SearchHits:
+    """Sorted-by-docnum match arrays for a (sub)query."""
+
+    docnums: np.ndarray  # int64 ascending
+    scores: np.ndarray  # float64
+
+    @staticmethod
+    def empty() -> "SearchHits":
+        return SearchHits(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        )
+
+
+class Searcher:
+    """Base: weight()/set_query_norm() mirror search.Searcher."""
+
+    def weight(self) -> float:
+        raise NotImplementedError
+
+    def set_query_norm(self, qnorm: float) -> None:
+        raise NotImplementedError
+
+    def search(self) -> SearchHits:
+        raise NotImplementedError
+
+    def count(self) -> int:
+        """Upper-bound match count (reader.Count equivalent)."""
+        raise NotImplementedError
+
+
+class TermSearcher(Searcher):
+    """search_term.go equivalent: posting arrays + TermQueryScorer."""
+
+    def __init__(self, reader, term: str, field: str, boost: float, options):
+        self.reader = reader
+        self.term = term
+        self.field = field
+        self.posting = reader.posting(field, term, want_positions=options.need_positions)
+        doc_term = self.posting.df if self.posting else 0
+        if options.scoring_model == "bm25":
+            doc_total, avg_len = reader.bm25_metrics(field)
+        else:
+            doc_total, avg_len = reader.doc_count(), 0.0
+        self.scorer = TermQueryScorer(
+            term, field, boost, doc_total, doc_term, avg_len
+        )
+
+    def weight(self) -> float:
+        return self.scorer.weight()
+
+    def set_query_norm(self, qnorm: float) -> None:
+        self.scorer.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        return self.posting.df if self.posting else 0
+
+    def search(self) -> SearchHits:
+        if self.posting is None:
+            return SearchHits.empty()
+        scores = self.scorer.score(self.posting.tfs, self.posting.norms)
+        return SearchHits(self.posting.docnums, scores)
+
+
+class MatchNoneSearcher(Searcher):
+    def weight(self) -> float:
+        return 0.0
+
+    def set_query_norm(self, qnorm: float) -> None:
+        pass
+
+    def count(self) -> int:
+        return 0
+
+    def search(self) -> SearchHits:
+        return SearchHits.empty()
+
+
+class MatchAllSearcher(Searcher):
+    """search_match_all.go: every doc, constant score."""
+
+    def __init__(self, reader, boost: float):
+        self.reader = reader
+        self.scorer = ConstantScorer(1.0, boost)
+
+    def weight(self) -> float:
+        return self.scorer.weight()
+
+    def set_query_norm(self, qnorm: float) -> None:
+        self.scorer.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        return self.reader.doc_count()
+
+    def search(self) -> SearchHits:
+        docnums = self.reader.all_docnums()
+        score = self.scorer.score_value()
+        return SearchHits(docnums, np.full(len(docnums), score, dtype=np.float64))
+
+
+class ConjunctionSearcher(Searcher):
+    """search_conjunction.go: intersection, score = sum of constituents."""
+
+    def __init__(self, children: Sequence[Searcher], options=None):
+        self.children = list(children)
+        self._compute_query_norm()
+
+    def _compute_query_norm(self):
+        sum_sq = sum(c.weight() for c in self.children)
+        if sum_sq == 0:
+            return
+        qnorm = 1.0 / np.sqrt(sum_sq)
+        for c in self.children:
+            c.set_query_norm(qnorm)
+
+    def weight(self) -> float:
+        return sum(c.weight() for c in self.children)
+
+    def set_query_norm(self, qnorm: float) -> None:
+        for c in self.children:
+            c.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        return min((c.count() for c in self.children), default=0)
+
+    def search(self) -> SearchHits:
+        if not self.children:
+            return SearchHits.empty()
+        results = [c.search() for c in self.children]
+        docs = results[0].docnums
+        for r in results[1:]:
+            docs = np.intersect1d(docs, r.docnums, assume_unique=True)
+            if len(docs) == 0:
+                return SearchHits.empty()
+        scores = np.zeros(len(docs), dtype=np.float64)
+        for r in results:
+            idx = np.searchsorted(r.docnums, docs)
+            scores += r.scores[idx]
+        return SearchHits(docs, scores)
+
+
+class DisjunctionSearcher(Searcher):
+    """search_disjunction_{slice,heap}.go: union, score = sum x coord, with
+    optional min-should-match filter."""
+
+    def __init__(self, children: Sequence[Searcher], min_match: int = 0, options=None):
+        self.children = list(children)
+        self.min_match = min_match
+        self._compute_query_norm()
+
+    def _compute_query_norm(self):
+        sum_sq = sum(c.weight() for c in self.children)
+        if sum_sq == 0:
+            return
+        qnorm = 1.0 / np.sqrt(sum_sq)
+        for c in self.children:
+            c.set_query_norm(qnorm)
+
+    def weight(self) -> float:
+        return sum(c.weight() for c in self.children)
+
+    def set_query_norm(self, qnorm: float) -> None:
+        for c in self.children:
+            c.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        return sum(c.count() for c in self.children)
+
+    def search(self) -> SearchHits:
+        results = [c.search() for c in self.children]
+        if not results:
+            return SearchHits.empty()
+        all_docs = np.concatenate([r.docnums for r in results])
+        if len(all_docs) == 0:
+            return SearchHits.empty()
+        docs = np.unique(all_docs)
+        sums = np.zeros(len(docs), dtype=np.float64)
+        counts = np.zeros(len(docs), dtype=np.int64)
+        for r in results:
+            idx = np.searchsorted(docs, r.docnums)
+            sums[idx] += r.scores
+            counts[idx] += 1
+        total = len(self.children)
+        # DisjunctionQueryScorer: score = sum * (countMatch/countTotal)
+        scores = sums * (counts.astype(np.float64) / float(total))
+        if self.min_match > 0:
+            keep = counts >= self.min_match
+            docs, scores = docs[keep], scores[keep]
+        return SearchHits(docs, scores)
+
+
+class BooleanSearcher(Searcher):
+    """search_boolean.go: must AND should(>=min via the should-disjunction)
+    AND NOT mustNot; score = must + should contributions (conjunction-style
+    sum); queryNorm over must+should only (search_boolean.go:92-110)."""
+
+    def __init__(
+        self,
+        must: Optional[Searcher],
+        should: Optional[Searcher],
+        must_not: Optional[Searcher],
+        options=None,
+    ):
+        self.must = must
+        self.should = should
+        self.must_not = must_not
+        self._compute_query_norm()
+
+    def _compute_query_norm(self):
+        sum_sq = 0.0
+        if self.must is not None:
+            sum_sq += self.must.weight()
+        if self.should is not None:
+            sum_sq += self.should.weight()
+        if sum_sq == 0:
+            return
+        qnorm = 1.0 / np.sqrt(sum_sq)
+        if self.must is not None:
+            self.must.set_query_norm(qnorm)
+        if self.should is not None:
+            self.should.set_query_norm(qnorm)
+
+    def weight(self) -> float:
+        w = 0.0
+        if self.must is not None:
+            w += self.must.weight()
+        if self.should is not None:
+            w += self.should.weight()
+        return w
+
+    def set_query_norm(self, qnorm: float) -> None:
+        if self.must is not None:
+            self.must.set_query_norm(qnorm)
+        if self.should is not None:
+            self.should.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        if self.must is not None:
+            return self.must.count()
+        if self.should is not None:
+            return self.should.count()
+        return 0
+
+    def search(self) -> SearchHits:
+        must_hits = self.must.search() if self.must is not None else None
+        should_hits = self.should.search() if self.should is not None else None
+
+        if must_hits is not None:
+            docs = must_hits.docnums
+            scores = must_hits.scores.copy()
+            if should_hits is not None and len(should_hits.docnums) > 0:
+                idx = np.searchsorted(should_hits.docnums, docs)
+                idx_c = np.clip(idx, 0, len(should_hits.docnums) - 1)
+                in_should = should_hits.docnums[idx_c] == docs
+                scores[in_should] += should_hits.scores[idx_c[in_should]]
+                # if should has a hard min (>0), must-docs not matching
+                # should are dropped (mirrors shouldSearcher.Min() check)
+                if getattr(self.should, "min_match", 0) > 0:
+                    docs, scores = docs[in_should], scores[in_should]
+            elif should_hits is not None and getattr(self.should, "min_match", 0) > 0:
+                return SearchHits.empty()
+        elif should_hits is not None:
+            docs, scores = should_hits.docnums, should_hits.scores
+        else:
+            return SearchHits.empty()
+
+        if self.must_not is not None:
+            mn = self.must_not.search()
+            if len(mn.docnums) > 0:
+                keep = ~np.isin(docs, mn.docnums, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+        return SearchHits(docs, scores)
+
+
+class PhraseSearcher(Searcher):
+    """search_phrase.go: conjunction over per-slot term searchers, then
+    position-adjacency verification (findPhrasePaths, slop=0) honoring
+    stop-word gaps (empty slots advance the expected position)."""
+
+    def __init__(self, reader, phrase: List[List[str]], field: str, boost: float, options):
+        self.reader = reader
+        self.field = field
+        # slot offsets of non-empty slots; empty slots ([]) are gaps
+        self.slots: List[List[str]] = []
+        self.offsets: List[int] = []
+        for i, slot in enumerate(phrase):
+            terms = [t for t in slot if t != ""]
+            if terms:
+                self.slots.append(terms)
+                self.offsets.append(i)
+        child_opts = options.with_positions()
+        children: List[Searcher] = []
+        for terms in self.slots:
+            if len(terms) == 1:
+                children.append(
+                    TermSearcher(reader, terms[0], field, boost, child_opts)
+                )
+            else:
+                children.append(
+                    DisjunctionSearcher(
+                        [
+                            TermSearcher(reader, t, field, boost, child_opts)
+                            for t in terms
+                        ],
+                        min_match=1,
+                    )
+                )
+        self.must = ConjunctionSearcher(children)
+        self._options = child_opts
+
+    def weight(self) -> float:
+        return self.must.weight()
+
+    def set_query_norm(self, qnorm: float) -> None:
+        self.must.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        return self.must.count()
+
+    def search(self) -> SearchHits:
+        hits = self.must.search()
+        if len(hits.docnums) == 0 or not self.slots:
+            return hits
+        # gather positions per slot for candidate docs
+        slot_positions = []  # per slot: dict docnum -> sorted positions array
+        for terms in self.slots:
+            merged = {}
+            for t in terms:
+                p = self.reader.posting(self.field, t, want_positions=True)
+                if p is None or p.positions_flat is None:
+                    continue
+                starts = np.zeros(len(p.tfs), dtype=np.int64)
+                np.cumsum(p.tfs[:-1], out=starts[1:])
+                # restrict to candidate docs
+                idx = np.searchsorted(p.docnums, hits.docnums)
+                idx_c = np.minimum(idx, len(p.docnums) - 1)
+                valid = p.docnums[idx_c] == hits.docnums
+                for ci in idx_c[valid]:
+                    d = p.docnums[ci]
+                    pos = p.positions_flat[starts[ci] : starts[ci] + p.tfs[ci]]
+                    if d in merged:
+                        merged[d] = np.union1d(merged[d], pos)
+                    else:
+                        merged[d] = pos
+            slot_positions.append(merged)
+        base = self.offsets[0]
+        keep = np.zeros(len(hits.docnums), dtype=bool)
+        for i, d in enumerate(hits.docnums):
+            cand = slot_positions[0].get(d)
+            if cand is None:
+                continue
+            cand = cand.astype(np.int64)
+            ok = cand
+            for s in range(1, len(self.slots)):
+                want = ok + (self.offsets[s] - base)
+                have = slot_positions[s].get(d)
+                if have is None:
+                    ok = np.empty(0, dtype=np.int64)
+                    break
+                ok_next = want[np.isin(want, have)]
+                ok = ok_next - (self.offsets[s] - base)
+                if len(ok) == 0:
+                    break
+            keep[i] = len(ok) > 0
+        return SearchHits(hits.docnums[keep], hits.scores[keep])
+
+
+class MultiTermSearcher(DisjunctionSearcher):
+    """search_multi_term.go: disjunction over a term list (prefix/regexp/
+    fuzzy/range expansions), min=0."""
+
+    def __init__(self, reader, terms: Sequence[str], field: str, boost: float, options):
+        super().__init__(
+            [TermSearcher(reader, t, field, boost, options) for t in terms],
+            min_match=0,
+        )

@@ -27,7 +27,8 @@ def test_unicode_tokenizer_basic():
         "3.14 1,000 a:b a.b": ["3.14", "1,000", "a:b", "a.b"],
         # '.' (MidNumLet) joins letters per WB6/7: identifiers stay together
         "fmt.Errorf(x)": ["fmt.Errorf", "x"],
-        "__init__ self._x": ["__init__", "self._x"],
+        # WB6 needs a letter after MidNumLet; '_' is ExtendNumLet -> break
+        "__init__ self._x": ["__init__", "self", "_x"],
         "a1b2 42 x9": ["a1b2", "42", "x9"],
         "": [],
         "   \n\t ": [],
@@ -105,19 +106,21 @@ def test_fast_path_matches_exact_path():
 
 def test_invert_batch():
     a = analyzer_named("standard")
-    texts = ["b a b c b", "a c c"]
+    # NB: single letters like "a" are English stop words; use digraphs
+    texts = ["bb aa bb cc bb", "aa cc cc"]
     terms, doc_idx, positions, field_len = analyze_batch(texts, a)
     tbl = invert_batch(
         terms, doc_idx, positions, np.array([10, 20]), field_len
-    ).to_pandas().set_index("term")
-    assert list(tbl.index) == ["a", "b", "c"]
-    assert list(tbl.loc["b", "docnums"]) == [10]
-    assert list(tbl.loc["b", "tfs"]) == [3]
-    assert [list(p) for p in tbl.loc["b", "positions"]] == [[1, 3, 5]]
-    assert list(tbl.loc["c", "docnums"]) == [10, 20]
-    assert list(tbl.loc["c", "tfs"]) == [1, 2]
+    ).to_pandas().set_index("term").sort_index()  # chunk rows come in
+    # first-appearance (dictionary) order; segment build sorts later
+    assert list(tbl.index) == ["aa", "bb", "cc"]
+    assert list(tbl.loc["bb", "docnums"]) == [10]
+    assert list(tbl.loc["bb", "tfs"]) == [3]
+    assert [list(p) for p in tbl.loc["bb", "positions"]] == [[1, 3, 5]]
+    assert list(tbl.loc["cc", "docnums"]) == [10, 20]
+    assert list(tbl.loc["cc", "tfs"]) == [1, 2]
     # norms = float32(1/sqrt(field_len))
-    assert tbl.loc["a", "norms"][0] == np.float32(1.0 / np.sqrt(5.0))
+    assert tbl.loc["aa", "norms"][0] == np.float32(1.0 / np.sqrt(5.0))
 
 
 def test_camelcase_filter():

@@ -1,0 +1,171 @@
+"""End-to-end: Ray-built index vs the single-process oracle.
+
+Mirrors the reference's two core equivalence suites:
+- engine-vs-engine score parity (test/versus_score_test.go:46-75)
+- sharded == single-partition BM25 scores (index_test.go:447-560
+  TestBM25GlobalScoring) -- here: different (num_shards, bucket_bits)
+  builds must produce identical hits AND scores.
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from bleve_ray.corpus import doc_id_array, write_corpus
+from bleve_ray.index import IndexOptions, build_index
+from bleve_ray.oracle import OracleIndex
+from bleve_ray.search import Index
+
+QUERIES = [
+    {"query": {"term": "func", "field": "content"}, "size": 10},
+    {"query": {"term": "return", "field": "content"}, "size": 10},
+    {"query": {"term": "zzz_absent", "field": "content"}, "size": 10},
+    {"query": {"match": "func return", "field": "content"}, "size": 10},
+    {
+        "query": {
+            "match": "func return err",
+            "field": "content",
+            "operator": "and",
+        },
+        "size": 10,
+    },
+    {"query": {"match_phrase": "return nil", "field": "content"}, "size": 10},
+    {"query": {"match_phrase": "parse error", "field": "content"}, "size": 10},
+    {
+        "query": {
+            "conjuncts": [
+                {"term": "func", "field": "content"},
+                {"term": "error", "field": "content"},
+            ]
+        },
+        "size": 10,
+    },
+    {
+        "query": {
+            "disjuncts": [
+                {"term": "lambda", "field": "content"},
+                {"term": "yield", "field": "content"},
+            ],
+            "min": 1,
+        },
+        "size": 10,
+    },
+    {
+        "query": {
+            "must": [{"term": "func", "field": "content"}],
+            "should": [{"term": "lambda", "field": "content"}],
+            "must_not": [{"term": "goto", "field": "content"}],
+        },
+        "size": 10,
+    },
+    {"query": {"match_all": {}}, "size": 5},
+    {"query": {"prefix": "hand", "field": "content"}, "size": 10},
+    {"query": {"term": "func", "field": "content"}, "size": 5, "from": 3},
+]
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tiny_corpus_dir, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    build_index(
+        files, idx_dir, IndexOptions(num_shards=4, bucket_bits=4)
+    )
+    return idx_dir, files
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus_dir):
+    o = OracleIndex(scoring_model="bm25")
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    for f in files:
+        t = pq.read_table(f)
+        ids = doc_id_array(t).to_pylist()
+        contents = t["content"].to_pylist()
+        for i, doc_id in enumerate(ids):
+            o.index_doc(doc_id, {"content": contents[i]}, {"content": "standard"})
+    return o
+
+
+def assert_same_results(got: dict, want: dict, qname=""):
+    assert got["total_hits"] == want["total_hits"], qname
+    got_hits = got["hits"]
+    want_hits = want["hits"]
+    assert [h["id"] for h in got_hits] == [h["id"] for h in want_hits], qname
+    for g, w in zip(got_hits, want_hits):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9), (
+            qname,
+            g["id"],
+        )
+
+
+@pytest.mark.parametrize("req", QUERIES, ids=lambda r: str(r["query"])[:50])
+def test_engine_matches_oracle(built_index, oracle, req):
+    idx_dir, _ = built_index
+    idx = Index.open(idx_dir)
+    got = idx.search(req).to_dict()
+    want = oracle.search(req)
+    assert_same_results(got, want, str(req))
+
+
+def test_partitioning_equivalence(
+    ray_session, tiny_corpus_dir, built_index, tmp_path_factory
+):
+    """Different shard/bucket partitionings -> identical hits and scores
+    (the TestBM25GlobalScoring invariant)."""
+    idx_dir_a, files = built_index
+    idx_dir_b = str(tmp_path_factory.mktemp("idx_b"))
+    build_index(files, idx_dir_b, IndexOptions(num_shards=1, bucket_bits=20))
+    idx_dir_c = str(tmp_path_factory.mktemp("idx_c"))
+    build_index(
+        files,
+        idx_dir_c,
+        IndexOptions(num_shards=13, bucket_bits=3, target_segments_per_shard=2),
+    )
+    a, b, c = Index.open(idx_dir_a), Index.open(idx_dir_b), Index.open(idx_dir_c)
+    for req in QUERIES:
+        ra = a.search(req).to_dict()
+        rb = b.search(req).to_dict()
+        rc = c.search(req).to_dict()
+        assert_same_results(rb, ra, f"b vs a: {req}")
+        assert_same_results(rc, ra, f"c vs a: {req}")
+
+
+def test_resume_skips_completed_partitions(
+    ray_session, tiny_corpus_dir, tmp_path_factory
+):
+    """F6 resume: second build_index call over an existing manifest is a
+    no-op for completed partitions and yields an identical index."""
+    from bleve_ray.index import load_manifest
+
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    d = str(tmp_path_factory.mktemp("idx_resume"))
+    opts = IndexOptions(num_shards=2, bucket_bits=6)
+    # build only the first file (simulates interruption after partition 0)
+    build_index(files[:1], d, opts, files_per_partition=1)
+    m1 = load_manifest(d)
+    assert len(m1.partitions) == 1
+    # now run with the full file list; partition 0 must be skipped
+    build_index(files, d, opts, files_per_partition=1)
+    m2 = load_manifest(d)
+    assert len(m2.partitions) == 2
+    assert m2.partitions[0].content_sha256_agg == m1.partitions[0].content_sha256_agg
+    # full rebuild from scratch gives same doc stats
+    d2 = str(tmp_path_factory.mktemp("idx_fresh"))
+    build_index(files, d2, opts, files_per_partition=1)
+    m3 = load_manifest(d2)
+    assert m3.stats == m2.stats
+    # and identical search results
+    for req in QUERIES[:4]:
+        ra = Index.open(d).search(req).to_dict()
+        rb = Index.open(d2).search(req).to_dict()
+        ra.pop("took_ms"), rb.pop("took_ms")
+        assert ra == rb
