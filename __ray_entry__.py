@@ -1,44 +1,459 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline (build inverted index over sf0.001 documents via
+the Ray Data build pipeline, run a BM25 search) -- Ray already initialised.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries(): one entry per implemented operator family (SURVEY.md §2 +
+training-data pipelines).  oracle_sql(): DuckDB equivalents where
+SQL-expressible; the BM25 oracles replicate the exact reference math
+(sqrt tf, float32 norm quantization via CAST AS REAL, ceil avgdl,
+queryNorm, coord -- SURVEY.md §2.7).
+
+Scores are emitted as printf('%.6f') strings on BOTH sides so float
+value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+# --- shared SQL fragments --------------------------------------------------
+
+_PROLOGUE = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         ceil((SELECT sum(dl) FROM dl)
+              / CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS avgdl
+)
+"""
+
+# fieldLength recovered from the float32-quantized norm, like the scorer
+_FL = "(1.0 / (CAST(CAST(1.0/sqrt(dl.dl) AS REAL) AS DOUBLE) * CAST(CAST(1.0/sqrt(dl.dl) AS REAL) AS DOUBLE)))"
+
+
+def _tf_cte(name: str, term: str) -> str:
+    return (
+        f"{name} AS (SELECT doc_id, count(*) AS f FROM toks "
+        f"WHERE term = '{term}' GROUP BY doc_id)"
+    )
+
+
+def _idf_expr(df_sub: str) -> str:
+    n = "(SELECT n FROM st)"
+    return f"ln(1 + ({n} - {df_sub} + 0.5) / ({df_sub} + 0.5))"
+
+
+def _raw_expr(idf: str) -> str:
+    """BM25 doc score before query weight; expects columns f (freq) and dl."""
+    sat = (
+        f"(sqrt(f) + 1.2 * (1 - 0.75 + (0.75 * {_FL} / (SELECT avgdl FROM st))))"
+    )
+    return f"({idf} * (sqrt(f) * 1.2) / {sat})"
+
+
+def _sql_term_search(term: str, k: int = 10) -> str:
+    idf = _idf_expr("(SELECT count(*) FROM tf1)")
+    return f"""
+WITH {_PROLOGUE}, {_tf_cte('tf1', term)}
+SELECT CAST(tf1.doc_id AS VARCHAR) AS doc_id,
+       printf('%.6f', {_raw_expr(idf)}) AS score
+FROM tf1 JOIN dl ON tf1.doc_id = dl.doc_id
+ORDER BY {_raw_expr(idf)} DESC, CAST(tf1.doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _sql_two_term_impl(term1: str, term2: str, mode: str, k: int = 10) -> str:
+    idf1 = _idf_expr("(SELECT df1 FROM dfs)")
+    idf2 = _idf_expr("(SELECT df2 FROM dfs)")
+    qn = f"(1.0 / sqrt({idf1}*{idf1} + {idf2}*{idf2}))"
+    raw1 = _raw_expr(idf1).replace("sqrt(f)", "sqrt(u.f1)")
+    raw2 = _raw_expr(idf2).replace("sqrt(f)", "sqrt(u.f2)")
+    w1 = f"({raw1} * ({idf1} * {qn}))"
+    w2 = f"({raw2} * ({idf2} * {qn}))"
+    base = f"""{_PROLOGUE}, {_tf_cte('tf1', term1)}, {_tf_cte('tf2', term2)},
+dfs AS (SELECT (SELECT count(*) FROM tf1) AS df1,
+               (SELECT count(*) FROM tf2) AS df2)"""
+    if mode == "and":
+        score = f"({w1} + {w2})"
+        return f"""
+WITH {base},
+u AS (SELECT a.doc_id, a.f AS f1, b.f AS f2
+      FROM tf1 a JOIN tf2 b ON a.doc_id = b.doc_id)
+SELECT CAST(u.doc_id AS VARCHAR) AS doc_id, printf('%.6f', {score}) AS score
+FROM u JOIN dl ON u.doc_id = dl.doc_id
+ORDER BY {score} DESC, CAST(u.doc_id AS VARCHAR) ASC LIMIT {k}
+"""
+    if mode == "or":
+        score = (
+            f"(((CASE WHEN u.f1 IS NULL THEN 0.0 ELSE {w1} END) +"
+            f"  (CASE WHEN u.f2 IS NULL THEN 0.0 ELSE {w2} END)) *"
+            f" (((CASE WHEN u.f1 IS NULL THEN 0 ELSE 1 END) +"
+            f"   (CASE WHEN u.f2 IS NULL THEN 0 ELSE 1 END)) / 2.0))"
+        )
+        return f"""
+WITH {base},
+u AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.f AS f1, b.f AS f2
+      FROM tf1 a FULL OUTER JOIN tf2 b ON a.doc_id = b.doc_id)
+SELECT CAST(u.doc_id AS VARCHAR) AS doc_id, printf('%.6f', {score}) AS score
+FROM u JOIN dl ON u.doc_id = dl.doc_id
+ORDER BY {score} DESC, CAST(u.doc_id AS VARCHAR) ASC LIMIT {k}
+"""
+    if mode == "phrase":
+        score = f"({w1} + {w2})"
+        return f"""
+WITH {base},
+pos AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+  FROM documents
+),
+adj AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{term1}' AND b.term = '{term2}'
+),
+u AS (SELECT a.doc_id, a.f AS f1, b.f AS f2
+      FROM tf1 a JOIN tf2 b ON a.doc_id = b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM adj))
+SELECT CAST(u.doc_id AS VARCHAR) AS doc_id, printf('%.6f', {score}) AS score
+FROM u JOIN dl ON u.doc_id = dl.doc_id
+ORDER BY {score} DESC, CAST(u.doc_id AS VARCHAR) ASC LIMIT {k}
+"""
+    raise ValueError(mode)
+
+
+def _sql_boolean_not(must_term: str, not_term: str, k: int = 10) -> str:
+    """boolean must+must_not: queryWeight collapses to 1 (single must child),
+    so score = raw BM25 of the must term; must_not docs excluded."""
+    idf = _idf_expr("(SELECT count(*) FROM tf1)")
+    return f"""
+WITH {_PROLOGUE}, {_tf_cte('tf1', must_term)}, {_tf_cte('tfn', not_term)}
+SELECT CAST(tf1.doc_id AS VARCHAR) AS doc_id,
+       printf('%.6f', {_raw_expr(idf)}) AS score
+FROM tf1 JOIN dl ON tf1.doc_id = dl.doc_id
+WHERE tf1.doc_id NOT IN (SELECT doc_id FROM tfn)
+ORDER BY {_raw_expr(idf)} DESC, CAST(tf1.doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+# --- engine-side index cache ----------------------------------------------
+
+
+def _documents_index(sf_dir: str):
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/docidx_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        opts = IndexOptions(
+            fields={
+                "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True)
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=4,
+            bucket_bits=16,
+        )
+        build_index(
+            [os.path.join(sf_dir, "documents.parquet")], idx_dir, opts
+        )
+    return Index.open(idx_dir)
+
+
+def _hits_table(result):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([h.id for h in result.hits], type=pa.string()),
+            "score": pa.array([f"{h.score:.6f}" for h in result.hits]),
+        }
+    )
+
+
+def _search_query(req: dict):
+    def run(sf_dir: str):
+        idx = _documents_index(sf_dir)
+        return _hits_table(idx.search(req))
+
+    return run
+
+
+def _q_prefix_count(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.search({"query": {"prefix": "sp", "field": "text"}, "size": 1})
+    return pa.table({"n_docs": pa.array([r.total_hits], type=pa.int64())})
+
+
+def _q_doc_freq_top_terms(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    d = idx.reader.dictionary("text")
+    ranked = sorted(d, key=lambda td: (-td[1], td[0]))[:50]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in ranked]),
+            "doc_freq": pa.array([df for _, df in ranked], type=pa.int64()),
+        }
+    )
+
+
+def _q_collection_stats(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.reader
+    n, avgdl = r.bm25_metrics("text")
+    return pa.table(
+        {
+            "doc_count": pa.array([n], type=pa.int64()),
+            "total_tokens": pa.array(
+                [r.field_cardinality("text")], type=pa.int64()
+            ),
+            "avgdl": pa.array([int(avgdl)], type=pa.int64()),
+        }
+    )
+
+
+def _q_lineitem_agg(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="cnt"),
+    )
+    import pyarrow as pa
+
+    df = agg.to_pandas()  # aggregated output is tiny
+    # sums of integral doubles are exact in any order
+    return pa.table(
+        {
+            "l_returnflag": pa.array(df["l_returnflag"]),
+            "l_linestatus": pa.array(df["l_linestatus"]),
+            "sum_qty": pa.array([int(x) for x in df["sum_qty"]], type=pa.int64()),
+            "cnt": pa.array(df["cnt"], type=pa.int64()),
+        }
+    )
+
+
+def _q_events_agg(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    import pyarrow as pa
+
+    df = agg.to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"]),
+            "n_events": pa.array(df["n_events"], type=pa.int64()),
+            "min_value": pa.array([f"{x:.6f}" for x in df["min_value"]]),
+            "max_value": pa.array([f"{x:.6f}" for x in df["max_value"]]),
+        }
+    )
+
+
+# --- contract functions ----------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: Ray Data index build over sf0.001 documents + BM25 search."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _documents_index(sf_dir)
+    res = idx.search(
+        {"query": {"match": "data stream", "field": "text"}, "size": 10}
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        [{"doc_id": h.id, "score": h.score} for h in res.hits]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bleve_ray.pipelines import ann, dedup, text_stats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- inverted index + BM25 search (the north star) ---
+        "term_search_bm25": _search_query(
+            {"query": {"term": "vector", "field": "text"}, "size": 10}
+        ),
+        "match_and_bm25": _search_query(
+            {
+                "query": {
+                    "match": "window vector",
+                    "field": "text",
+                    "operator": "and",
+                    "analyzer": "ascii_alnum_lower",
+                },
+                "size": 10,
+            }
+        ),
+        "match_or_bm25": _search_query(
+            {
+                "query": {
+                    "match": "window vector",
+                    "field": "text",
+                    "analyzer": "ascii_alnum_lower",
+                },
+                "size": 10,
+            }
+        ),
+        "match_phrase_bm25": _search_query(
+            {
+                "query": {
+                    "match_phrase": "merge batch",
+                    "field": "text",
+                    "analyzer": "ascii_alnum_lower",
+                },
+                "size": 10,
+            }
+        ),
+        "boolean_must_not_bm25": _search_query(
+            {
+                "query": {
+                    "must": [{"term": "window", "field": "text"}],
+                    "must_not": [{"term": "vector", "field": "text"}],
+                },
+                "size": 10,
+            }
+        ),
+        "prefix_count": _q_prefix_count,
+        "doc_freq_top_terms": _q_doc_freq_top_terms,
+        "collection_stats": _q_collection_stats,
+        # --- training-data pipelines ---
+        "token_count": text_stats.token_count_ds,
+        "quality_score": text_stats.quality_ds,
+        "langid": text_stats.langid_ds,
+        "doc_fingerprint": text_stats.fingerprint_ds,
+        "exact_dedup": dedup.exact_dedup_ds,
+        "minhash_pairs": dedup.minhash_pairs_ds,
+        "simhash": dedup.simhash_ds,
+        "ann_cosine_topk": ann.ann_cosine_topk_ds,
+        "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
+        # --- generic relational ops ---
+        "lineitem_agg": _q_lineitem_agg,
+        "events_agg": _q_events_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ",".join(
+        f"'{w}'"
+        for w in "the of and to in is for on with as by at from that this it be are was".split()
+    )
+    return {
+        "term_search_bm25": _sql_term_search("vector"),
+        "match_and_bm25": _sql_two_term_impl("window", "vector", "and"),
+        "match_or_bm25": _sql_two_term_impl("window", "vector", "or"),
+        "match_phrase_bm25": _sql_two_term_impl("merge", "batch", "phrase"),
+        "boolean_must_not_bm25": _sql_boolean_not("window", "vector"),
+        "prefix_count": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT count(DISTINCT doc_id) AS n_docs FROM toks WHERE term LIKE 'sp%'
+""",
+        "doc_freq_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS doc_freq
+FROM toks GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50
+""",
+        "collection_stats": f"""
+WITH {_PROLOGUE}
+SELECT (SELECT n FROM st) AS doc_count,
+       (SELECT sum(dl) FROM dl) AS total_tokens,
+       CAST((SELECT avgdl FROM st) AS BIGINT) AS avgdl
+""",
+        "token_count": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT d.doc_id, count(t.term) AS token_count
+FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+""",
+        "quality_score": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+pt AS (
+  SELECT d.doc_id,
+         count(t.term) AS token_count,
+         coalesce(sum(CASE WHEN t.term IN ({stop_list}) THEN 1 ELSE 0 END), 0) AS stop_cnt,
+         coalesce(sum(len(t.term)), 0) AS tok_chars
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+)
+SELECT pt.doc_id, pt.token_count,
+  printf('%.6f', CASE WHEN token_count = 0 THEN 0.0
+                 ELSE stop_cnt * 1.0 / token_count END) AS stop_ratio,
+  printf('%.6f', CASE WHEN token_count = 0 THEN 0.0
+                 ELSE tok_chars * 1.0 / token_count END) AS mean_token_len,
+  printf('%.6f', CASE WHEN len(d.text) = 0 THEN 0.0
+                 ELSE len(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0
+                      / len(d.text) END) AS alpha_ratio
+FROM pt JOIN documents d USING (doc_id)
+""",
+        "exact_dedup": """
+SELECT sha256(text) AS text_sha, count(*) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM documents GROUP BY sha256(text)
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       printf('%.6f', list_cosine_similarity(embedding, (SELECT qe FROM q))) AS sim
+FROM embeddings WHERE vec_id != 0
+ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
+LIMIT 10
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "events_agg": """
+SELECT event_type, count(*) AS n_events,
+       printf('%.6f', min(value)) AS min_value,
+       printf('%.6f', max(value)) AS max_value
+FROM events GROUP BY event_type
+""",
+    }
