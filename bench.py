@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N, ...}
+
+Headline pipelines:
+  build      index build over the synthetic code corpus (input_hint schema),
+             docs/s + MB/s
+  query      BM25 query set (term / match-and / match-or / phrase) over the
+             built index, p50/p99 latency
+  pipelines  minhash dedup pairs + ANN cosine top-k over the driver tables
+
+--scaling: runs the build twice in fresh subprocesses (num_cpus=8 vs 32,
+i.e. N vs 4N) on the same input and reports both throughputs + scaling
+efficiency (the sandbox substitute for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench") -> tuple:
+    """Deterministic synthetic code corpus sized to the scale factor."""
+    from bleve_ray.corpus import write_corpus
+
+    n_docs = max(512, int(200_000 * sf))
+    n_files = max(8, n_docs // 1000)
+    d = os.path.join(tmp_root, f"corpus_{n_docs}")
+    marker = os.path.join(d, "DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        write_corpus(d, n_docs=n_docs, n_files=n_files, seed=42)
+        open(marker, "w").write("ok")
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    return files, n_docs, total_bytes
+
+
+def bench_build(files, index_dir: str, num_cpus: int) -> dict:
+    from bleve_ray.index import IndexOptions, build_index
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    opts = IndexOptions(num_shards=max(8, num_cpus), bucket_bits=12)
+    t0 = time.perf_counter()
+    man = build_index(files, index_dir, opts)
+    wall = time.perf_counter() - t0
+    return {
+        "build_sec": round(wall, 3),
+        "doc_count": man.stats["doc_count"],
+        "docs_per_sec": round(man.stats["doc_count"] / wall, 1),
+        "segments": len(man.segments),
+    }
+
+
+QUERY_TERMS = [
+    "func", "return", "err", "string", "interface", "stream", "buffer",
+    "cache", "config", "client", "server", "request", "response", "value",
+    "result", "count", "total", "state", "node", "tree", "list", "hash",
+    "key", "file", "path", "merge", "split", "index", "search", "query",
+]
+
+
+def bench_query(index_dir: str, rounds: int = 5) -> dict:
+    from bleve_ray.search import Index
+
+    idx = Index.open(index_dir)
+    reqs = []
+    for t in QUERY_TERMS:
+        reqs.append(("term", {"query": {"term": t, "field": "content"}, "size": 10}))
+    for i in range(0, len(QUERY_TERMS) - 1, 3):
+        a, b = QUERY_TERMS[i], QUERY_TERMS[i + 1]
+        reqs.append(
+            ("and", {"query": {"match": f"{a} {b}", "field": "content",
+                               "operator": "and"}, "size": 10})
+        )
+        reqs.append(
+            ("or", {"query": {"match": f"{a} {b}", "field": "content"},
+                     "size": 10})
+        )
+    for ph in ["return nil", "parse error", "if err", "bad request"]:
+        reqs.append(
+            ("phrase", {"query": {"match_phrase": ph, "field": "content"},
+                        "size": 10})
+        )
+    # warmup (open segment readers / row-group caches)
+    for _, r in reqs[:10]:
+        idx.search(r)
+    lat = []
+    per_kind = {}
+    for _ in range(rounds):
+        for kind, r in reqs:
+            t0 = time.perf_counter()
+            idx.search(r)
+            dt = (time.perf_counter() - t0) * 1e3
+            lat.append(dt)
+            per_kind.setdefault(kind, []).append(dt)
+    lat.sort()
+    return {
+        "n_queries": len(lat),
+        "p50_ms": round(statistics.median(lat), 3),
+        "p99_ms": round(lat[int(len(lat) * 0.99) - 1], 3),
+        "mean_ms": round(statistics.mean(lat), 3),
+        "per_kind_p50_ms": {
+            k: round(statistics.median(v), 3) for k, v in per_kind.items()
+        },
+    }
+
+
+def bench_pipelines(sf_dir: str) -> dict:
+    from bleve_ray.pipelines.ann import ann_cosine_topk_ds
+    from bleve_ray.pipelines.dedup import minhash_pairs_ds
+
+    t0 = time.perf_counter()
+    n_pairs = minhash_pairs_ds(sf_dir).count()
+    t_minhash = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_cosine_topk_ds(sf_dir)
+    t_ann = time.perf_counter() - t0
+    return {
+        "minhash_pairs_sec": round(t_minhash, 3),
+        "minhash_pairs": n_pairs,
+        "ann_topk_sec": round(t_ann, 3),
+    }
+
+
+def run_all(num_cpus: int, sf_dir: str, build_only: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="error",
+        log_to_driver=False,
+    )
+    sf = sf_of(sf_dir)
+    files, n_docs, total_bytes = corpus_for(sf)
+    index_dir = f"/tmp/bleve_ray_bench/index_{n_docs}_{num_cpus}"
+    out = {"sf": sf, "num_cpus": num_cpus, "corpus_mb": round(total_bytes / 1e6, 1)}
+    b = bench_build(files, index_dir, num_cpus)
+    out.update({f"build.{k}": v for k, v in b.items()})
+    out["mb_per_sec"] = round(total_bytes / 1e6 / b["build_sec"], 1)
+    if not build_only:
+        q = bench_query(index_dir)
+        out.update({f"query.{k}": v for k, v in q.items()})
+        p = bench_pipelines(sf_dir)
+        out.update({f"pipe.{k}": v for k, v in p.items()})
+    ray.shutdown()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        # fresh process per parallelism level (the N vs 4N substitute)
+        results = {}
+        for c in (8, 32):
+            r = subprocess.run(
+                [sys.executable, __file__, "--build-only", "--cpus", str(c),
+                 "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        t8 = results[8]["build.docs_per_sec"]
+        t32 = results[32]["build.docs_per_sec"]
+        eff = t32 / (4 * t8)
+        print(json.dumps({
+            "metric": "index-build scaling efficiency (8 vs 32 cpus)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "docs_per_sec_8cpu": t8,
+            "docs_per_sec_32cpu": t32,
+            "sf": results[32]["sf"],
+            "num_cpus": 32,
+        }))
+        return
+
+    out = run_all(num_cpus, args.sf_dir, build_only=args.build_only)
+    total = out.get("build.build_sec", 0)
+    queries = {
+        "build": out.get("build.build_sec"),
+        "query_p50_ms": out.get("query.p50_ms"),
+        "query_p99_ms": out.get("query.p99_ms"),
+        "minhash_pairs": out.get("pipe.minhash_pairs_sec"),
+        "ann_topk": out.get("pipe.ann_topk_sec"),
+    }
+    print(json.dumps({
+        "metric": "index-build+bm25-query wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: v for k, v in queries.items() if v is not None},
+        "sf": out["sf"],
+        "num_cpus": out["num_cpus"],
+        "detail": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

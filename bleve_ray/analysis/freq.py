@@ -174,6 +174,108 @@ def invert_batch(
     return pa.table(cols)
 
 
+def invert_batch_encoded(
+    terms: pa.Array,
+    doc_idx: np.ndarray,
+    positions: np.ndarray,
+    docnums: np.ndarray,
+    field_len: np.ndarray,
+    keep_positions: bool = True,
+) -> pa.Table:
+    """Like invert_batch but emits delta-varint-ENCODED posting blobs --
+    the shuffle then moves compressed binary columns instead of nested
+    lists, and segment build / merge is a cheap blob concat+reencode.
+
+    Output schema (chunk == segment row layout):
+      term, df:int64, docnums:binary, tfs:binary, norms:binary,
+      positions:binary, min_docnum:int64, max_docnum:int64
+    """
+    from ..index import codec
+
+    n_tokens = len(terms)
+    if n_tokens == 0:
+        return ENCODED_CHUNK_SCHEMA.empty_table()
+
+    enc = pc.dictionary_encode(terms)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    term_codes = np.asarray(enc.indices, dtype=np.int64)
+    dictionary = enc.dictionary
+
+    key = term_codes * len(field_len) + doc_idx
+    order = np.argsort(key, kind="stable")
+    k_sorted = key[order]
+    runs = np.flatnonzero(np.diff(k_sorted)) + 1
+    run_starts = np.concatenate(([0], runs))
+    run_ends = np.concatenate((runs, [n_tokens]))
+    tfs_all = (run_ends - run_starts).astype(np.int64)
+    tdoc = doc_idx[order][run_starts]
+    tcode = term_codes[order][run_starts]
+    pos_sorted = positions[order]
+
+    term_breaks = np.flatnonzero(np.diff(tcode)) + 1
+    t_off = np.concatenate(([0], term_breaks, [len(tcode)]))
+    uniq_codes = tcode[t_off[:-1]]
+    term_strs = dictionary.take(pa.array(uniq_codes, type=pa.int64()))
+
+    docnums_flat = docnums[tdoc].astype(np.int64)
+    norms_flat = (
+        1.0 / np.sqrt(field_len[tdoc].astype(np.float64))
+    ).astype(np.float32)
+
+    n_terms = len(uniq_codes)
+    # batch-level vectorized encodes; per-term blobs are byte slices
+    dn_buf, dn_off = codec.encode_with_restarts(docnums_flat, t_off[:-1])
+    tf_buf, tf_off = codec.plain_varint_with_offsets(tfs_all)
+    nm_buf = codec.norms_encode(norms_flat)
+    if keep_positions:
+        # positions deltas restart at every (term, doc) run start, which
+        # includes every term boundary -- safe to slice per term
+        ps_buf, ps_off = codec.encode_with_restarts(
+            pos_sorted.astype(np.int64), run_starts
+        )
+    dn_blobs: List[bytes] = [b""] * n_terms
+    tf_blobs: List[bytes] = [b""] * n_terms
+    nm_blobs: List[bytes] = [b""] * n_terms
+    ps_blobs: List[bytes] = [b""] * n_terms
+    min_dn = docnums_flat[t_off[:-1]]
+    max_dn = docnums_flat[t_off[1:] - 1]
+    for i in range(n_terms):
+        lo, hi = t_off[i], t_off[i + 1]
+        dn_blobs[i] = dn_buf[dn_off[lo] : dn_off[hi]]
+        tf_blobs[i] = tf_buf[tf_off[lo] : tf_off[hi]]
+        nm_blobs[i] = nm_buf[lo * 4 : hi * 4]
+        if keep_positions:
+            p0, p1 = run_starts[lo], run_ends[hi - 1]
+            ps_blobs[i] = ps_buf[ps_off[p0] : ps_off[p1]]
+    return pa.table(
+        {
+            "term": term_strs,
+            "df": pa.array((t_off[1:] - t_off[:-1]).astype(np.int64)),
+            "docnums": pa.array(dn_blobs, type=pa.binary()),
+            "tfs": pa.array(tf_blobs, type=pa.binary()),
+            "norms": pa.array(nm_blobs, type=pa.binary()),
+            "positions": pa.array(ps_blobs, type=pa.binary()),
+            "min_docnum": pa.array(min_dn),
+            "max_docnum": pa.array(max_dn),
+        }
+    )
+
+
+ENCODED_CHUNK_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("docnums", pa.binary()),
+        ("tfs", pa.binary()),
+        ("norms", pa.binary()),
+        ("positions", pa.binary()),
+        ("min_docnum", pa.int64()),
+        ("max_docnum", pa.int64()),
+    ]
+)
+
+
 def _chunk_schema(keep_positions: bool) -> pa.Schema:
     fields = [
         ("term", pa.string()),

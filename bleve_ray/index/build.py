@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..analysis.analyzers import analyzer_named
-from ..analysis.freq import analyze_batch, invert_batch
+from ..analysis.freq import analyze_batch, invert_batch_encoded
 from . import codec, manifest as manifest_mod, segment as segment_mod
 from .manifest import (
     DocmetaEntry,
@@ -67,10 +67,10 @@ class IndexOptions:
     num_shards: int = 8
     bucket_bits: int = 20  # docnum-range salt: docs per bucket within a file
     scoring_model: str = "bm25"
-    analyze_rows: int = 256  # rows per analyze sub-batch
+    analyze_rows: int = 1024  # rows per analyze sub-batch
     merge_fan_in: int = 10
     target_segments_per_shard: int = 1
-    merge_concurrency: int = 4
+    merge_concurrency: int = 16
 
     def to_dict(self) -> Dict[str, Any]:
         return {
@@ -172,10 +172,8 @@ class ReadAnalyzeInvert:
         chunk_tables = []
         primary_field = next(iter(opts.fields))
         shas = [
-            hashlib.sha256(
-                (tbl[primary_field][i].as_py() or "").encode("utf-8")
-            ).hexdigest()
-            for i in range(len(tbl))
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            for t in tbl[primary_field].to_pylist()
         ]
         for fname, fcfg in opts.fields.items():
             texts = tbl[fname].to_pylist() if fname in tbl.column_names else []
@@ -193,7 +191,7 @@ class ReadAnalyzeInvert:
             bucket_per_tok = bucket_per_doc[doc_idx]
             for b in np.unique(bucket_per_tok):
                 sel = bucket_per_tok == b
-                chunk = invert_batch(
+                chunk = invert_batch_encoded(
                     terms.filter(pa.array(sel)),
                     doc_idx[sel],
                     positions[sel],
@@ -204,21 +202,10 @@ class ReadAnalyzeInvert:
                 if len(chunk) == 0:
                     continue
                 nrows = len(chunk)
-                if not fcfg.positions:
-                    chunk = chunk.append_column(
-                        "positions",
-                        pa.array(
-                            [None] * nrows, type=pa.list_(pa.list_(pa.int32()))
-                        ),
-                    )
                 shard = shard_of_terms(
                     np.full(nrows, fname, dtype=object),
                     chunk["term"],
                     opts.num_shards,
-                )
-                min_dn = pa.array(
-                    [v.values[0].as_py() for v in chunk["docnums"]],
-                    type=pa.int64(),
                 )
                 chunk = (
                     chunk.append_column("field", pa.array([fname] * nrows))
@@ -226,7 +213,6 @@ class ReadAnalyzeInvert:
                     .append_column(
                         "bucket", pa.array(np.full(nrows, b), type=pa.int64())
                     )
-                    .append_column("min_docnum", min_dn)
                 )
                 chunk_tables.append(chunk)
         self._write_docmeta(meta_rows, docnums)
@@ -252,75 +238,86 @@ class ReadAnalyzeInvert:
         os.replace(tmp, path)
 
 
-def _concat_group_postings(group: pa.Table) -> pa.Table:
-    """Merge chunk rows (or decoded segment rows) that share (field, term)
-    into one encoded segment row each.  group must contain list-typed
-    docnums/tfs/norms/positions plus field/term/min_docnum columns."""
+def merge_encoded_rows(group: pa.Table) -> pa.Table:
+    """Merge encoded posting rows (chunk or segment layout) that share
+    (field, term) into one row each, ordered by min_docnum.
+
+    Blob concat rules: tfs (independent varints), norms (fixed-width
+    float32) and positions (per-doc delta restart) blobs concatenate raw;
+    docnum blobs must be decoded/re-encoded because the delta chain restarts
+    per blob.  Segments hold disjoint docnum ranges so concat in
+    min_docnum order IS the sorted merge."""
     group = group.sort_by(
-        [("field", "ascending"), ("term", "ascending"), ("min_docnum", "ascending")]
+        [
+            ("field", "ascending"),
+            ("term", "ascending"),
+            ("min_docnum", "ascending"),
+        ]
     )
+    n = len(group)
+    if n == 0:
+        return group
     fields = group["field"].to_pylist()
     terms = group["term"].to_pylist()
-    keys = list(zip(fields, terms))
-    n = len(keys)
-    # run boundaries per (field, term)
-    breaks = [0] + [i for i in range(1, n) if keys[i] != keys[i - 1]] + [n]
+    dfs = np.asarray(group["df"], dtype=np.int64)
+    dn_col = group["docnums"].to_pylist()
+    tf_col = group["tfs"].to_pylist()
+    nm_col = group["norms"].to_pylist()
+    ps_col = group["positions"].to_pylist()
+    min_col = np.asarray(group["min_docnum"], dtype=np.int64)
+    max_col = np.asarray(group["max_docnum"], dtype=np.int64)
 
-    docnums_col = group["docnums"].combine_chunks()
-    tfs_col = group["tfs"].combine_chunks()
-    norms_col = group["norms"].combine_chunks()
-    pos_col = group["positions"].combine_chunks()
+    # vectorized run boundaries per (field, term) over the sorted rows
+    fcol = group["field"].combine_chunks()
+    tcol = group["term"].combine_chunks()
+    if n > 1:
+        same = pc.and_(
+            pc.equal(fcol.slice(1), fcol.slice(0, n - 1)),
+            pc.equal(tcol.slice(1), tcol.slice(0, n - 1)),
+        )
+        diff_idx = np.flatnonzero(~np.asarray(same)) + 1
+    else:
+        diff_idx = np.empty(0, dtype=np.int64)
+    breaks = np.concatenate(([0], diff_idx, [n])).astype(np.int64)
 
-    out = {
-        "field": [],
-        "term": [],
-        "df": [],
-        "docnums": [],
-        "tfs": [],
-        "norms": [],
-        "positions": [],
-        "min_docnum": [],
-        "max_docnum": [],
-    }
-    for bi in range(len(breaks) - 1):
+    m = len(breaks) - 1
+    o_field = [""] * m
+    o_term = [""] * m
+    o_df = np.empty(m, dtype=np.int64)
+    o_dn: List[bytes] = [b""] * m
+    o_tf: List[bytes] = [b""] * m
+    o_nm: List[bytes] = [b""] * m
+    o_ps: List[bytes] = [b""] * m
+    o_min = np.empty(m, dtype=np.int64)
+    o_max = np.empty(m, dtype=np.int64)
+    for bi in range(m):
         lo, hi = breaks[bi], breaks[bi + 1]
-        dns = np.concatenate(
-            [np.asarray(docnums_col[i].values) for i in range(lo, hi)]
-        )
-        tfs = np.concatenate(
-            [np.asarray(tfs_col[i].values) for i in range(lo, hi)]
-        )
-        nrm = np.concatenate(
-            [np.asarray(norms_col[i].values) for i in range(lo, hi)]
-        )
-        out["field"].append(fields[lo])
-        out["term"].append(terms[lo])
-        out["df"].append(len(dns))
-        out["docnums"].append(codec.delta_varint_encode(dns))
-        out["tfs"].append(codec.varint_encode(tfs.astype(np.uint64)))
-        out["norms"].append(codec.norms_encode(nrm))
-        if pos_col[lo].is_valid:
-            pflat = np.concatenate(
-                [np.asarray(pos_col[i].values.flatten()) for i in range(lo, hi)]
-            )
-            out["positions"].append(
-                codec.positions_encode(pflat, tfs)
-            )
+        o_field[bi] = fields[lo]
+        o_term[bi] = terms[lo]
+        o_df[bi] = int(dfs[lo:hi].sum())
+        if hi - lo == 1:
+            o_dn[bi] = dn_col[lo]
         else:
-            out["positions"].append(b"")
-        out["min_docnum"].append(int(dns[0]))
-        out["max_docnum"].append(int(dns[-1]))
+            dns = np.concatenate(
+                [codec.delta_varint_decode(dn_col[i]) for i in range(lo, hi)]
+            )
+            o_dn[bi] = codec.delta_varint_encode(dns)
+        o_tf[bi] = b"".join(tf_col[lo:hi])
+        o_nm[bi] = b"".join(nm_col[lo:hi])
+        o_ps[bi] = b"".join(ps_col[lo:hi])
+        o_min[bi] = min_col[lo]
+        o_max[bi] = max_col[hi - 1]
     return pa.table(
         {
-            "field": pa.array(out["field"], type=pa.string()),
-            "term": pa.array(out["term"], type=pa.string()),
-            "df": pa.array(out["df"], type=pa.int64()),
-            "docnums": pa.array(out["docnums"], type=pa.binary()),
-            "tfs": pa.array(out["tfs"], type=pa.binary()),
-            "norms": pa.array(out["norms"], type=pa.binary()),
-            "positions": pa.array(out["positions"], type=pa.binary()),
-            "min_docnum": pa.array(out["min_docnum"], type=pa.int64()),
-            "max_docnum": pa.array(out["max_docnum"], type=pa.int64()),
+            "field": pa.array(o_field, type=pa.string()),
+            "term": pa.array(o_term, type=pa.string()),
+            "df": pa.array(o_df),
+            "docnums": pa.array(o_dn, type=pa.binary()),
+            "tfs": pa.array(o_tf, type=pa.binary()),
+            "norms": pa.array(o_nm, type=pa.binary()),
+            "positions": pa.array(o_ps, type=pa.binary()),
+            "min_docnum": pa.array(o_min),
+            "max_docnum": pa.array(o_max),
         }
     )
 
@@ -331,7 +328,7 @@ def make_build_segment_group(index_dir: str, partition_id: int):
     def build_segment_group(group: pa.Table) -> pa.Table:
         shard = group["shard"][0].as_py()
         bucket = group["bucket"][0].as_py()
-        seg_tbl = _concat_group_postings(group)
+        seg_tbl = merge_encoded_rows(group.drop_columns(["shard", "bucket"]))
         seg_id = f"p{partition_id:05d}_s{shard:04d}_b{bucket:012x}"
         rel = os.path.join("segments", f"{seg_id}.parquet")
         path = os.path.join(index_dir, rel)
@@ -364,22 +361,20 @@ class MergeWorker:
     def __call__(self, tasks: pa.Table) -> pa.Table:
         rows = []
         for t in tasks.to_pylist():
-            rows.append(self._merge_one(t))
+            rows.append(self.merge_one(t))
         return pa.Table.from_pylist(rows)
 
-    def _merge_one(self, t: dict) -> dict:
+    def merge_one(self, t: dict) -> dict:
         inputs = json.loads(t["inputs_json"])
         out_id = t["out_id"]
         rel = os.path.join("segments", f"{out_id}.parquet")
         path = os.path.join(self.index_dir, rel)
         if not os.path.exists(path):
-            tables = []
-            for i, rel_in in enumerate(inputs):
-                tbl = pq.read_table(os.path.join(self.index_dir, rel_in))
-                # decode blobs back to list columns for _concat_group_postings
-                tables.append(_segment_to_lists(tbl))
-            merged_lists = pa.concat_tables(tables, promote_options="default")
-            seg_tbl = _concat_group_postings(merged_lists)
+            tables = [
+                pq.read_table(os.path.join(self.index_dir, rel_in))
+                for rel_in in inputs
+            ]
+            seg_tbl = merge_encoded_rows(pa.concat_tables(tables))
             segment_mod.write_segment(path, seg_tbl)
         pf = pq.ParquetFile(path)
         tbl_meta = pq.read_table(path, columns=["df", "min_docnum", "max_docnum"])
@@ -394,50 +389,6 @@ class MergeWorker:
             "size_bytes": os.path.getsize(path),
             "tier": int(t["out_tier"]),
         }
-
-
-def _segment_to_lists(seg: pa.Table) -> pa.Table:
-    """Decode a segment table's blob columns into list columns so merge can
-    reuse _concat_group_postings.  tfs/norms/positions blobs are concat-safe;
-    docnums must be decoded (delta restart)."""
-    docnums, tfs, norms, positions = [], [], [], []
-    for i in range(len(seg)):
-        dns = codec.delta_varint_decode(seg["docnums"][i].as_py()).astype(np.int64)
-        tf = codec.varint_decode(seg["tfs"][i].as_py()).astype(np.int32)
-        nm = codec.norms_decode(seg["norms"][i].as_py())
-        docnums.append(dns)
-        tfs.append(tf)
-        norms.append(nm)
-        pblob = seg["positions"][i].as_py()
-        if pblob:
-            pf = codec.positions_decode(pblob, tf)
-            starts = np.zeros(len(tf), dtype=np.int64)
-            np.cumsum(np.asarray(tf, dtype=np.int64)[:-1], out=starts[1:])
-            positions.append(
-                [
-                    pf[s : s + c].astype(np.int32)
-                    for s, c in zip(starts, tf)
-                ]
-            )
-        else:
-            positions.append(None)
-    return pa.table(
-        {
-            "field": seg["field"],
-            "term": seg["term"],
-            "min_docnum": seg["min_docnum"],
-            "docnums": pa.array([d.tolist() for d in docnums], type=pa.list_(pa.int64())),
-            "tfs": pa.array([t.tolist() for t in tfs], type=pa.list_(pa.int32())),
-            "norms": pa.array([n.tolist() for n in norms], type=pa.list_(pa.float32())),
-            "positions": pa.array(
-                [
-                    [p.tolist() for p in ps] if ps is not None else None
-                    for ps in positions
-                ],
-                type=pa.list_(pa.list_(pa.int32())),
-            ),
-        }
-    )
 
 
 def build_index(
@@ -565,45 +516,62 @@ def _read_docmeta_range(
 def run_merge_phase(
     index_dir: str, man: Manifest, options: IndexOptions
 ) -> Manifest:
-    import ray.data
+    """Tier-by-tier merge on a PERSISTENT actor pool (the merger loop,
+    merge.go:305-520): actors are created once and reused across tier
+    rounds, holding warm page caches / readers.  This is one of the few
+    places raw actors beat a Dataset stage -- merge rounds are an iterative
+    task list over the manifest, not a data transform."""
+    import ray
+    from ray.util import ActorPool
 
-    while True:
-        tasks = plan_merges(
-            man.segments,
-            fan_in=options.merge_fan_in,
-            target_per_shard=options.target_segments_per_shard,
-        )
-        if not tasks:
-            break
-        task_rows = []
-        for t in tasks:
-            ids = "+".join(s.seg_id for s in t.inputs)
-            out_id = "m" + hashlib.sha1(ids.encode()).hexdigest()[:16]
-            task_rows.append(
-                {
-                    "shard": t.shard,
-                    "out_tier": t.out_tier,
-                    "out_id": out_id,
-                    "inputs_json": json.dumps([s.path for s in t.inputs]),
-                    "input_ids_json": json.dumps([s.seg_id for s in t.inputs]),
-                }
+    worker_cls = ray.remote(MergeWorker)
+    pool = None
+    try:
+        while True:
+            tasks = plan_merges(
+                man.segments,
+                fan_in=options.merge_fan_in,
+                target_per_shard=options.target_segments_per_shard,
             )
-        ds = ray.data.from_items(task_rows, override_num_blocks=len(task_rows))
-        results = ds.map_batches(
-            MergeWorker,
-            fn_constructor_args=(index_dir,),
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=options.merge_concurrency,
-        ).take_all()
-        merged_inputs = set()
-        for tr in task_rows:
-            merged_inputs.update(json.loads(tr["input_ids_json"]))
-        man.segments = [
-            s for s in man.segments if s.seg_id not in merged_inputs
-        ] + [SegmentEntry(**r) for r in results]
-        manifest_mod.commit(index_dir, man)
-        # old segment files are kept for rollback; GC beyond KEEP_EPOCHS [later]
+            if not tasks:
+                break
+            task_rows = []
+            for t in tasks:
+                ids = "+".join(s.seg_id for s in t.inputs)
+                out_id = "m" + hashlib.sha1(ids.encode()).hexdigest()[:16]
+                task_rows.append(
+                    {
+                        "shard": t.shard,
+                        "out_tier": t.out_tier,
+                        "out_id": out_id,
+                        "inputs_json": json.dumps([s.path for s in t.inputs]),
+                        "input_ids_json": json.dumps(
+                            [s.seg_id for s in t.inputs]
+                        ),
+                    }
+                )
+            if pool is None:
+                n_actors = min(options.merge_concurrency, len(task_rows))
+                pool = ActorPool(
+                    [worker_cls.remote(index_dir) for _ in range(n_actors)]
+                )
+            results = list(
+                pool.map_unordered(
+                    lambda a, row: a.merge_one.remote(row), task_rows
+                )
+            )
+            merged_inputs = set()
+            for tr in task_rows:
+                merged_inputs.update(json.loads(tr["input_ids_json"]))
+            man.segments = [
+                s for s in man.segments if s.seg_id not in merged_inputs
+            ] + [SegmentEntry(**r) for r in results]
+            manifest_mod.commit(index_dir, man)
+            # old segment files kept for rollback; GC beyond KEEP_EPOCHS [later]
+    finally:
+        if pool is not None:
+            for a in pool._idle_actors:
+                ray.kill(a)
     man.merge_done = True
     return man
 
