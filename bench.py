@@ -44,11 +44,12 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench") -> tuple:
+def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench",
+               scale_mult: int = 1) -> tuple:
     """Deterministic synthetic code corpus sized to the scale factor."""
     from bleve_ray.corpus import write_corpus
 
-    n_docs = max(512, int(200_000 * sf))
+    n_docs = max(512, int(200_000 * sf)) * scale_mult
     n_files = max(8, n_docs // 1000)
     d = os.path.join(tmp_root, f"corpus_{n_docs}")
     marker = os.path.join(d, "DONE")
@@ -66,8 +67,17 @@ def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench") -> tuple:
 def bench_build(files, index_dir: str, num_cpus: int) -> dict:
     from bleve_ray.index import IndexOptions, build_index
 
+    import math
+
     shutil.rmtree(index_dir, ignore_errors=True)
-    opts = IndexOptions(num_shards=max(8, num_cpus), bucket_bits=12)
+    # size buckets so each shard gets ~8 initial segments -> one merge round
+    n_files = len(files)
+    fgroup_bits = max(0, math.ceil(math.log2(max(1, n_files / 8))))
+    opts = IndexOptions(
+        num_shards=max(8, num_cpus),
+        bucket_bits=32 + fgroup_bits,
+        merge_concurrency=num_cpus,
+    )
     t0 = time.perf_counter()
     man = build_index(files, index_dir, opts)
     wall = time.perf_counter() - t0
@@ -150,7 +160,8 @@ def bench_pipelines(sf_dir: str) -> dict:
     }
 
 
-def run_all(num_cpus: int, sf_dir: str, build_only: bool = False) -> dict:
+def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
+            scale_mult: int = 1) -> dict:
     import ray
 
     ray.init(
@@ -162,7 +173,7 @@ def run_all(num_cpus: int, sf_dir: str, build_only: bool = False) -> dict:
         log_to_driver=False,
     )
     sf = sf_of(sf_dir)
-    files, n_docs, total_bytes = corpus_for(sf)
+    files, n_docs, total_bytes = corpus_for(sf, scale_mult=scale_mult)
     index_dir = f"/tmp/bleve_ray_bench/index_{n_docs}_{num_cpus}"
     out = {"sf": sf, "num_cpus": num_cpus, "corpus_mb": round(total_bytes / 1e6, 1)}
     b = bench_build(files, index_dir, num_cpus)
@@ -183,6 +194,7 @@ def main():
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--scale-mult", type=int, default=1)
     args = ap.parse_args()
 
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -193,13 +205,13 @@ def main():
         for c in (8, 32):
             r = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cpus", str(c),
-                 "--sf-dir", args.sf_dir],
+                 "--sf-dir", args.sf_dir, "--scale-mult", "5"],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
             results[c] = json.loads(line)
-        t8 = results[8]["build.docs_per_sec"]
-        t32 = results[32]["build.docs_per_sec"]
+        t8 = results[8]["detail"]["build.docs_per_sec"]
+        t32 = results[32]["detail"]["build.docs_per_sec"]
         eff = t32 / (4 * t8)
         print(json.dumps({
             "metric": "index-build scaling efficiency (8 vs 32 cpus)",
@@ -207,12 +219,13 @@ def main():
             "unit": "efficiency",
             "docs_per_sec_8cpu": t8,
             "docs_per_sec_32cpu": t32,
-            "sf": results[32]["sf"],
+            "sf": results[32]["detail"]["sf"],
             "num_cpus": 32,
         }))
         return
 
-    out = run_all(num_cpus, args.sf_dir, build_only=args.build_only)
+    out = run_all(num_cpus, args.sf_dir, build_only=args.build_only,
+                  scale_mult=args.scale_mult)
     total = out.get("build.build_sec", 0)
     queries = {
         "build": out.get("build.build_sec"),

@@ -154,6 +154,20 @@ def delta_varint_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas)
 
 
+def segmented_cumsum(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum that restarts at each seg_start (values there are
+    absolute).  Requires non-negative deltas (ascending sequences)."""
+    deltas = np.ascontiguousarray(deltas, dtype=np.int64)
+    if len(deltas) == 0:
+        return deltas
+    csum = np.cumsum(deltas)
+    carry = np.zeros(len(deltas), dtype=np.int64)
+    ss = seg_starts[seg_starts > 0]
+    carry[ss] = csum[ss - 1]
+    np.maximum.accumulate(carry, out=carry)
+    return csum - carry
+
+
 def norms_encode(norms: np.ndarray) -> bytes:
     return np.ascontiguousarray(norms, dtype="<f4").tobytes()
 

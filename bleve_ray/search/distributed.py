@@ -1,0 +1,135 @@
+"""Distributed query execution: shard-resident posting actors.
+
+Model (SURVEY.md §2.9, the IndexAlias scatter/presearch design): the index
+is term-partitioned across shards; a pool of PostingShardActor processes
+each holds the opened segment readers for its shards (like Bleve's
+refcounted snapshots living inside each child index).  A
+DistributedIndexReader presents the SAME interface as the local IndexReader
+-- posting()/bm25_metrics()/doc_ids_for() -- so every searcher works
+unchanged; global BM25 stats come from the manifest (presearch is a
+manifest read, no extra round-trip), and per-term doc_freq is global
+because a term's full posting list lives in exactly one shard.
+
+Consequently: distributed scores == local scores == oracle scores (the
+TestBM25GlobalScoring invariant, index_test.go:447-560), which
+test_distributed.py asserts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..index.segment import Posting
+from .collector import Index, IndexMapping, SearchResult, collect_topn
+from .query import parse_query
+from .reader import IndexReader, SearchOptions
+
+
+class PostingShardActor:
+    """Holds open SegmentReaders for a subset of shards; decodes postings
+    on request.  Created via ray.remote by DistributedIndex."""
+
+    def __init__(self, index_dir: str, shards: List[int]):
+        self.reader = IndexReader(index_dir)
+        self.shards = set(shards)
+
+    def posting(self, field: str, term: str, want_positions: bool):
+        p = self.reader.posting(field, term, want_positions)
+        if p is None:
+            return None
+        return (p.docnums, p.tfs, p.norms, p.positions_flat)
+
+    def dictionary(self, field: str):
+        # only this actor's shards contribute (term-partitioned)
+        out = []
+        for shard in self.shards:
+            for entry in self.reader._by_shard.get(shard, []):
+                out.extend(
+                    self.reader._reader(entry).iter_terms(field)
+                )
+        return out
+
+
+class DistributedIndexReader:
+    """IndexReader facade backed by shard actors (term-routed)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        import ray
+
+        self.local = IndexReader(index_dir)
+        self.num_shards = self.local.num_shards
+        self.options = self.local.options
+        self.manifest = self.local.manifest
+        num_actors = min(num_actors, self.num_shards)
+        actor_cls = ray.remote(PostingShardActor)
+        self._actor_of_shard: Dict[int, int] = {}
+        shard_lists: List[List[int]] = [[] for _ in range(num_actors)]
+        for s in range(self.num_shards):
+            shard_lists[s % num_actors].append(s)
+            self._actor_of_shard[s] = s % num_actors
+        self.actors = [
+            actor_cls.remote(index_dir, shard_lists[i])
+            for i in range(num_actors)
+        ]
+        self._cache: Dict = {}
+
+    def _shard_of(self, field: str, term: str) -> int:
+        import hashlib
+
+        h = hashlib.sha1(f"{field}\x1f{term}".encode()).digest()
+        return int.from_bytes(h[:4], "little") % self.num_shards
+
+    def posting(
+        self, field: str, term: str, want_positions: bool = False
+    ) -> Optional[Posting]:
+        import ray
+
+        ck = (field, term, want_positions)
+        if ck in self._cache:
+            return self._cache[ck]
+        actor = self.actors[self._actor_of_shard[self._shard_of(field, term)]]
+        res = ray.get(actor.posting.remote(field, term, want_positions))
+        p = None if res is None else Posting(*res)
+        if len(self._cache) < 256:
+            self._cache[ck] = p
+        return p
+
+    # stats / docmeta / dictionary: manifest + local files (tiny reads)
+    def doc_count(self) -> int:
+        return self.local.doc_count()
+
+    def field_cardinality(self, field: str) -> int:
+        return self.local.field_cardinality(field)
+
+    def bm25_metrics(self, field: str):
+        return self.local.bm25_metrics(field)
+
+    def doc_ids_for(self, docnums: np.ndarray) -> List[str]:
+        return self.local.doc_ids_for(docnums)
+
+    def all_docnums(self) -> np.ndarray:
+        return self.local.all_docnums()
+
+    def dictionary(self, field: str):
+        return self.local.dictionary(field)
+
+    def terms_with_prefix(self, field: str, prefix: str):
+        return self.local.terms_with_prefix(field, prefix)
+
+    def terms_in_range(self, field, lo, hi, inclusive_hi=True):
+        return self.local.terms_in_range(field, lo, hi, inclusive_hi)
+
+
+class DistributedIndex(Index):
+    """Index facade whose postings are served by an actor pool."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4):
+        self.reader = DistributedIndexReader(index_dir, num_actors)
+        opts = self.reader.options
+        self.mapping = IndexMapping(
+            default_field=next(iter(opts["fields"])),
+            analyzers={f: c["analyzer"] for f, c in opts["fields"].items()},
+            scoring_model=opts.get("scoring_model", "bm25"),
+        )

@@ -52,6 +52,7 @@ class IndexReader:
         self._seg_readers: Dict[str, SegmentReader] = {}
         self._docmeta_cache: Dict[str, Tuple[np.ndarray, list]] = {}
         self._all_docnums: Optional[np.ndarray] = None
+        self._posting_cache: Dict = {}
 
     # --- postings ---------------------------------------------------------
 
@@ -70,6 +71,21 @@ class IndexReader:
         return r
 
     def posting(
+        self, field: str, term: str, want_positions: bool = False
+    ) -> Optional[Posting]:
+        """Decoded global posting for (field, term); small LRU so a query
+        tree touching the same term twice (e.g. phrase verification after
+        the conjunction) decodes once."""
+        ck = (field, term, want_positions)
+        if ck in self._posting_cache:
+            return self._posting_cache[ck]
+        p = self._posting_uncached(field, term, want_positions)
+        if len(self._posting_cache) >= 256:
+            self._posting_cache.pop(next(iter(self._posting_cache)))
+        self._posting_cache[ck] = p
+        return p
+
+    def _posting_uncached(
         self, field: str, term: str, want_positions: bool = False
     ) -> Optional[Posting]:
         parts: List[Posting] = []

@@ -20,6 +20,9 @@ import numpy as np
 
 from .scorer import ConstantScorer, TermQueryScorer
 
+# phrase key space: doc_rank * base + biased position (base >> any doc len)
+_KEY_BASE = np.int64(1) << np.int64(33)
+
 
 @dataclass
 class SearchHits:
@@ -340,51 +343,60 @@ class PhraseSearcher(Searcher):
     def count(self) -> int:
         return self.must.count()
 
+    def _slot_keys(
+        self, terms: List[str], cand_docs: np.ndarray, offset: int
+    ) -> np.ndarray:
+        """(doc_rank << 32 | (pos - offset)) keys for every occurrence of
+        any slot term within the candidate docs -- lets the multi-slot
+        adjacency check run as pure sorted-array intersections."""
+        keys = []
+        for t in terms:
+            p = self.reader.posting(self.field, t, want_positions=True)
+            if p is None or p.positions_flat is None:
+                continue
+            starts = np.zeros(len(p.tfs), dtype=np.int64)
+            np.cumsum(p.tfs[:-1], out=starts[1:])
+            idx = np.searchsorted(p.docnums, cand_docs)
+            idx_c = np.minimum(idx, len(p.docnums) - 1)
+            valid = p.docnums[idx_c] == cand_docs
+            ranks = np.flatnonzero(valid)
+            pidx = idx_c[valid]
+            counts = p.tfs[pidx]
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            # vectorized gather of each candidate doc's position slice
+            rep_starts = np.repeat(starts[pidx], counts)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(counts[:-1]))), counts
+            )
+            tok_idx = rep_starts + within
+            poss = p.positions_flat[tok_idx].astype(np.int64)
+            rank_rep = np.repeat(ranks, counts)
+            # pos-offset can go slightly negative for later slots; bias +64
+            keys.append(rank_rep * _KEY_BASE + (poss - offset + 64))
+        if not keys:
+            return np.empty(0, dtype=np.int64)
+        out = np.concatenate(keys)
+        out.sort()
+        return out
+
     def search(self) -> SearchHits:
         hits = self.must.search()
         if len(hits.docnums) == 0 or not self.slots:
             return hits
-        # gather positions per slot for candidate docs
-        slot_positions = []  # per slot: dict docnum -> sorted positions array
-        for terms in self.slots:
-            merged = {}
-            for t in terms:
-                p = self.reader.posting(self.field, t, want_positions=True)
-                if p is None or p.positions_flat is None:
-                    continue
-                starts = np.zeros(len(p.tfs), dtype=np.int64)
-                np.cumsum(p.tfs[:-1], out=starts[1:])
-                # restrict to candidate docs
-                idx = np.searchsorted(p.docnums, hits.docnums)
-                idx_c = np.minimum(idx, len(p.docnums) - 1)
-                valid = p.docnums[idx_c] == hits.docnums
-                for ci in idx_c[valid]:
-                    d = p.docnums[ci]
-                    pos = p.positions_flat[starts[ci] : starts[ci] + p.tfs[ci]]
-                    if d in merged:
-                        merged[d] = np.union1d(merged[d], pos)
-                    else:
-                        merged[d] = pos
-            slot_positions.append(merged)
         base = self.offsets[0]
+        ok = self._slot_keys(self.slots[0], hits.docnums, 0)
+        for s in range(1, len(self.slots)):
+            nxt = self._slot_keys(
+                self.slots[s], hits.docnums, self.offsets[s] - base
+            )
+            ok = np.intersect1d(ok, nxt, assume_unique=False)
+            if len(ok) == 0:
+                return SearchHits.empty()
+        match_ranks = np.unique(ok // _KEY_BASE)
         keep = np.zeros(len(hits.docnums), dtype=bool)
-        for i, d in enumerate(hits.docnums):
-            cand = slot_positions[0].get(d)
-            if cand is None:
-                continue
-            cand = cand.astype(np.int64)
-            ok = cand
-            for s in range(1, len(self.slots)):
-                want = ok + (self.offsets[s] - base)
-                have = slot_positions[s].get(d)
-                if have is None:
-                    ok = np.empty(0, dtype=np.int64)
-                    break
-                ok_next = want[np.isin(want, have)]
-                ok = ok_next - (self.offsets[s] - base)
-                if len(ok) == 0:
-                    break
-            keep[i] = len(ok) > 0
+        keep[match_ranks] = True
         return SearchHits(hits.docnums[keep], hits.scores[keep])
 
 
