@@ -1,0 +1,133 @@
+"""CLI -- the reference's cmd/bleve cobra commands re-expressed:
+build (bulk), search/query, count, fields, dictionary, dump, check.
+
+  python -m bleve_ray build  INDEX_DIR INPUT.parquet [...] [--field col=analyzer] ...
+  python -m bleve_ray search INDEX_DIR 'query string' [--size N]
+  python -m bleve_ray query  INDEX_DIR '{"term": "x", "field": "content"}'
+  python -m bleve_ray count  INDEX_DIR
+  python -m bleve_ray fields INDEX_DIR
+  python -m bleve_ray dictionary INDEX_DIR FIELD [--limit N]
+  python -m bleve_ray dump   INDEX_DIR [--limit N]
+  python -m bleve_ray check  INDEX_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bleve_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("index_dir")
+    b.add_argument("inputs", nargs="+")
+    b.add_argument("--field", action="append", default=[],
+                   help="col=analyzer (default content=standard)")
+    b.add_argument("--doc-id-fields", default=None)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--scoring", default="bm25", choices=["bm25", "tfidf"])
+    b.add_argument("--docvalues", default="", help="comma-separated columns")
+    b.add_argument("--store", default="", help="comma-separated columns")
+
+    for name in ("count", "fields", "check"):
+        p = sub.add_parser(name)
+        p.add_argument("index_dir")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query_string")
+    s.add_argument("--size", type=int, default=10)
+    s.add_argument("--from", dest="from_", type=int, default=0)
+
+    q = sub.add_parser("query")
+    q.add_argument("index_dir")
+    q.add_argument("query_json")
+    q.add_argument("--size", type=int, default=10)
+
+    d = sub.add_parser("dictionary")
+    d.add_argument("index_dir")
+    d.add_argument("field")
+    d.add_argument("--limit", type=int, default=50)
+
+    du = sub.add_parser("dump")
+    du.add_argument("index_dir")
+    du.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="error", log_to_driver=False)
+        from .index import FieldConfig, IndexOptions, build_index
+
+        fields = {}
+        for f in args.field or []:
+            col, _, an = f.partition("=")
+            fields[col] = FieldConfig(analyzer=an or "standard")
+        if not fields:
+            fields = {"content": FieldConfig()}
+        opts = IndexOptions(
+            fields=fields,
+            doc_id_fields=(
+                args.doc_id_fields.split(",") if args.doc_id_fields else None
+            ),
+            num_shards=args.shards,
+            scoring_model=args.scoring,
+            docvalue_fields=[c for c in args.docvalues.split(",") if c],
+            store_fields=[c for c in args.store.split(",") if c],
+        )
+        man = build_index(args.inputs, args.index_dir, opts)
+        print(json.dumps({"doc_count": man.stats["doc_count"],
+                          "segments": len(man.segments),
+                          "epoch": man.epoch}))
+        ray.shutdown()
+        return
+
+    from .search import Index
+
+    idx = Index.open(args.index_dir)
+    if args.cmd == "count":
+        print(idx.reader.doc_count())
+    elif args.cmd == "fields":
+        print(json.dumps(list(idx.reader.options["fields"])))
+    elif args.cmd == "check":
+        man = idx.reader.manifest
+        import os
+
+        ok = all(
+            os.path.exists(os.path.join(args.index_dir, s.path))
+            for s in man.segments
+        )
+        n_terms = sum(s.term_count for s in man.segments)
+        print(json.dumps({"ok": ok, "epoch": man.epoch,
+                          "segments": len(man.segments), "terms": n_terms}))
+        sys.exit(0 if ok else 1)
+    elif args.cmd == "search":
+        res = idx.search(
+            {"query": {"query": args.query_string}, "size": args.size,
+             "from": args.from_}
+        )
+        print(json.dumps(res.to_dict(), indent=1))
+    elif args.cmd == "query":
+        res = idx.search(
+            {"query": json.loads(args.query_json), "size": args.size}
+        )
+        print(json.dumps(res.to_dict(), indent=1))
+    elif args.cmd == "dictionary":
+        for term, df in idx.reader.dictionary(args.field)[: args.limit]:
+            print(f"{term}\t{df}")
+    elif args.cmd == "dump":
+        man = idx.reader.manifest
+        for s in man.segments[: args.limit]:
+            print(json.dumps(vars(s)))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,21 @@ ASCII_ALNUM_LOWER = register_analyzer(
 )
 
 
+# code: unicode tokenizer + camelCase identifier split + to_lower.
+# The camelCase filter is the reference's analysis/token/camelcase
+# (SURVEY.md marks it 'highly relevant to code corpora').
+from .token_filters import camelcase_filter  # noqa: E402
+
+CODE = register_analyzer(
+    Analyzer(
+        name="code",
+        tokenizer=UnicodeTokenizer(),
+        token_filters=[camelcase_filter, lowercase_filter],
+        fast_path=False,
+    )
+)
+
+
 def make_custom_analyzer(
     name: str,
     tokenizer,

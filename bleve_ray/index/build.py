@@ -69,6 +69,11 @@ class IndexOptions:
     # (docnum = file_idx<<32 | row, so bucket_bits=35 => 8 files/bucket;
     #  buckets stay disjoint docnum ranges -> concat-safe merges)
     scoring_model: str = "bm25"
+    # columnar per-doc forward values (DocValueReader equivalent,
+    # snapshot_index VisitDocValues): used by facets and sort-by-field
+    docvalue_fields: List[str] = dc_field(default_factory=list)
+    # stored source fields (store:true) -- needed for highlighting
+    store_fields: List[str] = dc_field(default_factory=list)
     analyze_rows: int = 1024  # rows per analyze sub-batch
     merge_fan_in: int = 10
     target_segments_per_shard: int = 1
@@ -84,6 +89,8 @@ class IndexOptions:
             "num_shards": self.num_shards,
             "bucket_bits": self.bucket_bits,
             "scoring_model": self.scoring_model,
+            "docvalue_fields": self.docvalue_fields,
+            "store_fields": self.store_fields,
         }
 
 
@@ -141,6 +148,8 @@ class ReadAnalyzeInvert:
             dict.fromkeys(
                 list(opts.fields)
                 + (opts.doc_id_fields or ["repo", "path", "commit", "doc_id", "id"])
+                + list(opts.docvalue_fields)
+                + list(opts.store_fields)
             )
         )
         cols = [c for c in cols if c in pf.schema_arrow.names]
@@ -218,6 +227,7 @@ class ReadAnalyzeInvert:
                 )
                 chunk_tables.append(chunk)
         self._write_docmeta(meta_rows, docnums)
+        self._write_docvalues(tbl, docnums)
         for c in chunk_tables:
             yield c
 
@@ -237,6 +247,31 @@ class ReadAnalyzeInvert:
         path = os.path.join(dmdir, name)
         tmp = path + f".tmp{os.getpid()}"
         pq.write_table(meta, tmp, compression="zstd")
+        os.replace(tmp, path)
+
+    def _write_docvalues(self, tbl: pa.Table, docnums: np.ndarray) -> None:
+        """Columnar forward values (+ stored fields) per sub-batch; the
+        docvalues/stored analogue of zap docvalue sections."""
+        opts = self.options
+        cols = [
+            c
+            for c in dict.fromkeys(
+                list(opts.docvalue_fields) + list(opts.store_fields)
+            )
+            if c in tbl.column_names
+        ]
+        if not cols:
+            return
+        dv = pa.table(
+            {"docnum": pa.array(docnums, type=pa.int64()),
+             **{c: tbl[c] for c in cols}}
+        )
+        dvdir = os.path.join(self.index_dir, "docvalues")
+        os.makedirs(dvdir, exist_ok=True)
+        name = f"dv_{int(docnums[0]):016x}_{int(docnums[-1]):016x}.parquet"
+        path = os.path.join(dvdir, name)
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(dv, tmp, compression="zstd")
         os.replace(tmp, path)
 
 

@@ -39,6 +39,8 @@ class Hit:
     id: str
     score: float
     docnum: int
+    fields: Optional[Dict] = None
+    fragments: Optional[Dict] = None
 
 
 @dataclass
@@ -47,20 +49,33 @@ class SearchResult:
     max_score: float
     hits: List[Hit]
     took_ms: float
+    facets: Optional[Dict] = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "total_hits": self.total_hits,
             "max_score": self.max_score,
-            "hits": [
-                {"id": h.id, "score": h.score} for h in self.hits
-            ],
+            "hits": [],
             "took_ms": self.took_ms,
         }
+        for h in self.hits:
+            hd = {"id": h.id, "score": h.score}
+            if h.fields is not None:
+                hd["fields"] = h.fields
+            if h.fragments is not None:
+                hd["fragments"] = h.fragments
+            d["hits"].append(hd)
+        if self.facets is not None:
+            d["facets"] = self.facets
+        return d
 
 
 def collect_topn(
-    reader: IndexReader, hits: SearchHits, size: int, from_: int
+    reader: IndexReader,
+    hits: SearchHits,
+    size: int,
+    from_: int,
+    sort: Optional[List[str]] = None,
 ) -> SearchResult:
     t0 = time.perf_counter()
     n = len(hits.docnums)
@@ -69,6 +84,8 @@ def collect_topn(
         return SearchResult(n, 0.0, [], (time.perf_counter() - t0) * 1e3)
     scores = hits.scores
     max_score = float(scores.max()) if n else 0.0
+    if sort and sort != ["-_score", "_id"]:
+        return _collect_sorted(reader, hits, size, from_, sort, t0)
     if n > k and k > 0:
         boundary = np.partition(scores, n - k)[n - k]
         cand = np.flatnonzero(scores >= boundary)
@@ -86,6 +103,74 @@ def collect_topn(
         for i in window
     ]
     return SearchResult(n, max_score, out, (time.perf_counter() - t0) * 1e3)
+
+
+def _collect_sorted(
+    reader, hits: SearchHits, size: int, from_: int, sort: List[str], t0
+) -> SearchResult:
+    """Custom sort order (search/sort.go SortOrder): keys are '_score',
+    '_id' or a docvalue field name, '-' prefix = descending; missing
+    values sort last (missing-last default)."""
+    n = len(hits.docnums)
+    field_keys = [
+        s.lstrip("-") for s in sort if s.lstrip("-") not in ("_score", "_id")
+    ]
+    dv = reader.docvalues_for(hits.docnums, field_keys) if field_keys else {}
+    ids = None
+    if any(s.lstrip("-") == "_id" for s in sort):
+        ids = reader.doc_ids_for(hits.docnums)
+
+    def key_for(i: int):
+        parts = []
+        for s in sort:
+            desc = s.startswith("-")
+            name = s.lstrip("-")
+            if name == "_score":
+                v = hits.scores[i]
+                parts.append(-v if desc else v)
+            elif name == "_id":
+                iv = ids[i]
+                parts.append(_RevStr(iv) if desc else iv)
+            else:
+                v = dv[name][i]
+                missing = v is None
+                if desc:
+                    parts.append((missing, _Rev(v) if not missing else None))
+                else:
+                    parts.append((missing, v))
+        return tuple(parts)
+
+    order = sorted(range(n), key=key_for)
+    window = order[from_ : from_ + size]
+    if ids is None:
+        win_ids = reader.doc_ids_for(hits.docnums[window])
+    else:
+        win_ids = [ids[i] for i in window]
+    out = [
+        Hit(id=win_ids[j], score=float(hits.scores[i]), docnum=int(hits.docnums[i]))
+        for j, i in enumerate(window)
+    ]
+    max_score = float(hits.scores.max()) if n else 0.0
+    return SearchResult(n, max_score, out, (time.perf_counter() - t0) * 1e3)
+
+
+class _Rev:
+    """Reverses comparison for descending sort of arbitrary values."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+class _RevStr(_Rev):
+    pass
 
 
 class Index:
@@ -107,16 +192,61 @@ class Index:
         return Index(index_dir)
 
     def search(self, request: dict) -> SearchResult:
-        """request: {"query": {...}, "size": 10, "from": 0} (bleve
-        SearchRequest shape; sort is fixed to [-_score, _id])."""
+        """request: bleve SearchRequest shape:
+        {"query": {...}, "size": 10, "from": 0,
+         "sort": ["-_score", "_id"] | ["field", "-other"],
+         "facets": {name: {"field": f, "size": N} |
+                    {"field": f, "numeric_ranges": [...]}},
+         "highlight": {"fields": [...], "style": "html"|"ansi"},
+         "fields": ["stored", ...]}"""
         q = request["query"]
         query = parse_query(q) if isinstance(q, dict) else q
         options = SearchOptions(scoring_model=self.mapping.scoring_model)
         searcher = query.searcher(self.reader, self.mapping, options)
         hits = searcher.search()
-        return collect_topn(
+        result = collect_topn(
             self.reader,
             hits,
             size=request.get("size", 10),
             from_=request.get("from", 0),
+            sort=request.get("sort"),
         )
+        if request.get("facets"):
+            from .facets import compute_facets
+
+            result.facets = compute_facets(
+                self.reader, hits.docnums, request["facets"]
+            )
+        want_fields = request.get("fields") or []
+        hl = request.get("highlight")
+        if (want_fields or hl) and result.hits:
+            docnums = np.array([h.docnum for h in result.hits], dtype=np.int64)
+            fetch = set(want_fields)
+            if hl:
+                fetch.update(hl.get("fields", []))
+            dv = self.reader.docvalues_for(docnums, sorted(fetch))
+            for j, h in enumerate(result.hits):
+                if want_fields:
+                    h.fields = {f: dv[f][j] for f in want_fields}
+                if hl:
+                    from ..analysis.analyzers import analyzer_named
+                    from .highlight import extract_query_terms, highlight_text
+
+                    terms_by_field = extract_query_terms(
+                        q if isinstance(q, dict) else {},
+                        lambda f, a=None: analyzer_named(
+                            a or self.mapping.analyzer_for(f)
+                        ),
+                        self.mapping.default_field,
+                    )
+                    h.fragments = {}
+                    for f in hl.get("fields", []):
+                        text = dv.get(f, [None] * len(result.hits))[j]
+                        if text:
+                            h.fragments[f] = highlight_text(
+                                text,
+                                terms_by_field.get(f, set()),
+                                analyzer_named(self.mapping.analyzer_for(f)),
+                                style=hl.get("style", "html"),
+                            )
+        return result

@@ -109,6 +109,9 @@ class DistributedIndexReader:
     def doc_ids_for(self, docnums: np.ndarray) -> List[str]:
         return self.local.doc_ids_for(docnums)
 
+    def docvalues_for(self, docnums: np.ndarray, fields: List[str]):
+        return self.local.docvalues_for(docnums, fields)
+
     def all_docnums(self) -> np.ndarray:
         return self.local.all_docnums()
 

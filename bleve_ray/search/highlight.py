@@ -1,0 +1,109 @@
+"""Highlighting: fragment selection + term marking over stored field text
+(reference search/highlight/{fragmenter/simple,highlighter/{simple,ansi,
+html}}, invoked index_impl.go:977-1050).  Runs only over the final top-k
+hits (tiny post-processing step).
+
+Simple-fragmenter semantics: fixed-size fragments (200 chars) anchored at
+match clusters; fragments scored by number of distinct matched terms; best
+fragment per field returned with matches wrapped in the style's tags.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Set, Tuple
+
+FRAGMENT_SIZE = 200  # reference fragmenter/simple default
+
+STYLES = {
+    "html": ("<mark>", "</mark>"),
+    "ansi": ("\x1b[43m", "\x1b[0m"),
+}
+
+
+def extract_query_terms(q: dict, analyzer_for, default_field: str) -> Dict[str, Set[str]]:
+    """Walk a query dict, collecting analyzed terms per field (the
+    highlight-relevant subset of the searcher tree's term searchers)."""
+    out: Dict[str, Set[str]] = {}
+
+    def add(field, terms):
+        out.setdefault(field or default_field, set()).update(terms)
+
+    def walk(d: dict):
+        field = d.get("field", "")
+        if "term" in d:
+            add(field, [d["term"]])
+        elif "match" in d:
+            analyzer = analyzer_for(field or default_field, d.get("analyzer"))
+            add(field, analyzer.terms(d["match"]))
+        elif "match_phrase" in d:
+            analyzer = analyzer_for(field or default_field, d.get("analyzer"))
+            add(field, analyzer.terms(d["match_phrase"]))
+        elif "prefix" in d or "regexp" in d or "wildcard" in d:
+            pass  # expanded terms unknown here; callers may pass extra
+        for key in ("conjuncts", "disjuncts", "must", "should", "must_not"):
+            v = d.get(key)
+            if isinstance(v, dict):
+                walk(v)
+            elif isinstance(v, list):
+                for c in v:
+                    walk(c)
+
+    walk(q)
+    return out
+
+
+def highlight_text(
+    text: str,
+    terms: Set[str],
+    analyzer,
+    style: str = "html",
+    max_fragments: int = 1,
+) -> List[str]:
+    """-> up to max_fragments highlighted fragments of ``text``."""
+    pre, post = STYLES.get(style, STYLES["html"])
+    spans: List[Tuple[int, int]] = []
+    # char-offset token spans via the exact tokenizer chain (lower only;
+    # the stop filter never removes a query term match)
+    for tok in analyzer.tokenizer.tokenize(text):
+        if tok.term.lower() in terms:
+            spans.append((tok.start, tok.end))
+    if not spans:
+        frag = text[:FRAGMENT_SIZE]
+        return [frag]
+    # NOTE: tokenizer spans are byte offsets; for ascii they equal char
+    # offsets.  For non-ascii text recompute via encode-prefix mapping.
+    if not text.isascii():
+        b = text.encode("utf-8")
+        spans = [
+            (len(b[:s].decode("utf-8", "ignore")), len(b[:e].decode("utf-8", "ignore")))
+            for s, e in spans
+        ]
+    # score fragments: window of FRAGMENT_SIZE around each span start
+    frags: List[Tuple[int, int, int]] = []  # (score, start, end)
+    for s, _ in spans:
+        start = max(0, s - FRAGMENT_SIZE // 4)
+        end = min(len(text), start + FRAGMENT_SIZE)
+        score = sum(1 for a, b_ in spans if a >= start and b_ <= end)
+        frags.append((score, start, end))
+    frags.sort(key=lambda f: (-f[0], f[1]))
+    chosen: List[Tuple[int, int]] = []
+    for _, start, end in frags:
+        if len(chosen) >= max_fragments:
+            break
+        if any(not (end <= cs or start >= ce) for cs, ce in chosen):
+            continue
+        chosen.append((start, end))
+    out = []
+    for start, end in sorted(chosen):
+        in_frag = [(a, b_) for a, b_ in spans if a >= start and b_ <= end]
+        parts = []
+        cur = start
+        for a, b_ in sorted(in_frag):
+            parts.append(text[cur:a])
+            parts.append(pre + text[a:b_] + post)
+            cur = b_
+        parts.append(text[cur:end])
+        prefix = "…" if start > 0 else ""
+        suffix = "…" if end < len(text) else ""
+        out.append(prefix + "".join(parts) + suffix)
+    return out

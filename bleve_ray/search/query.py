@@ -366,4 +366,9 @@ def parse_query(d: Dict) -> Query:
         return MatchAllQuery(boost=boost)
     if "match_none" in d:
         return MatchNoneQuery(boost=boost)
+    if "query" in d and isinstance(d["query"], str):
+        # query-string query (query.go:292-296 -> query_string.y grammar)
+        from .query_string import parse_query_string
+
+        return parse_query_string(d["query"])
     raise ValueError(f"unrecognized query: {d!r}")

@@ -1,0 +1,138 @@
+"""Query-string mini-language -> BooleanQuery.
+
+Implements the practical core of the reference's yacc grammar
+(search/query/query_string.y + query_string_lex.go):
+
+  clause  := [+|-] [field ':'] part
+  part    := '"' words '"' ['~' slop]      -> MatchPhraseQuery
+           | word ['^' boost] ['~' fuzz]   -> MatchQuery (bare words are
+                                              analyzed match queries)
+           | /regex/                       -> RegexpQuery
+           | word with * or ?              -> WildcardQuery
+  '+' clause -> must, '-' clause -> must_not, bare -> should
+
+Unsupported pieces of the full grammar (numeric >/< ranges on unindexed
+numeric fields) raise ValueError with a clear message.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from .query import (
+    BooleanQuery,
+    ConjunctionQuery,
+    DisjunctionQuery,
+    FuzzyQuery,
+    MatchPhraseQuery,
+    MatchQuery,
+    Query,
+    RegexpQuery,
+    WildcardQuery,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<plus>\+) |
+    (?P<minus>-(?=\S)) |
+    (?P<phrase>"(?:[^"\\]|\\.)*") |
+    (?P<regex>/(?:[^/\\]|\\.)*/) |
+    (?P<word>[^\s+"/][^\s"]*) |
+    (?P<space>\s+)
+    """,
+    re.VERBOSE,
+)
+
+_WORD_MOD_RE = re.compile(
+    r"^(?P<body>.*?)(?:\^(?P<boost>\d+(?:\.\d+)?))?(?:~(?P<fuzz>\d+))?$"
+)
+
+
+def parse_query_string(s: str) -> Query:
+    must: List[Query] = []
+    must_not: List[Query] = []
+    should: List[Query] = []
+
+    pos = 0
+    mode = 0  # 0 should, 1 must, -1 must_not
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            raise ValueError(f"query string parse error at {pos}: {s[pos:]!r}")
+        pos = m.end()
+        if m.lastgroup == "space":
+            mode = 0
+            continue
+        if m.lastgroup == "plus":
+            mode = 1
+            continue
+        if m.lastgroup == "minus":
+            mode = -1
+            continue
+        text = m.group(0)
+        field = ""
+        # field prefix applies to word/phrase/regex tokens: field:rest
+        if m.lastgroup == "word" and ":" in text:
+            head, _, rest = text.partition(":")
+            if head and not head.startswith(("<", ">")):
+                field = head
+                if rest.startswith('"'):
+                    m2 = _TOKEN_RE.match(s, m.start() + len(head) + 1)
+                    if m2 and m2.lastgroup == "phrase":
+                        pos = m2.end()
+                        q = _phrase(m2.group(0), field)
+                        _push(q, mode, must, must_not, should)
+                        mode = 0
+                        continue
+                text = rest
+        if m.lastgroup == "phrase":
+            q = _phrase(text, field)
+        elif m.lastgroup == "regex":
+            q = RegexpQuery(text[1:-1], field=field)
+        else:
+            if text.startswith(("<", ">")):
+                raise ValueError(
+                    "numeric range clauses require numeric-indexed fields "
+                    "(not supported yet)"
+                )
+            wm = _WORD_MOD_RE.match(text)
+            body = wm.group("body")
+            boost = float(wm.group("boost")) if wm.group("boost") else 1.0
+            fuzz = int(wm.group("fuzz")) if wm.group("fuzz") else 0
+            if "*" in body or "?" in body:
+                q = WildcardQuery(body, field=field, boost=boost)
+            elif fuzz:
+                q = FuzzyQuery(body, field=field, fuzziness=fuzz, boost=boost)
+            else:
+                q = MatchQuery(body, field=field, boost=boost)
+        _push(q, mode, must, must_not, should)
+        mode = 0
+
+    if not (must or must_not or should):
+        from .query import MatchNoneQuery
+
+        return MatchNoneQuery()
+    if len(should) and not must and not must_not:
+        if len(should) == 1:
+            return should[0]
+        return DisjunctionQuery(should, min=1)
+    return BooleanQuery(
+        must=ConjunctionQuery(must) if must else None,
+        should=DisjunctionQuery(should, min=0) if should else None,
+        must_not=DisjunctionQuery(must_not, min=0) if must_not else None,
+    )
+
+
+def _phrase(token: str, field: str) -> Query:
+    body = token[1:-1].replace('\\"', '"')
+    return MatchPhraseQuery(body, field=field)
+
+
+def _push(q, mode, must, must_not, should):
+    if mode == 1:
+        must.append(q)
+    elif mode == -1:
+        must_not.append(q)
+    else:
+        should.append(q)

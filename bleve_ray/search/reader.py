@@ -176,6 +176,61 @@ class IndexReader:
             )
         return self._all_docnums
 
+    # --- docvalues (forward values; facets/sort/highlight) ---------------
+
+    def _dv_files(self):
+        import glob as _glob
+
+        if not hasattr(self, "_dv_list"):
+            out = []
+            for p in sorted(
+                _glob.glob(os.path.join(self.index_dir, "docvalues", "dv_*.parquet"))
+            ):
+                base = os.path.basename(p)[3 : -len(".parquet")]
+                lo_s, hi_s = base.split("_")
+                out.append((p, int(lo_s, 16), int(hi_s, 16)))
+            self._dv_list = out
+            self._dv_cache: Dict[str, Tuple[np.ndarray, dict]] = {}
+        return self._dv_list
+
+    def _load_dv(self, path: str):
+        cached = self._dv_cache.get(path)
+        if cached is None:
+            t = pq.read_table(path).sort_by("docnum")
+            nums = np.asarray(t["docnum"], dtype=np.int64)
+            cols = {
+                c: t[c].to_pylist() for c in t.column_names if c != "docnum"
+            }
+            cached = (nums, cols)
+            self._dv_cache[path] = cached
+        return cached
+
+    def docvalues_for(
+        self, docnums: np.ndarray, fields: List[str]
+    ) -> Dict[str, list]:
+        """Forward values aligned to docnums (DocValueReader equivalent;
+        used by facets, sort-by-field and highlighting's stored text)."""
+        out: Dict[str, list] = {f: [None] * len(docnums) for f in fields}
+        files = self._dv_files()
+        if not files:
+            return out
+        order = np.argsort(docnums, kind="stable")
+        fi = 0
+        for oi in order:
+            dn = int(docnums[oi])
+            # advance to the file containing dn (docnums visited ascending)
+            while fi < len(files) and files[fi][2] < dn:
+                fi += 1
+            if fi >= len(files) or files[fi][1] > dn:
+                continue
+            nums, cols = self._load_dv(files[fi][0])
+            j = int(np.searchsorted(nums, dn))
+            if j < len(nums) and nums[j] == dn:
+                for f in fields:
+                    if f in cols:
+                        out[f][oi] = cols[f][j]
+        return out
+
     def dictionary(self, field: str) -> List[Tuple[str, int]]:
         """Full sorted term dictionary with global df (FieldDict equivalent,
         snapshot_index.go:242+)."""

@@ -1,0 +1,126 @@
+"""Facets, sort-by-field (docvalues), stored fields and highlighting over
+the documents table (sf0.001)."""
+
+import duckdb
+import pytest
+
+from bleve_ray.index import FieldConfig, IndexOptions, build_index
+from bleve_ray.search import Index
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def doc_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("docidx"))
+    build_index(
+        [f"{SF}/documents.parquet"],
+        d,
+        IndexOptions(
+            fields={
+                "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True)
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=4,
+            bucket_bits=16,
+            docvalue_fields=["lang", "source", "n_chars"],
+            store_fields=["text"],
+        ),
+    )
+    return Index.open(d)
+
+
+def test_terms_facet_matches_sql(doc_index):
+    r = doc_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {"langs": {"field": "lang", "size": 3}},
+        }
+    )
+    f = r.facets["langs"]
+    con = duckdb.connect()
+    want = con.sql(
+        f"""SELECT lang, count(*) c FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY lang ORDER BY c DESC, lang LIMIT 3"""
+    ).fetchall()
+    assert [(t["term"], t["count"]) for t in f["terms"]] == want
+    assert f["missing"] == 0
+    assert f["total"] == 500
+    assert f["other"] == 500 - sum(c for _, c in want)
+
+
+def test_terms_facet_on_query_subset(doc_index):
+    r = doc_index.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 0,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    f = r.facets["langs"]
+    con = duckdb.connect()
+    want = con.sql(
+        f"""WITH m AS (SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')
+                       WHERE regexp_matches(lower(text), '\\bvector\\b'))
+            SELECT count(*) FROM m"""
+    ).fetchone()[0]
+    assert f["total"] == r.total_hits == want
+
+
+def test_numeric_range_facet(doc_index):
+    r = doc_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {
+                "sizes": {
+                    "field": "n_chars",
+                    "numeric_ranges": [
+                        {"name": "small", "max": 200},
+                        {"name": "big", "min": 200},
+                    ],
+                }
+            },
+        }
+    )
+    f = r.facets["sizes"]
+    by = {b["name"]: b["count"] for b in f["numeric_ranges"]}
+    assert by["small"] + by["big"] == 500
+    con = duckdb.connect()
+    want_small = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet') WHERE n_chars < 200"
+    ).fetchone()[0]
+    assert by["small"] == want_small
+
+
+def test_sort_by_field(doc_index):
+    r = doc_index.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 5,
+            "sort": ["lang", "-n_chars"],
+            "fields": ["lang", "n_chars"],
+        }
+    )
+    keys = [(h.fields["lang"], -h.fields["n_chars"]) for h in r.hits]
+    assert keys == sorted(keys)
+
+
+def test_stored_fields_and_highlight(doc_index):
+    r = doc_index.search(
+        {
+            "query": {"match": "vector merge", "field": "text"},
+            "size": 3,
+            "fields": ["lang"],
+            "highlight": {"fields": ["text"], "style": "html"},
+        }
+    )
+    assert r.hits
+    for h in r.hits:
+        assert h.fields["lang"]
+        frags = h.fragments["text"]
+        assert frags and any(
+            "<mark>vector</mark>" in f or "<mark>merge</mark>" in f
+            for f in frags
+        )

@@ -1,0 +1,160 @@
+"""Query-string parser, CLI commands, code analyzer, TF-IDF scoring mode."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from bleve_ray.search.query import (
+    BooleanQuery,
+    MatchPhraseQuery,
+    MatchQuery,
+    WildcardQuery,
+)
+from bleve_ray.search.query_string import parse_query_string
+
+
+def test_query_string_shapes():
+    q = parse_query_string("hello")
+    assert isinstance(q, MatchQuery) and q.match == "hello"
+
+    q = parse_query_string('+must_have -banned nice "exact phrase"')
+    assert isinstance(q, BooleanQuery)
+    assert len(q.must.conjuncts) == 1
+    assert len(q.must_not.disjuncts) == 1
+    assert len(q.should.disjuncts) == 2
+    assert isinstance(q.should.disjuncts[1], MatchPhraseQuery)
+
+    q = parse_query_string("content:func")
+    assert isinstance(q, MatchQuery) and q.field == "content"
+
+    q = parse_query_string("name:wild*rd")
+    assert isinstance(q, WildcardQuery) and q.field == "name"
+
+    q = parse_query_string("boosted^2")
+    assert q.boost == 2.0
+
+    with pytest.raises(ValueError):
+        parse_query_string(">100")
+
+
+def test_query_string_end_to_end(ray_session, tiny_corpus_dir, tmp_path_factory):
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.oracle import OracleIndex
+    from bleve_ray.search import Index
+
+    import pyarrow.parquet as pq
+
+    from bleve_ray.corpus import doc_id_array
+
+    idx_dir = str(tmp_path_factory.mktemp("qs_idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, idx_dir, IndexOptions(num_shards=3, bucket_bits=6))
+    idx = Index.open(idx_dir)
+
+    # equivalent explicit boolean query must give identical results
+    r1 = idx.search({"query": {"query": "+func -goto lambda"}, "size": 10}).to_dict()
+    r2 = idx.search(
+        {
+            "query": {
+                "must": [{"match": "func", "field": "content"}],
+                "should": [{"match": "lambda", "field": "content"}],
+                "must_not": [{"match": "goto", "field": "content"}],
+            },
+            "size": 10,
+        }
+    ).to_dict()
+    r1.pop("took_ms"), r2.pop("took_ms")
+    assert r1 == r2
+
+
+def test_code_analyzer():
+    from bleve_ray.analysis import analyzer_named
+
+    a = analyzer_named("code")
+    assert a.terms("getHTTPResponseCode(x)") == [
+        "get", "http", "response", "code", "x",
+    ]
+
+
+def test_tfidf_scoring_mode(ray_session, tiny_corpus_dir, tmp_path_factory):
+    """scoring_model='tfidf' (the reference default): engine == oracle."""
+    import pyarrow.parquet as pq
+
+    from bleve_ray.corpus import doc_id_array
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.oracle import OracleIndex
+    from bleve_ray.search import Index
+
+    idx_dir = str(tmp_path_factory.mktemp("tfidf_idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    build_index(
+        files,
+        idx_dir,
+        IndexOptions(num_shards=2, bucket_bits=6, scoring_model="tfidf"),
+    )
+    idx = Index.open(idx_dir)
+
+    oracle = OracleIndex(scoring_model="tfidf")
+    for f in files:
+        t = pq.read_table(f)
+        ids = doc_id_array(t).to_pylist()
+        for i, did in enumerate(ids):
+            oracle.index_doc(
+                did, {"content": t["content"][i].as_py()}, {"content": "standard"}
+            )
+    for req in (
+        {"query": {"term": "func", "field": "content"}, "size": 10},
+        {"query": {"match": "func return", "field": "content"}, "size": 10},
+        {"query": {"match_phrase": "return nil", "field": "content"}, "size": 10},
+    ):
+        got = idx.search(req).to_dict()
+        want = oracle.search(req)
+        assert [h["id"] for h in got["hits"]] == [h["id"] for h in want["hits"]]
+        for g, w in zip(got["hits"], want["hits"]):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_cli_smoke(ray_session, tiny_corpus_dir, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("cli_idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "bleve_ray", "build", idx_dir, *files],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["doc_count"] == 64
+
+    for cmd, check in [
+        (["count", idx_dir], lambda o: o.strip() == "64"),
+        (["fields", idx_dir], lambda o: json.loads(o) == ["content"]),
+        (["check", idx_dir], lambda o: json.loads(o)["ok"]),
+        (
+            ["search", idx_dir, "+func lambda", "--size", "3"],
+            lambda o: json.loads(o)["total_hits"] > 0,
+        ),
+        (
+            ["query", idx_dir, '{"term": "func", "field": "content"}'],
+            lambda o: json.loads(o)["total_hits"] == 64,
+        ),
+        (["dictionary", idx_dir, "content", "--limit", "5"],
+         lambda o: len(o.strip().splitlines()) == 5),
+        (["dump", idx_dir, "--limit", "2"],
+         lambda o: len(o.strip().splitlines()) == 2),
+    ]:
+        r = subprocess.run(
+            [sys.executable, "-m", "bleve_ray", *cmd],
+            capture_output=True, text=True, env=env, timeout=120,
+        )
+        assert r.returncode == 0, (cmd, r.stderr[-1000:])
+        assert check(r.stdout), (cmd, r.stdout[:500])
