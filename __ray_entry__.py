@@ -158,20 +158,55 @@ def _documents_index(sf_dir: str):
     from bleve_ray.index.manifest import load as load_manifest
     from bleve_ray.search import Index
 
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    opts = IndexOptions(
+        fields={
+            "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True),
+            "lang": FieldConfig(analyzer="keyword", positions=False),
+            "n_chars": FieldConfig(field_type="numeric", positions=False),
+        },
+        doc_id_fields=["doc_id"],
+        num_shards=4,
+        bucket_bits=16,
+        docvalue_fields=["lang", "n_chars"],
+    )
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + str(opts.to_dict())).encode()
+    ).hexdigest()[:12]
     idx_dir = f"/tmp/bleve_ray_cache/docidx_{key}"
     man = load_manifest(idx_dir)
     if man is None or not man.merge_done:
-        opts = IndexOptions(
-            fields={
-                "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True)
-            },
-            doc_id_fields=["doc_id"],
-            num_shards=4,
-            bucket_bits=16,
-        )
         build_index(
             [os.path.join(sf_dir, "documents.parquet")], idx_dir, opts
+        )
+    return Index.open(idx_dir)
+
+
+def _events_index(sf_dir: str):
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + ":events:v1").encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/evidx_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        build_index(
+            [os.path.join(sf_dir, "events.parquet")],
+            idx_dir,
+            IndexOptions(
+                fields={
+                    "event_type": FieldConfig(
+                        analyzer="keyword", positions=False
+                    ),
+                    "ts": FieldConfig(field_type="datetime", positions=False),
+                    "value": FieldConfig(field_type="numeric", positions=False),
+                },
+                doc_id_fields=["event_id"],
+                num_shards=4,
+                bucket_bits=16,
+            ),
         )
     return Index.open(idx_dir)
 
@@ -286,6 +321,78 @@ def _q_events_agg(sf_dir: str):
     )
 
 
+def _q_numeric_range_count(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {"min": 100, "max": 300, "field": "n_chars"},
+            "size": 1,
+        }
+    )
+    return pa.table({"n_docs": pa.array([r.total_hits], type=pa.int64())})
+
+
+def _q_date_range_count(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _events_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "start": "2024-01-10T00:00:00",
+                "end": "2024-01-20T00:00:00",
+                "field": "ts",
+            },
+            "size": 1,
+        }
+    )
+    return pa.table({"n_events": pa.array([r.total_hits], type=pa.int64())})
+
+
+def _q_facet_lang(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    t = r.facets["langs"]["terms"]
+    return pa.table(
+        {
+            "lang": pa.array([x["term"] for x in t]),
+            "n_docs": pa.array([x["count"] for x in t], type=pa.int64()),
+        }
+    )
+
+
+def _q_sort_by_nchars(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 10,
+            "sort": ["-n_chars"],
+            "fields": ["n_chars"],
+        }
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([h.id for h in r.hits], type=pa.string()),
+            "n_chars": pa.array(
+                [h.fields["n_chars"] for h in r.hits], type=pa.int64()
+            ),
+        }
+    )
+
+
 # --- contract functions ----------------------------------------------------
 
 
@@ -354,6 +461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_count": _q_prefix_count,
         "doc_freq_top_terms": _q_doc_freq_top_terms,
         "collection_stats": _q_collection_stats,
+        "numeric_range_count": _q_numeric_range_count,
+        "date_range_count": _q_date_range_count,
+        "facet_lang": _q_facet_lang,
+        "sort_by_nchars": _q_sort_by_nchars,
         # --- training-data pipelines ---
         "token_count": text_stats.token_count_ds,
         "quality_score": text_stats.quality_ds,
@@ -377,6 +488,30 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "term_search_bm25": _sql_term_search("vector"),
+        "numeric_range_count": """
+SELECT count(*) AS n_docs FROM documents
+WHERE n_chars >= 100 AND n_chars < 300
+""",
+        "date_range_count": """
+SELECT count(*) AS n_events FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+""",
+        "facet_lang": """
+SELECT lang, count(*) AS n_docs FROM documents
+GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 10
+""",
+        "sort_by_nchars": """
+WITH m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) t
+  WHERE term = 'vector'
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+""",
         "match_and_bm25": _sql_two_term_impl("window", "vector", "and"),
         "match_or_bm25": _sql_two_term_impl("window", "vector", "or"),
         "match_phrase_bm25": _sql_two_term_impl("merge", "batch", "phrase"),

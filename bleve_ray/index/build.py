@@ -56,6 +56,10 @@ DOCNUM_FILE_SHIFT = 32  # docnum = file_idx << 32 | row_in_file
 class FieldConfig:
     analyzer: str = "standard"
     positions: bool = True  # IncludeTermVectors equivalent (mapping/field.go:60)
+    # "text" | "numeric" | "datetime": numeric/datetime index prefix-coded
+    # trie terms (document/field_numeric.go, field_datetime.go) at
+    # precisionStep 4 -- see index/numeric.py
+    field_type: str = "text"
 
 
 @dataclass
@@ -74,6 +78,10 @@ class IndexOptions:
     docvalue_fields: List[str] = dc_field(default_factory=list)
     # stored source fields (store:true) -- needed for highlighting
     store_fields: List[str] = dc_field(default_factory=list)
+    # composite _all field (document/field_composite.go:33-41): merged token
+    # frequencies of all indexed text fields; positions dropped (phrase on
+    # _all unsupported, like querying a composite without term vectors)
+    enable_all_field: bool = False
     analyze_rows: int = 1024  # rows per analyze sub-batch
     merge_fan_in: int = 10
     target_segments_per_shard: int = 1
@@ -82,7 +90,11 @@ class IndexOptions:
     def to_dict(self) -> Dict[str, Any]:
         return {
             "fields": {
-                k: {"analyzer": v.analyzer, "positions": v.positions}
+                k: {
+                    "analyzer": v.analyzer,
+                    "positions": v.positions,
+                    "field_type": v.field_type,
+                }
                 for k, v in self.fields.items()
             },
             "doc_id_fields": self.doc_id_fields,
@@ -91,6 +103,7 @@ class IndexOptions:
             "scoring_model": self.scoring_model,
             "docvalue_fields": self.docvalue_fields,
             "store_fields": self.store_fields,
+            "enable_all_field": self.enable_all_field,
         }
 
 
@@ -109,6 +122,43 @@ def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
     if len(cols) == 1:
         return cols[0]
     return pc.binary_join_element_wise(*cols, "/")
+
+
+def _numeric_tokens(col: pa.ChunkedArray, field_type: str):
+    """Numeric/datetime column -> prefix-coded trie term stream
+    (16 terms per value at shifts 0,4,...,60)."""
+    import pyarrow as _pa
+
+    from .numeric import PRECISION_STEP, float64_to_int64, prefix_coded_int64
+
+    typ = col.type
+    if field_type == "datetime" or _pa.types.is_timestamp(typ):
+        unit = typ.unit if _pa.types.is_timestamp(typ) else "us"
+        mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
+        vals = [
+            None if v is None else int(v) * mult
+            for v in pc.cast(col, _pa.int64()).to_pylist()
+        ]
+        int_vals = vals
+    else:
+        int_vals = [
+            None if v is None else float64_to_int64(v)
+            for v in pc.cast(col, _pa.float64()).to_pylist()
+        ]
+    shifts = list(range(0, 64, PRECISION_STEP))
+    flat: List[str] = []
+    di: List[int] = []
+    for i, v in enumerate(int_vals):
+        if v is None:
+            continue
+        for sft in shifts:
+            flat.append(prefix_coded_int64(v, sft))
+            di.append(i)
+    terms = pa.array(flat, type=pa.string())
+    doc_idx = np.asarray(di, dtype=np.int64)
+    positions = np.zeros(len(di), dtype=np.int32)
+    field_len = np.bincount(doc_idx, minlength=len(int_vals)).astype(np.int64)
+    return terms, doc_idx, positions, field_len
 
 
 def shard_of_terms(fields: np.ndarray, terms: pa.Array, num_shards: int) -> np.ndarray:
@@ -134,7 +184,9 @@ class ReadAnalyzeInvert:
         self.index_dir = index_dir
         self.options = options
         self.analyzers = {
-            f: analyzer_named(cfg.analyzer) for f, cfg in options.fields.items()
+            f: analyzer_named(cfg.analyzer)
+            for f, cfg in options.fields.items()
+            if cfg.field_type == "text"
         }
 
     def __call__(self, descs: pa.Table) -> Iterator[pa.Table]:
@@ -186,12 +238,28 @@ class ReadAnalyzeInvert:
             hashlib.sha256((t or "").encode("utf-8")).hexdigest()
             for t in tbl[primary_field].to_pylist()
         ]
+        all_terms, all_doc_idx, all_field_len = [], [], None
         for fname, fcfg in opts.fields.items():
             texts = tbl[fname].to_pylist() if fname in tbl.column_names else []
             if not texts:
                 continue
-            analyzer = self.analyzers[fname]
-            terms, doc_idx, positions, field_len = analyze_batch(texts, analyzer)
+            if fcfg.field_type != "text":
+                terms, doc_idx, positions, field_len = _numeric_tokens(
+                    tbl[fname], fcfg.field_type
+                )
+            else:
+                analyzer = self.analyzers[fname]
+                terms, doc_idx, positions, field_len = analyze_batch(
+                    texts, analyzer
+                )
+            if opts.enable_all_field and fcfg.field_type == "text":
+                all_terms.append(terms)
+                all_doc_idx.append(doc_idx)
+                all_field_len = (
+                    field_len
+                    if all_field_len is None
+                    else all_field_len + field_len
+                )
             meta_rows["docnum"].extend(docnums.tolist())
             meta_rows["doc_id"].extend(doc_ids.to_pylist())
             meta_rows["field"].extend([fname] * len(tbl))
@@ -208,7 +276,8 @@ class ReadAnalyzeInvert:
                     positions[sel],
                     docnums,
                     field_len,
-                    keep_positions=fcfg.positions,
+                    keep_positions=fcfg.positions
+                    and fcfg.field_type == "text",
                 )
                 if len(chunk) == 0:
                     continue
@@ -226,6 +295,44 @@ class ReadAnalyzeInvert:
                     )
                 )
                 chunk_tables.append(chunk)
+        if opts.enable_all_field and all_terms:
+            terms = pa.concat_arrays(
+                [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+                 for t in all_terms]
+            )
+            doc_idx = np.concatenate(all_doc_idx)
+            positions = np.zeros(len(doc_idx), dtype=np.int32)
+            meta_rows["docnum"].extend(docnums.tolist())
+            meta_rows["doc_id"].extend(doc_ids.to_pylist())
+            meta_rows["field"].extend(["_all"] * len(tbl))
+            meta_rows["field_len"].extend(all_field_len.tolist())
+            meta_rows["sha256"].extend(shas)
+            bucket_per_tok = (docnums >> opts.bucket_bits)[doc_idx]
+            for b in np.unique(bucket_per_tok):
+                sel = bucket_per_tok == b
+                chunk = invert_batch_encoded(
+                    terms.filter(pa.array(sel)),
+                    doc_idx[sel],
+                    positions[sel],
+                    docnums,
+                    all_field_len,
+                    keep_positions=False,
+                )
+                if len(chunk) == 0:
+                    continue
+                nrows = len(chunk)
+                shard = shard_of_terms(
+                    np.full(nrows, "_all", dtype=object),
+                    chunk["term"],
+                    opts.num_shards,
+                )
+                chunk_tables.append(
+                    chunk.append_column("field", pa.array(["_all"] * nrows))
+                    .append_column("shard", pa.array(shard, type=pa.int32()))
+                    .append_column(
+                        "bucket", pa.array(np.full(nrows, b), type=pa.int64())
+                    )
+                )
         self._write_docmeta(meta_rows, docnums)
         self._write_docvalues(tbl, docnums)
         for c in chunk_tables:

@@ -161,6 +161,79 @@ class TermRangeQuery(Query):
 
 
 @dataclass
+class NumericRangeQuery(Query):
+    """search_numeric_range.go: split [min,max] into prefix-coded covering
+    term ranges (precisionStep 4), expand against the dictionary, run as a
+    MultiTermSearcher."""
+
+    min: Optional[float] = None
+    max: Optional[float] = None
+    field: str = ""
+    inclusive_min: bool = True
+    inclusive_max: bool = False
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        from ..index.numeric import range_bounds_from_floats, split_int64_range
+
+        field = self.field or mapping.default_field
+        lo, hi = range_bounds_from_floats(
+            self.min, self.max, self.inclusive_min, self.inclusive_max
+        )
+        terms: List[str] = []
+        for start_t, end_t in split_int64_range(lo, hi):
+            terms.extend(
+                reader.terms_in_range(field, start_t, end_t, inclusive_hi=True)
+            )
+        if not terms:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, terms, field, self.boost, options)
+
+
+@dataclass
+class DateRangeQuery(Query):
+    """document/field_datetime.go semantics: datetimes indexed as unix-nano
+    int64 trie terms; range query = NumericRangeQuery over nanos."""
+
+    start: Optional[str] = None
+    end: Optional[str] = None
+    field: str = ""
+    inclusive_start: bool = True
+    inclusive_end: bool = False
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        from ..index.numeric import range_bounds_from_floats, split_int64_range
+
+        field = self.field or mapping.default_field
+        lo = _parse_dt_nanos(self.start) if self.start else -(1 << 63)
+        hi = _parse_dt_nanos(self.end) if self.end else (1 << 63) - 1
+        if self.start and not self.inclusive_start:
+            lo += 1
+        if self.end and not self.inclusive_end:
+            hi -= 1
+        terms: List[str] = []
+        for start_t, end_t in split_int64_range(lo, hi):
+            terms.extend(
+                reader.terms_in_range(field, start_t, end_t, inclusive_hi=True)
+            )
+        if not terms:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, terms, field, self.boost, options)
+
+
+def _parse_dt_nanos(s) -> int:
+    import datetime as _dt
+
+    if isinstance(s, (int, float)):
+        return int(s)
+    d = _dt.datetime.fromisoformat(str(s).replace("Z", "+00:00"))
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp() * 1_000_000) * 1000
+
+
+@dataclass
 class FuzzyQuery(Query):
     """search_fuzzy.go: Levenshtein (<=2) expansion over the dictionary."""
 
@@ -268,6 +341,19 @@ class BooleanQuery(Query):
 
 
 @dataclass
+class DocIDQuery(Query):
+    """query.go docids dispatch -> DocIDSearcher."""
+
+    ids: Sequence[str] = ()
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        from .searcher import DocIDSearcher
+
+        return DocIDSearcher(reader, list(self.ids), self.boost)
+
+
+@dataclass
 class MatchAllQuery(Query):
     boost: float = 1.0
 
@@ -322,13 +408,33 @@ def parse_query(d: Dict) -> Query:
         if terms and isinstance(terms[0], str):
             terms = [[t] for t in terms]
         return MultiPhraseQuery(terms, field=d.get("field", ""), boost=boost)
-    if "min" in d and "max" in d:
+    if "min" in d or "max" in d:
+        lo, hi = d.get("min"), d.get("max")
+        if isinstance(lo, (int, float)) or isinstance(hi, (int, float)):
+            # numeric range (query.go:219-232 dispatch on number type)
+            return NumericRangeQuery(
+                lo,
+                hi,
+                field=d.get("field", ""),
+                inclusive_min=d.get("inclusive_min", True),
+                inclusive_max=d.get("inclusive_max", False),
+                boost=boost,
+            )
         return TermRangeQuery(
-            d["min"],
-            d["max"],
+            lo,
+            hi,
             field=d.get("field", ""),
             inclusive_min=d.get("inclusive_min", True),
             inclusive_max=d.get("inclusive_max", False),
+            boost=boost,
+        )
+    if "start" in d or "end" in d:
+        return DateRangeQuery(
+            d.get("start"),
+            d.get("end"),
+            field=d.get("field", ""),
+            inclusive_start=d.get("inclusive_start", True),
+            inclusive_end=d.get("inclusive_end", False),
             boost=boost,
         )
     if "conjuncts" in d:
@@ -362,6 +468,8 @@ def parse_query(d: Dict) -> Query:
             must_not=_sub("must_not", 0),
             boost=boost,
         )
+    if "ids" in d:
+        return DocIDQuery(d["ids"], boost=boost)
     if "match_all" in d:
         return MatchAllQuery(boost=boost)
     if "match_none" in d:

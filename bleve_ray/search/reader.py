@@ -164,6 +164,23 @@ class IndexReader:
                         break
         return out
 
+    def docnums_for_ids(self, doc_ids: List[str]) -> np.ndarray:
+        """External ID -> docnum lookup (DocIDSearcher support,
+        search_docid.go).  Lazy full docmeta id map; a large index would
+        instead index _id as a keyword field (index/scorch/README.md:39-43
+        AddIDField) -- [scale note]."""
+        if not hasattr(self, "_id_map"):
+            m = {}
+            for e in self.manifest.docmeta:
+                nums, ids = self._load_docmeta(e.path)
+                for dn, did in zip(nums.tolist(), ids):
+                    m[did] = dn
+            self._id_map = m
+        out = sorted(
+            self._id_map[d] for d in doc_ids if d in self._id_map
+        )
+        return np.array(out, dtype=np.int64)
+
     def all_docnums(self) -> np.ndarray:
         if self._all_docnums is None:
             parts = [

@@ -400,6 +400,30 @@ class PhraseSearcher(Searcher):
         return SearchHits(hits.docnums[keep], hits.scores[keep])
 
 
+class DocIDSearcher(Searcher):
+    """search_docid.go: sorted external-ID lookup, constant scoring."""
+
+    def __init__(self, reader, ids, boost: float):
+        self.reader = reader
+        self.docnums = reader.docnums_for_ids(ids)
+        self.scorer = ConstantScorer(1.0, boost)
+
+    def weight(self) -> float:
+        return self.scorer.weight()
+
+    def set_query_norm(self, qnorm: float) -> None:
+        self.scorer.set_query_norm(qnorm)
+
+    def count(self) -> int:
+        return len(self.docnums)
+
+    def search(self) -> SearchHits:
+        score = self.scorer.score_value()
+        return SearchHits(
+            self.docnums, np.full(len(self.docnums), score, dtype=np.float64)
+        )
+
+
 class MultiTermSearcher(DisjunctionSearcher):
     """search_multi_term.go: disjunction over a term list (prefix/regexp/
     fuzzy/range expansions), min=0."""
