@@ -408,35 +408,6 @@ def parse_query(d: Dict) -> Query:
         if terms and isinstance(terms[0], str):
             terms = [[t] for t in terms]
         return MultiPhraseQuery(terms, field=d.get("field", ""), boost=boost)
-    if "min" in d or "max" in d:
-        lo, hi = d.get("min"), d.get("max")
-        if isinstance(lo, (int, float)) or isinstance(hi, (int, float)):
-            # numeric range (query.go:219-232 dispatch on number type)
-            return NumericRangeQuery(
-                lo,
-                hi,
-                field=d.get("field", ""),
-                inclusive_min=d.get("inclusive_min", True),
-                inclusive_max=d.get("inclusive_max", False),
-                boost=boost,
-            )
-        return TermRangeQuery(
-            lo,
-            hi,
-            field=d.get("field", ""),
-            inclusive_min=d.get("inclusive_min", True),
-            inclusive_max=d.get("inclusive_max", False),
-            boost=boost,
-        )
-    if "start" in d or "end" in d:
-        return DateRangeQuery(
-            d.get("start"),
-            d.get("end"),
-            field=d.get("field", ""),
-            inclusive_start=d.get("inclusive_start", True),
-            inclusive_end=d.get("inclusive_end", False),
-            boost=boost,
-        )
     if "conjuncts" in d:
         return ConjunctionQuery(
             [parse_query(c) for c in d["conjuncts"]], boost=boost
@@ -466,6 +437,35 @@ def parse_query(d: Dict) -> Query:
             must=_sub("must", 0),
             should=_sub("should", d.get("min_should", 0)),
             must_not=_sub("must_not", 0),
+            boost=boost,
+        )
+    if "min" in d or "max" in d:
+        lo, hi = d.get("min"), d.get("max")
+        if isinstance(lo, (int, float)) or isinstance(hi, (int, float)):
+            # numeric range (query.go:219-232 dispatch on number type)
+            return NumericRangeQuery(
+                lo,
+                hi,
+                field=d.get("field", ""),
+                inclusive_min=d.get("inclusive_min", True),
+                inclusive_max=d.get("inclusive_max", False),
+                boost=boost,
+            )
+        return TermRangeQuery(
+            lo,
+            hi,
+            field=d.get("field", ""),
+            inclusive_min=d.get("inclusive_min", True),
+            inclusive_max=d.get("inclusive_max", False),
+            boost=boost,
+        )
+    if "start" in d or "end" in d:
+        return DateRangeQuery(
+            d.get("start"),
+            d.get("end"),
+            field=d.get("field", ""),
+            inclusive_start=d.get("inclusive_start", True),
+            inclusive_end=d.get("inclusive_end", False),
             boost=boost,
         )
     if "ids" in d:
