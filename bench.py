@@ -205,7 +205,7 @@ def main():
         for c in (8, 32):
             r = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cpus", str(c),
-                 "--sf-dir", args.sf_dir, "--scale-mult", "5"],
+                 "--sf-dir", args.sf_dir, "--scale-mult", "20"],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]

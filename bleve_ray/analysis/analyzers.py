@@ -144,6 +144,30 @@ EN_NOSTEM = register_analyzer(
     )
 )
 
+# en: unicode + possessive + to_lower + stop_en + snowball-english stemmer
+# (reference analysis/lang/en/analyzer_en.go)
+
+
+def _make_en():
+    from .porter2 import make_porter2_filter
+
+    return register_analyzer(
+        Analyzer(
+            name="en",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                _possessive_filter,
+                lowercase_filter,
+                make_stop_filter(ENGLISH_STOP_WORDS),
+                make_porter2_filter(),
+            ],
+            fast_path=False,
+        )
+    )
+
+
+EN = _make_en()
+
 
 # ascii_alnum_lower: regexp tokenizer [A-Za-z0-9]+ + to_lower.  Used by the
 # driver-facing DuckDB-oracle queries because it is exactly expressible as

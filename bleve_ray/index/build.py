@@ -546,7 +546,7 @@ def build_index(
     input_files: List[str],
     index_dir: str,
     options: Optional[IndexOptions] = None,
-    files_per_partition: int = 64,
+    files_per_partition: int = 512,
     resume: bool = True,
 ) -> Manifest:
     """Build (or resume building) an index over parquet input files."""
@@ -725,27 +725,37 @@ def finalize_stats(
     """Global BM25 stats (the 'presearch' data, computed once at build time:
     SURVEY.md §2.9 -- DocCount + FieldCardinality per field summed over
     partitions, consumed by every query without an extra round-trip)."""
+    import pyarrow.dataset as pads
+
     files = _docmeta_files(index_dir)
     field_stats: Dict[str, Dict[str, int]] = {}
-    doc_count = 0
     dm_entries = []
     primary = next(iter(options.fields))
-    for p, lo, hi in files:
-        t = pq.read_table(p, columns=["field", "field_len"])
-        df = t.to_pandas()
-        g = df.groupby("field")["field_len"].agg(["sum", "count"])
-        for fname, row in g.iterrows():
-            st = field_stats.setdefault(fname, {"sum_field_len": 0, "doc_count": 0})
-            st["sum_field_len"] += int(row["sum"])
-            st["doc_count"] += int(row["count"])
-        dm_entries.append(
-            DocmetaEntry(
-                path=os.path.relpath(p, index_dir),
-                min_docnum=lo,
-                max_docnum=hi,
-                rows=len(df),
-            )
+    if files:
+        dset = pads.dataset([p for p, _, _ in files])
+        t = dset.to_table(columns=["field", "field_len"])
+        import pyarrow.compute as _pc
+
+        grouped = pa.TableGroupBy(t, "field").aggregate(
+            [("field_len", "sum"), ("field_len", "count")]
         )
+        for row in grouped.to_pylist():
+            field_stats[row["field"]] = {
+                "sum_field_len": int(row["field_len_sum"]),
+                "doc_count": int(row["field_len_count"]),
+            }
+        rows_per_file = {
+            p: pq.ParquetFile(p).metadata.num_rows for p, _, _ in files
+        }
+        for p, lo, hi in files:
+            dm_entries.append(
+                DocmetaEntry(
+                    path=os.path.relpath(p, index_dir),
+                    min_docnum=lo,
+                    max_docnum=hi,
+                    rows=rows_per_file[p],
+                )
+            )
     doc_count = field_stats.get(primary, {}).get("doc_count", 0)
     man.docmeta = dm_entries
     man.stats = {

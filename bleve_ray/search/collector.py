@@ -173,6 +173,22 @@ class _RevStr(_Rev):
     pass
 
 
+def _apply_search_after(reader, hits: SearchHits, after) -> SearchHits:
+    """search_after for the default [-_score, _id] order
+    (index_impl.go:776-782 seeded-collector semantics): keep only docs
+    strictly after (after_score, after_id)."""
+    after_score = float(after[0])
+    after_id = str(after[1]) if len(after) > 1 else ""
+    lt = hits.scores < after_score
+    ties = np.flatnonzero(hits.scores == after_score)
+    if len(ties):
+        tie_ids = reader.doc_ids_for(hits.docnums[ties])
+        for j, tid in zip(ties, tie_ids):
+            if tid > after_id:
+                lt[j] = True
+    return SearchHits(hits.docnums[lt], hits.scores[lt])
+
+
 class Index:
     """Open a built index for searching (index_impl.go Search equivalent)."""
 
@@ -201,9 +217,16 @@ class Index:
          "fields": ["stored", ...]}"""
         q = request["query"]
         query = parse_query(q) if isinstance(q, dict) else q
-        options = SearchOptions(scoring_model=self.mapping.scoring_model)
+        options = SearchOptions(
+            scoring_model=self.mapping.scoring_model,
+            score=request.get("score", ""),
+        )
         searcher = query.searcher(self.reader, self.mapping, options)
         hits = searcher.search()
+        if request.get("search_after"):
+            hits = _apply_search_after(
+                self.reader, hits, request["search_after"]
+            )
         result = collect_topn(
             self.reader,
             hits,

@@ -31,6 +31,9 @@ from ..index.segment import Posting, SegmentReader
 class SearchOptions:
     scoring_model: str = "bm25"
     need_positions: bool = False
+    # "none" = the unadorned fast path (scorch optimize.go:26-47): skip
+    # freq/norm scoring entirely; set ops + counts only
+    score: str = ""
 
     def with_positions(self) -> "SearchOptions":
         return replace(self, need_positions=True)

@@ -71,6 +71,7 @@ class TermSearcher(Searcher):
         self.scorer = TermQueryScorer(
             term, field, boost, doc_total, doc_term, avg_len
         )
+        self._score_none = getattr(options, "score", "") == "none"
 
     def weight(self) -> float:
         return self.scorer.weight()
@@ -84,7 +85,11 @@ class TermSearcher(Searcher):
     def search(self) -> SearchHits:
         if self.posting is None:
             return SearchHits.empty()
-        scores = self.scorer.score(self.posting.tfs, self.posting.norms)
+        if self._score_none:
+            # unadorned path (optimize.go:26-47): no freq/norm math
+            scores = np.zeros(len(self.posting.docnums), dtype=np.float64)
+        else:
+            scores = self.scorer.score(self.posting.tfs, self.posting.norms)
         return SearchHits(self.posting.docnums, scores)
 
 
