@@ -54,8 +54,15 @@ def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench",
     d = os.path.join(tmp_root, f"corpus_{n_docs}")
     marker = os.path.join(d, "DONE")
     if not os.path.exists(marker):
+        import ray
+
+        from bleve_ray.corpus import write_corpus_parallel
+
         shutil.rmtree(d, ignore_errors=True)
-        write_corpus(d, n_docs=n_docs, n_files=n_files, seed=42)
+        if ray.is_initialized():
+            write_corpus_parallel(d, n_docs=n_docs, n_files=n_files, seed=42)
+        else:
+            write_corpus(d, n_docs=n_docs, n_files=n_files, seed=42)
         open(marker, "w").write("ok")
     files = sorted(
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")

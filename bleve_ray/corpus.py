@@ -121,6 +121,34 @@ def write_corpus(
     return paths
 
 
+def write_corpus_parallel(
+    out_dir: str, n_docs: int, n_files: int = 8, seed: int = 42
+) -> List[str]:
+    """Ray-parallel corpus writer (same bytes as write_corpus: each file's
+    content depends only on (seed, start_doc, count))."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _write_one(f: int, start: int, cnt: int) -> str:
+        tbl = make_corpus_table(cnt, seed=seed, start_doc=start)
+        p = os.path.join(out_dir, f"corpus_{f:05d}.parquet")
+        pq.write_table(tbl, p, compression="snappy")
+        return p
+
+    per = (n_docs + n_files - 1) // n_files
+    refs = []
+    start = 0
+    for f in range(n_files):
+        cnt = min(per, n_docs - start)
+        if cnt <= 0:
+            break
+        refs.append(_write_one.remote(f, start, cnt))
+        start += cnt
+    return sorted(ray.get(refs))
+
+
 def doc_id_array(batch: pa.Table) -> pa.Array:
     """External docID = repo + "/" + path + "@" + commit (stable string).
 

@@ -162,7 +162,9 @@ def test_resume_skips_completed_partitions(
     d2 = str(tmp_path_factory.mktemp("idx_fresh"))
     build_index(files, d2, opts, files_per_partition=1)
     m3 = load_manifest(d2)
-    assert m3.stats == m2.stats
+    s2 = {k: v for k, v in m2.stats.items() if k != "phase_seconds"}
+    s3 = {k: v for k, v in m3.stats.items() if k != "phase_seconds"}
+    assert s3 == s2
     # and identical search results
     for req in QUERIES[:4]:
         ra = Index.open(d).search(req).to_dict()
