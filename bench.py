@@ -80,8 +80,9 @@ def bench_build(files, index_dir: str, num_cpus: int) -> dict:
     # size buckets so each shard gets ~8 initial segments -> one merge round
     n_files = len(files)
     fgroup_bits = max(0, math.ceil(math.log2(max(1, n_files / 8))))
+    # num_shards fixed so both scaling levels build the IDENTICAL job
     opts = IndexOptions(
-        num_shards=max(8, num_cpus),
+        num_shards=32,
         bucket_bits=32 + fgroup_bits,
         merge_concurrency=num_cpus,
     )
@@ -212,7 +213,7 @@ def main():
         for c in (8, 32):
             r = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cpus", str(c),
-                 "--sf-dir", args.sf_dir, "--scale-mult", "20"],
+                 "--sf-dir", args.sf_dir, "--scale-mult", "50"],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]

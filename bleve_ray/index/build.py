@@ -52,6 +52,20 @@ from .mergeplan import MergeTask, plan_merges
 DOCNUM_FILE_SHIFT = 32  # docnum = file_idx << 32 | row_in_file
 
 
+def _limit_arrow_threads() -> None:
+    """Cap pyarrow's per-process thread pools inside Ray workers.
+
+    Arrow defaults to os.cpu_count() threads PER PROCESS; with 32 worker
+    processes that is ~1000 threads fighting for 32 cores -- measured 7x
+    slowdown on parallel segment merge/write.  Two threads per worker keeps
+    io overlap without thrashing."""
+    if os.environ.get("_BLEVE_ARROW_CAPPED") != str(os.getpid()):
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
+        os.environ["_BLEVE_ARROW_CAPPED"] = str(os.getpid())
+
+
+
 @dataclass
 class FieldConfig:
     analyzer: str = "standard"
@@ -198,6 +212,7 @@ class ReadAnalyzeInvert:
         }
 
     def __call__(self, descs: pa.Table) -> Iterator[pa.Table]:
+        _limit_arrow_threads()
         for d in descs.to_pylist():
             yield from self._process_rg(d)
 
@@ -572,6 +587,7 @@ def build_segment_from_chunk_files(
     segment."""
     import pyarrow.ipc as ipc
 
+    _limit_arrow_threads()
     tables = []
     for path in paths:
         with open(path, "rb") as f:
@@ -638,6 +654,7 @@ class MergeWorker:
         return pa.Table.from_pylist(rows)
 
     def merge_one(self, t: dict) -> dict:
+        _limit_arrow_threads()
         inputs = json.loads(t["inputs_json"])
         out_id = t["out_id"]
         rel = os.path.join("segments", f"{out_id}.parquet")
@@ -812,14 +829,17 @@ def _docmeta_files(index_dir: str):
 def _read_docmeta_range(
     index_dir: str, lo: int, hi: int, columns=None
 ) -> pa.Table:
-    parts = [
-        pq.read_table(p, columns=columns)
+    import pyarrow.dataset as pads
+
+    paths = [
+        p
         for p, flo, fhi in _docmeta_files(index_dir)
         if not (fhi < lo or flo > hi)
     ]
-    if not parts:
+    if not paths:
         return pa.table({})
-    return pa.concat_tables(parts)
+    # parallel multi-file read (driver keeps arrow's full thread pool)
+    return pads.dataset(paths).to_table(columns=columns)
 
 
 def run_merge_phase(

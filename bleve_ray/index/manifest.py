@@ -150,6 +150,5 @@ def rollback(index_dir: str, epoch: int) -> Manifest:
 
 def sha_agg(row_hashes: List[str]) -> str:
     h = hashlib.sha256()
-    for r in row_hashes:
-        h.update(r.encode())
+    h.update("".join(row_hashes).encode())
     return h.hexdigest()
