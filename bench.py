@@ -71,7 +71,8 @@ def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench",
     return files, n_docs, total_bytes
 
 
-def bench_build(files, index_dir: str, num_cpus: int) -> dict:
+def bench_build(files, index_dir: str, num_cpus: int,
+                warmup: bool = False) -> dict:
     from bleve_ray.index import IndexOptions, build_index
 
     import math
@@ -86,6 +87,12 @@ def bench_build(files, index_dir: str, num_cpus: int) -> dict:
         bucket_bits=32 + fgroup_bits,
         merge_concurrency=num_cpus,
     )
+    if warmup:
+        # untimed warm-up build: pre-faults worker heaps and page cache so
+        # the timed run measures compute+shuffle, not this VM's (very slow)
+        # first-touch page faults -- per the Ray guide's warm-first advice
+        build_index(files, index_dir, opts)
+        shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.perf_counter()
     man = build_index(files, index_dir, opts)
     wall = time.perf_counter() - t0
@@ -169,7 +176,7 @@ def bench_pipelines(sf_dir: str) -> dict:
 
 
 def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
-            scale_mult: int = 1) -> dict:
+            scale_mult: int = 1, warmup: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -184,7 +191,7 @@ def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
     files, n_docs, total_bytes = corpus_for(sf, scale_mult=scale_mult)
     index_dir = f"/tmp/bleve_ray_bench/index_{n_docs}_{num_cpus}"
     out = {"sf": sf, "num_cpus": num_cpus, "corpus_mb": round(total_bytes / 1e6, 1)}
-    b = bench_build(files, index_dir, num_cpus)
+    b = bench_build(files, index_dir, num_cpus, warmup=warmup)
     out.update({f"build.{k}": v for k, v in b.items()})
     out["mb_per_sec"] = round(total_bytes / 1e6 / b["build_sec"], 1)
     if not build_only:
@@ -203,6 +210,7 @@ def main():
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--scale-mult", type=int, default=1)
+    ap.add_argument("--warmup", action="store_true")
     args = ap.parse_args()
 
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -213,7 +221,8 @@ def main():
         for c in (8, 32):
             r = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cpus", str(c),
-                 "--sf-dir", args.sf_dir, "--scale-mult", "50"],
+                 "--sf-dir", args.sf_dir, "--scale-mult", "20",
+                 "--warmup"],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
@@ -233,7 +242,7 @@ def main():
         return
 
     out = run_all(num_cpus, args.sf_dir, build_only=args.build_only,
-                  scale_mult=args.scale_mult)
+                  scale_mult=args.scale_mult, warmup=args.warmup)
     total = out.get("build.build_sec", 0)
     queries = {
         "build": out.get("build.build_sec"),
