@@ -45,13 +45,18 @@ def sf_of(sf_dir: str) -> float:
 
 
 def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench",
-               scale_mult: int = 1) -> tuple:
-    """Deterministic synthetic code corpus sized to the scale factor."""
+               scale_mult: int = 1, doc_lines: str = "20,120") -> tuple:
+    """Deterministic synthetic code corpus sized to the scale factor.
+
+    doc_lines "lo,hi" controls file sizes; the scaling run uses realistic
+    source-file sizes (60-360 lines, ~3KB) rather than the default small
+    docs."""
     from bleve_ray.corpus import write_corpus
 
+    lo, hi = (int(x) for x in doc_lines.split(","))
     n_docs = max(512, int(200_000 * sf)) * scale_mult
     n_files = max(8, n_docs // 1000)
-    d = os.path.join(tmp_root, f"corpus_{n_docs}")
+    d = os.path.join(tmp_root, f"corpus_{n_docs}_l{lo}_{hi}")
     marker = os.path.join(d, "DONE")
     if not os.path.exists(marker):
         import ray
@@ -60,9 +65,11 @@ def corpus_for(sf: float, tmp_root: str = "/tmp/bleve_ray_bench",
 
         shutil.rmtree(d, ignore_errors=True)
         if ray.is_initialized():
-            write_corpus_parallel(d, n_docs=n_docs, n_files=n_files, seed=42)
+            write_corpus_parallel(d, n_docs=n_docs, n_files=n_files, seed=42,
+                                  min_lines=lo, max_lines=hi)
         else:
-            write_corpus(d, n_docs=n_docs, n_files=n_files, seed=42)
+            write_corpus(d, n_docs=n_docs, n_files=n_files, seed=42,
+                         min_lines=lo, max_lines=hi)
         open(marker, "w").write("ok")
     files = sorted(
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
@@ -176,7 +183,8 @@ def bench_pipelines(sf_dir: str) -> dict:
 
 
 def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
-            scale_mult: int = 1, warmup: bool = False) -> dict:
+            scale_mult: int = 1, warmup: bool = False,
+            doc_lines: str = "20,120") -> dict:
     import ray
 
     ray.init(
@@ -188,7 +196,9 @@ def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
         log_to_driver=False,
     )
     sf = sf_of(sf_dir)
-    files, n_docs, total_bytes = corpus_for(sf, scale_mult=scale_mult)
+    files, n_docs, total_bytes = corpus_for(
+        sf, scale_mult=scale_mult, doc_lines=doc_lines
+    )
     index_dir = f"/tmp/bleve_ray_bench/index_{n_docs}_{num_cpus}"
     out = {"sf": sf, "num_cpus": num_cpus, "corpus_mb": round(total_bytes / 1e6, 1)}
     b = bench_build(files, index_dir, num_cpus, warmup=warmup)
@@ -211,6 +221,7 @@ def main():
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--scale-mult", type=int, default=1)
     ap.add_argument("--warmup", action="store_true")
+    ap.add_argument("--doc-lines", default="20,120")
     args = ap.parse_args()
 
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -222,7 +233,7 @@ def main():
             r = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cpus", str(c),
                  "--sf-dir", args.sf_dir, "--scale-mult", "20",
-                 "--warmup"],
+                 "--warmup", "--doc-lines", "60,360"],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
@@ -242,7 +253,8 @@ def main():
         return
 
     out = run_all(num_cpus, args.sf_dir, build_only=args.build_only,
-                  scale_mult=args.scale_mult, warmup=args.warmup)
+                  scale_mult=args.scale_mult, warmup=args.warmup,
+                  doc_lines=args.doc_lines)
     total = out.get("build.build_sec", 0)
     queries = {
         "build": out.get("build.build_sec"),

@@ -44,8 +44,11 @@ STRINGS = (
 ).split()
 
 
-def _gen_content(rng: np.random.Generator, lang: str) -> str:
-    n_lines = int(rng.integers(20, 120))
+def _gen_content(
+    rng: np.random.Generator, lang: str,
+    min_lines: int = 20, max_lines: int = 120,
+) -> str:
+    n_lines = int(rng.integers(min_lines, max_lines))
     ranks = rng.zipf(1.3, size=n_lines * 6) - 1
     ranks = np.clip(ranks, 0, len(KEYWORDS) - 1)
     kw = [KEYWORDS[r] for r in ranks]
@@ -83,7 +86,8 @@ def _gen_content(rng: np.random.Generator, lang: str) -> str:
 
 
 def make_corpus_table(
-    n_docs: int, seed: int = 42, start_doc: int = 0
+    n_docs: int, seed: int = 42, start_doc: int = 0,
+    min_lines: int = 20, max_lines: int = 120,
 ) -> pa.Table:
     rows = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
     for i in range(start_doc, start_doc + n_docs):
@@ -95,14 +99,15 @@ def make_corpus_table(
             hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12]
         )
         rows["lang"].append(lang)
-        rows["content"].append(_gen_content(rng, lang))
+        rows["content"].append(_gen_content(rng, lang, min_lines, max_lines))
     return pa.table(
         {k: pa.array(v, type=pa.string()) for k, v in rows.items()}
     )
 
 
 def write_corpus(
-    out_dir: str, n_docs: int, n_files: int = 8, seed: int = 42
+    out_dir: str, n_docs: int, n_files: int = 8, seed: int = 42,
+    min_lines: int = 20, max_lines: int = 120,
 ) -> List[str]:
     """Write the corpus as n_files parquet files; returns file paths."""
     os.makedirs(out_dir, exist_ok=True)
@@ -113,7 +118,10 @@ def write_corpus(
         cnt = min(per, n_docs - start)
         if cnt <= 0:
             break
-        tbl = make_corpus_table(cnt, seed=seed, start_doc=start)
+        tbl = make_corpus_table(
+            cnt, seed=seed, start_doc=start,
+            min_lines=min_lines, max_lines=max_lines,
+        )
         p = os.path.join(out_dir, f"corpus_{f:05d}.parquet")
         pq.write_table(tbl, p, compression="snappy")
         paths.append(p)
@@ -122,7 +130,8 @@ def write_corpus(
 
 
 def write_corpus_parallel(
-    out_dir: str, n_docs: int, n_files: int = 8, seed: int = 42
+    out_dir: str, n_docs: int, n_files: int = 8, seed: int = 42,
+    min_lines: int = 20, max_lines: int = 120,
 ) -> List[str]:
     """Ray-parallel corpus writer (same bytes as write_corpus: each file's
     content depends only on (seed, start_doc, count))."""
@@ -132,7 +141,10 @@ def write_corpus_parallel(
 
     @ray.remote
     def _write_one(f: int, start: int, cnt: int) -> str:
-        tbl = make_corpus_table(cnt, seed=seed, start_doc=start)
+        tbl = make_corpus_table(
+            cnt, seed=seed, start_doc=start,
+            min_lines=min_lines, max_lines=max_lines,
+        )
         p = os.path.join(out_dir, f"corpus_{f:05d}.parquet")
         pq.write_table(tbl, p, compression="snappy")
         return p
