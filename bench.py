@@ -93,6 +93,10 @@ def bench_build(files, index_dir: str, num_cpus: int,
         num_shards=32,
         bucket_bits=32 + fgroup_bits,
         merge_concurrency=num_cpus,
+        # steady-state tiered policy: <=10 segments per tier like the
+        # reference merge policy (merge_plan.go:160-168); merging to a
+        # single segment is ForceMerge, not part of a normal build
+        target_segments_per_shard=10,
     )
     if warmup:
         # untimed warm-up build: pre-faults worker heaps and page cache so
@@ -233,7 +237,7 @@ def main():
             r = subprocess.run(
                 [sys.executable, __file__, "--build-only", "--cpus", str(c),
                  "--sf-dir", args.sf_dir, "--scale-mult", "20",
-                 "--warmup", "--doc-lines", "60,360"],
+                 "--warmup"],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]

@@ -361,7 +361,22 @@ class ReadAnalyzeInvert:
         if chunk_tables:
             packed = _pack_chunks(pa.concat_tables(chunk_tables))
             if opts.shuffle == "storage":
-                yield self._write_chunk_files(packed, docnums)
+                out = self._write_chunk_files(packed, docnums)
+                # lineage row: per-sub-batch digest of the per-row content
+                # sha256s (combined hierarchically on the driver)
+                digest = hashlib.sha256("".join(shas).encode()).hexdigest()
+                lineage = pa.table(
+                    {
+                        "shard": pa.array([-1], type=pa.int32()),
+                        "bucket": pa.array(
+                            [int(docnums[0])], type=pa.int64()
+                        ),
+                        "path": pa.array(
+                            [f"{digest}:{len(tbl)}"], type=pa.string()
+                        ),
+                    }
+                )
+                yield pa.concat_tables([out, lineage])
             else:
                 yield packed
 
@@ -743,18 +758,25 @@ def _build_partition(
     import ray
     import ray.data
 
-    descs = []
-    total_rows = 0
-    for fi, path in zip(file_indexes, files):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _file_descs(args):
+        fi, path = args
         pf = pq.ParquetFile(path)
-        row = 0
+        out, row = [], 0
         for rg in range(pf.metadata.num_row_groups):
-            nr = pf.metadata.row_group(rg).num_rows
-            descs.append(
+            out.append(
                 {"path": path, "file_idx": fi, "rg": rg, "row_start": row}
             )
-            row += nr
-        total_rows += row
+            row += pf.metadata.row_group(rg).num_rows
+        return out, row
+
+    descs = []
+    total_rows = 0
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for out, row in ex.map(_file_descs, zip(file_indexes, files)):
+            descs.extend(out)
+            total_rows += row
 
     ds = ray.data.from_items(descs, override_num_blocks=max(1, len(descs)))
     chunks = ds.map_batches(
@@ -762,12 +784,17 @@ def _build_partition(
         batch_size=None,
         batch_format="pyarrow",
     )
+    lineage_rows: List[tuple] = []
     if options.shuffle == "storage":
         # external shuffle: stage-1 emitted (shard,bucket,path) manifest
         # rows; stage-2 = one Ray task per group over its chunk files
         chunk_rows = chunks.take_all()
         groups: Dict[tuple, List[str]] = {}
         for r in chunk_rows:
+            if r["shard"] == -1:
+                digest, cnt = r["path"].split(":")
+                lineage_rows.append((r["bucket"], digest, int(cnt)))
+                continue
             groups.setdefault((r["shard"], r["bucket"]), []).append(r["path"])
 
         @ray.remote
@@ -797,19 +824,34 @@ def _build_partition(
         )
     seg_entries = [SegmentEntry(**r) for r in seg_rows]
 
-    # lineage: aggregate per-row sha256 from the docmeta this partition wrote
-    lo = min(file_indexes) << DOCNUM_FILE_SHIFT
-    hi = ((max(file_indexes) + 1) << DOCNUM_FILE_SHIFT) - 1
-    dm_tbl = _read_docmeta_range(index_dir, lo, hi, columns=["docnum", "field", "sha256"])
-    primary = next(iter(options.fields))
-    prim = dm_tbl.filter(pc.equal(dm_tbl["field"], primary)).sort_by("docnum")
-    sha_list = prim["sha256"].to_pylist()
+    # lineage: combine the per-sub-batch content-sha digests in docnum
+    # order (hierarchical aggregate; per-row sha256 stays in docmeta for
+    # row-level verification)
+    if lineage_rows:
+        lineage_rows.sort()
+        agg = manifest_mod.sha_agg([d for _, d, _ in lineage_rows])
+        row_count = sum(c for _, _, c in lineage_rows)
+    else:
+        lo = min(file_indexes) << DOCNUM_FILE_SHIFT
+        hi = ((max(file_indexes) + 1) << DOCNUM_FILE_SHIFT) - 1
+        dm_tbl = _read_docmeta_range(
+            index_dir, lo, hi, columns=["docnum", "field", "sha256"]
+        )
+        primary = next(iter(options.fields))
+        prim = dm_tbl.filter(
+            pc.equal(dm_tbl["field"], primary)
+        ).sort_by("docnum")
+        batch_digests = []
+        shas = prim["sha256"].to_pylist()
+        batch_digests = [hashlib.sha256("".join(shas).encode()).hexdigest()]
+        agg = manifest_mod.sha_agg(batch_digests)
+        row_count = len(prim)
     part_entry = PartitionEntry(
         partition_id=partition_id,
         input_files=files,
         file_indexes=file_indexes,
-        row_count=len(prim),
-        content_sha256_agg=manifest_mod.sha_agg(sha_list),
+        row_count=row_count,
+        content_sha256_agg=agg,
         metrics={"rows": total_rows, "segments": len(seg_entries)},
     )
     return seg_entries, part_entry
