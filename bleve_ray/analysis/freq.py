@@ -248,6 +248,11 @@ def invert_batch_encoded(
         if keep_positions:
             p0, p1 = run_starts[lo], run_ends[hi - 1]
             ps_blobs[i] = ps_buf[ps_off[p0] : ps_off[p1]]
+    # per-term score-bound metadata (block-max support): BM25 score is
+    # monotone increasing in tf and in norm, so (max_tf, max_norm) bounds
+    # any doc's contribution for the term
+    max_tf = np.maximum.reduceat(tfs_all, t_off[:-1])
+    max_nm = np.maximum.reduceat(norms_flat, t_off[:-1])
     return pa.table(
         {
             "term": term_strs,
@@ -258,6 +263,8 @@ def invert_batch_encoded(
             "positions": pa.array(ps_blobs, type=pa.binary()),
             "min_docnum": pa.array(min_dn),
             "max_docnum": pa.array(max_dn),
+            "max_tf": pa.array(max_tf.astype(np.int64)),
+            "max_norm": pa.array(max_nm.astype(np.float32), type=pa.float32()),
         }
     )
 
@@ -272,6 +279,8 @@ ENCODED_CHUNK_SCHEMA = pa.schema(
         ("positions", pa.binary()),
         ("min_docnum", pa.int64()),
         ("max_docnum", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("max_norm", pa.float32()),
     ]
 )
 

@@ -479,6 +479,10 @@ def merge_encoded_rows(group: pa.Table) -> pa.Table:
     ps_col = group["positions"].to_pylist()
     min_col = np.asarray(group["min_docnum"], dtype=np.int64)
     max_col = np.asarray(group["max_docnum"], dtype=np.int64)
+    has_bounds = "max_tf" in group.column_names
+    if has_bounds:
+        mtf_col = np.asarray(group["max_tf"], dtype=np.int64)
+        mnm_col = np.asarray(group["max_norm"], dtype=np.float32)
 
     # vectorized run boundaries per (field, term) over the sorted rows
     fcol = group["field"].combine_chunks()
@@ -527,19 +531,25 @@ def merge_encoded_rows(group: pa.Table) -> pa.Table:
             o_tf[bi] = b"".join(tf_col[lo:hi])
             o_nm[bi] = b"".join(nm_col[lo:hi])
             o_ps[bi] = b"".join(ps_col[lo:hi])
-    return pa.table(
-        {
-            "field": pa.array(o_field, type=pa.string()),
-            "term": pa.array(o_term, type=pa.string()),
-            "df": pa.array(o_df),
-            "docnums": pa.array(o_dn, type=pa.binary()),
-            "tfs": pa.array(o_tf, type=pa.binary()),
-            "norms": pa.array(o_nm, type=pa.binary()),
-            "positions": pa.array(o_ps, type=pa.binary()),
-            "min_docnum": pa.array(o_min),
-            "max_docnum": pa.array(o_max),
-        }
-    )
+    cols = {
+        "field": pa.array(o_field, type=pa.string()),
+        "term": pa.array(o_term, type=pa.string()),
+        "df": pa.array(o_df),
+        "docnums": pa.array(o_dn, type=pa.binary()),
+        "tfs": pa.array(o_tf, type=pa.binary()),
+        "norms": pa.array(o_nm, type=pa.binary()),
+        "positions": pa.array(o_ps, type=pa.binary()),
+        "min_docnum": pa.array(o_min),
+        "max_docnum": pa.array(o_max),
+    }
+    if has_bounds:
+        cols["max_tf"] = pa.array(
+            np.maximum.reduceat(mtf_col, breaks[:-1])
+        )
+        cols["max_norm"] = pa.array(
+            np.maximum.reduceat(mnm_col, breaks[:-1]), type=pa.float32()
+        )
+    return pa.table(cols)
 
 
 

@@ -58,6 +58,9 @@ class Posting:
     tfs: np.ndarray  # int64
     norms: np.ndarray  # float32
     positions_flat: Optional[np.ndarray] = None  # concat per-doc positions
+    # block-max metadata: per-term upper bounds (BM25 is monotone in both)
+    max_tf: Optional[int] = None
+    max_norm: Optional[float] = None
 
     @property
     def df(self) -> int:
@@ -111,7 +114,14 @@ def decode_posting(row: dict, want_positions: bool = False) -> Posting:
     pos = None
     if want_positions and row["positions"]:
         pos = codec.positions_decode(row["positions"], tfs)
-    return Posting(docnums, tfs, norms, pos)
+    return Posting(
+        docnums,
+        tfs,
+        norms,
+        pos,
+        max_tf=row.get("max_tf"),
+        max_norm=row.get("max_norm"),
+    )
 
 
 class SegmentReader:

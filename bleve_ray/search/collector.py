@@ -50,6 +50,7 @@ class SearchResult:
     hits: List[Hit]
     took_ms: float
     facets: Optional[Dict] = None
+    total_relation: str = "eq"  # "gte" when top-k pruning skipped docs
 
     def to_dict(self) -> dict:
         d = {
@@ -58,6 +59,8 @@ class SearchResult:
             "hits": [],
             "took_ms": self.took_ms,
         }
+        if self.total_relation != "eq":
+            d["total_relation"] = self.total_relation
         for h in self.hits:
             hd = {"id": h.id, "score": h.score}
             if h.fields is not None:
@@ -222,7 +225,29 @@ class Index:
             score=request.get("score", ""),
         )
         searcher = query.searcher(self.reader, self.mapping, options)
-        hits = searcher.search()
+        total_relation = "eq"
+        if (
+            request.get("track_total_hits", True) is False
+            and not request.get("facets")
+            and not request.get("sort")
+            and not request.get("search_after")
+        ):
+            from .searcher import DisjunctionSearcher, disjunction_topk
+
+            if isinstance(searcher, DisjunctionSearcher):
+                # block-max/MaxScore top-k pruning: rank-identical top-k,
+                # total_hits becomes a lower bound ("gte")
+                tk = disjunction_topk(
+                    searcher,
+                    request.get("size", 10) + request.get("from", 0),
+                )
+                hits = tk.hits
+                if not tk.exact_total:
+                    total_relation = "gte"
+            else:
+                hits = searcher.search()
+        else:
+            hits = searcher.search()
         if request.get("search_after"):
             hits = _apply_search_after(
                 self.reader, hits, request["search_after"]
@@ -234,6 +259,7 @@ class Index:
             from_=request.get("from", 0),
             sort=request.get("sort"),
         )
+        result.total_relation = total_relation
         if request.get("facets"):
             from .facets import compute_facets
 

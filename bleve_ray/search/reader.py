@@ -102,6 +102,7 @@ class IndexReader:
             return parts[0]
         # disjoint docnum ranges sorted by min_docnum -> concat is the merge
         parts.sort(key=lambda p: p.docnums[0] if len(p.docnums) else 0)
+        bounds = [p for p in parts if p.max_tf is not None]
         return Posting(
             docnums=np.concatenate([p.docnums for p in parts]),
             tfs=np.concatenate([p.tfs for p in parts]),
@@ -109,6 +110,16 @@ class IndexReader:
             positions_flat=(
                 np.concatenate([p.positions_flat for p in parts])
                 if want_positions and all(p.positions_flat is not None for p in parts)
+                else None
+            ),
+            max_tf=(
+                max(p.max_tf for p in bounds)
+                if len(bounds) == len(parts)
+                else None
+            ),
+            max_norm=(
+                max(p.max_norm for p in bounds)
+                if len(bounds) == len(parts)
                 else None
             ),
         )

@@ -220,6 +220,100 @@ class DisjunctionSearcher(Searcher):
         return SearchHits(docs, scores)
 
 
+class _TopKResult:
+    """search_topk result: top-k-safe hits + whether total is exact."""
+
+    __slots__ = ("hits", "exact_total", "seen_total")
+
+    def __init__(self, hits: SearchHits, exact_total: bool, seen_total: int):
+        self.hits = hits
+        self.exact_total = exact_total
+        self.seen_total = seen_total
+
+
+def disjunction_topk(dis: "DisjunctionSearcher", k: int) -> _TopKResult:
+    """MaxScore-family top-k pruning over a disjunction of term searchers
+    (the block-max WAND role from the north star, at term/segment-block
+    granularity): terms are processed in decreasing upper-bound order;
+    once the remaining terms' combined bound falls below the running k-th
+    score estimate, they can no longer introduce NEW top-k docs and are
+    only gathered onto existing candidates.
+
+    Correctness: a doc unseen after terms 0..i-1 has final score
+    <= tail_ub[i] * (n-i)/n (sum bound x coord bound); theta is the k-th
+    largest CURRENT estimate sum*cnt/n, which only grows toward the final
+    score -- so strict `bound < theta` skipping can never drop a true
+    top-k doc.  Scores of returned docs are computed exactly; ranking is
+    identical to the exhaustive path (asserted in tests)."""
+    kids = [c for c in dis.children if isinstance(c, TermSearcher)]
+    if (
+        len(kids) != len(dis.children)
+        or dis.min_match > 1
+        or any(
+            c.posting is not None and c.posting.max_tf is None for c in kids
+        )
+    ):
+        return _TopKResult(dis.search(), True, -1)
+    infos = []
+    for c in kids:
+        if c.posting is None:
+            continue
+        ub = float(
+            c.scorer.score(
+                np.array([c.posting.max_tf], dtype=np.int64),
+                np.array([c.posting.max_norm], dtype=np.float32),
+            )[0]
+        )
+        infos.append((ub, c))
+    if not infos:
+        return _TopKResult(SearchHits.empty(), True, 0)
+    infos.sort(key=lambda x: -x[0])
+    n_total = len(dis.children)
+    ubs = np.array([u for u, _ in infos])
+    tail = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+
+    cand_docs = np.empty(0, dtype=np.int64)
+    cand_sum = np.empty(0, dtype=np.float64)
+    cand_cnt = np.empty(0, dtype=np.int64)
+    theta = -np.inf
+    pruned = False
+    for i, (ub, c) in enumerate(infos):
+        remaining = len(infos) - i
+        new_doc_bound = tail[i] * (remaining / n_total)
+        hits = c.search()
+        if new_doc_bound < theta:
+            pruned = True
+            # gather-only: add contributions to existing candidates
+            if len(hits.docnums) == 0:
+                continue
+            idx = np.searchsorted(hits.docnums, cand_docs)
+            idx_c = np.minimum(idx, len(hits.docnums) - 1)
+            m = hits.docnums[idx_c] == cand_docs
+            cand_sum[m] += hits.scores[idx_c[m]]
+            cand_cnt[m] += 1
+        else:
+            merged = np.unique(np.concatenate((cand_docs, hits.docnums)))
+            new_sum = np.zeros(len(merged), dtype=np.float64)
+            new_cnt = np.zeros(len(merged), dtype=np.int64)
+            pos_old = np.searchsorted(merged, cand_docs)
+            new_sum[pos_old] = cand_sum
+            new_cnt[pos_old] = cand_cnt
+            pos_new = np.searchsorted(merged, hits.docnums)
+            new_sum[pos_new] += hits.scores
+            new_cnt[pos_new] += 1
+            cand_docs, cand_sum, cand_cnt = merged, new_sum, new_cnt
+        if len(cand_docs) >= k > 0:
+            est = cand_sum * (cand_cnt.astype(np.float64) / n_total)
+            theta = float(np.partition(est, len(est) - k)[len(est) - k])
+    scores = cand_sum * (cand_cnt.astype(np.float64) / n_total)
+    if dis.min_match > 0:
+        keep = cand_cnt >= dis.min_match
+        cand_docs, scores = cand_docs[keep], scores[keep]
+    return _TopKResult(
+        SearchHits(cand_docs, scores), not pruned, len(cand_docs)
+    )
+
+
 class BooleanSearcher(Searcher):
     """search_boolean.go: must AND should(>=min via the should-disjunction)
     AND NOT mustNot; score = must + should contributions (conjunction-style
