@@ -269,6 +269,39 @@ def _q_collection_stats(sf_dir: str):
     )
 
 
+def _q_minhash_pairs(sf_dir: str):
+    """Materialize to a typed table: group-wise pair emission can produce
+    empty blocks whose schema is empty, which breaks naive concatenation."""
+    import pyarrow as pa
+
+    from bleve_ray.pipelines.dedup import minhash_pairs_ds
+
+    df = minhash_pairs_ds(sf_dir).to_pandas()
+    return pa.table(
+        {
+            "doc_a": pa.array(df.get("doc_a", []), type=pa.int64()),
+            "doc_b": pa.array(df.get("doc_b", []), type=pa.int64()),
+        }
+    )
+
+
+def _q_events_windowed(sf_dir: str):
+    import pyarrow as pa
+
+    from bleve_ray.pipelines.text_stats import windowed_events_ds
+
+    df = windowed_events_ds(sf_dir).to_pandas()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"]),
+            "window": pa.array(df["window"], type=pa.timestamp("us")),
+            "n_events": pa.array(df["n_events"], type=pa.int64()),
+            "min_value": pa.array([f"{x:.6f}" for x in df["min_value"]]),
+            "max_value": pa.array([f"{x:.6f}" for x in df["max_value"]]),
+        }
+    )
+
+
 def _q_lineitem_agg(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -471,11 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text_stats.langid_ds,
         "doc_fingerprint": text_stats.fingerprint_ds,
         "exact_dedup": dedup.exact_dedup_ds,
-        "minhash_pairs": dedup.minhash_pairs_ds,
+        "minhash_pairs": _q_minhash_pairs,
         "simhash": dedup.simhash_ds,
         "ann_cosine_topk": ann.ann_cosine_topk_ds,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
         # --- generic relational ops ---
+        "events_windowed": _q_events_windowed,
         "lineitem_agg": _q_lineitem_agg,
         "events_agg": _q_events_agg,
     }
@@ -590,5 +624,11 @@ SELECT event_type, count(*) AS n_events,
        printf('%.6f', min(value)) AS min_value,
        printf('%.6f', max(value)) AS max_value
 FROM events GROUP BY event_type
+""",
+        "events_windowed": """
+SELECT event_type, date_trunc('day', ts) AS window, count(*) AS n_events,
+       printf('%.6f', min(value)) AS min_value,
+       printf('%.6f', max(value)) AS max_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
 """,
     }

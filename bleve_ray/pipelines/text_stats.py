@@ -187,3 +187,29 @@ def fingerprint_ds(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def windowed_events_ds(sf_dir: str, window: str = "day"):
+    """Tumbling-window aggregate over the events stream table: count +
+    min/max value per (event_type, window).  The window key is computed
+    vectorized per batch; the groupby is the only shuffle."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit=window)
+        return batch.append_column("window", pc.cast(w, pa.timestamp("us")))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
