@@ -199,6 +199,19 @@ CODE = register_analyzer(
 )
 
 
+# web: web tokenizer + to_lower + stop_en (reference analysis/analyzer/web)
+from .tokenizers import make_web_tokenizer  # noqa: E402
+
+WEB = register_analyzer(
+    Analyzer(
+        name="web",
+        tokenizer=make_web_tokenizer(),
+        token_filters=[lowercase_filter, make_stop_filter(ENGLISH_STOP_WORDS)],
+        fast_path=False,
+    )
+)
+
+
 def make_custom_analyzer(
     name: str,
     tokenizer,

@@ -328,3 +328,19 @@ def _tokenize_by_re(pat, text: str) -> List[Token]:
         toks.append(Token(term, pos, s, e, _classify(term)))
         pos += 1
     return toks
+
+
+# web tokenizer (reference analysis/tokenizer/web): emails, URLs and
+# @mentions/#hashtags survive as single tokens; everything else falls back
+# to UAX#29 words.  Implemented as an ExceptionTokenizer composition, the
+# same way the reference builds it from exception + unicode.
+WEB_EXCEPTIONS = [
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",  # email
+    r"https?://[^\s]+",                                   # url
+    r"@[A-Za-z0-9_]+",                                     # mention
+    r"#[A-Za-z0-9_]+",                                     # hashtag
+]
+
+
+def make_web_tokenizer() -> "ExceptionTokenizer":
+    return ExceptionTokenizer(WEB_EXCEPTIONS, UnicodeTokenizer())

@@ -152,3 +152,29 @@ def sha_agg(row_hashes: List[str]) -> str:
     h = hashlib.sha256()
     h.update("".join(row_hashes).encode())
     return h.hexdigest()
+
+
+def copy_to(index_dir: str, dest_dir: str) -> "Manifest":
+    """Index backup/copy (reference index.go:350-358 CopyTo): copy the
+    current epoch's segment/docmeta/docvalue files plus the manifest."""
+    import shutil
+
+    man = load(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    os.makedirs(dest_dir, exist_ok=True)
+    rels = [s.path for s in man.segments] + [d.path for d in man.docmeta]
+    dv = os.path.join(index_dir, "docvalues")
+    if os.path.isdir(dv):
+        rels += [
+            os.path.join("docvalues", f)
+            for f in os.listdir(dv)
+            if f.endswith(".parquet")
+        ]
+    for rel in rels:
+        dst = os.path.join(dest_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(os.path.join(index_dir, rel), dst)
+    with open(os.path.join(dest_dir, MANIFEST_NAME), "w") as f:
+        f.write(man.to_json())
+    return load(dest_dir)

@@ -176,6 +176,21 @@ class _RevStr(_Rev):
     pass
 
 
+def _apply_search_before(reader, hits: SearchHits, before) -> SearchHits:
+    """search_before (index_impl.go SearchBefore, reversed execution): keep
+    only docs strictly BEFORE (score, id) in the default order."""
+    b_score = float(before[0])
+    b_id = str(before[1]) if len(before) > 1 else ""
+    gt = hits.scores > b_score
+    ties = np.flatnonzero(hits.scores == b_score)
+    if len(ties):
+        tie_ids = reader.doc_ids_for(hits.docnums[ties])
+        for j, tid in zip(ties, tie_ids):
+            if tid < b_id:
+                gt[j] = True
+    return SearchHits(hits.docnums[gt], hits.scores[gt])
+
+
 def _apply_search_after(reader, hits: SearchHits, after) -> SearchHits:
     """search_after for the default [-_score, _id] order
     (index_impl.go:776-782 seeded-collector semantics): keep only docs
@@ -251,6 +266,10 @@ class Index:
         if request.get("search_after"):
             hits = _apply_search_after(
                 self.reader, hits, request["search_after"]
+            )
+        if request.get("search_before"):
+            hits = _apply_search_before(
+                self.reader, hits, request["search_before"]
             )
         result = collect_topn(
             self.reader,

@@ -96,6 +96,27 @@ class DistributedIndexReader:
             self._cache[ck] = p
         return p
 
+    def prefetch(self, requests) -> None:
+        """Issue all posting fetches concurrently (one round-trip instead of
+        one per term) -- the scatter half of the alias scatter-gather."""
+        import ray
+
+        refs = []
+        for field, term, want_positions in requests:
+            ck = (field, term, want_positions)
+            if ck in self._cache:
+                continue
+            actor = self.actors[
+                self._actor_of_shard[self._shard_of(field, term)]
+            ]
+            refs.append(
+                (ck, actor.posting.remote(field, term, want_positions))
+            )
+        for ck, ref in refs:
+            res = ray.get(ref)
+            if len(self._cache) < 256:
+                self._cache[ck] = None if res is None else Posting(*res)
+
     # stats / docmeta / dictionary: manifest + local files (tiny reads)
     def doc_count(self) -> int:
         return self.local.doc_count()
@@ -136,3 +157,26 @@ class DistributedIndex(Index):
             analyzers={f: c["analyzer"] for f, c in opts["fields"].items()},
             scoring_model=opts.get("scoring_model", "bm25"),
         )
+
+    def search(self, request: dict) -> SearchResult:
+        q = request.get("query")
+        if isinstance(q, dict):
+            from ..analysis.analyzers import analyzer_named
+            from .highlight import extract_query_terms
+
+            terms_by_field = extract_query_terms(
+                q,
+                lambda f, a=None: analyzer_named(
+                    a or self.mapping.analyzer_for(f)
+                ),
+                self.mapping.default_field,
+            )
+            want_pos = "match_phrase" in str(q)
+            self.reader.prefetch(
+                [
+                    (f, t, want_pos)
+                    for f, ts in terms_by_field.items()
+                    for t in sorted(ts)
+                ]
+            )
+        return super().search(request)
