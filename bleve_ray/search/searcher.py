@@ -244,7 +244,12 @@ def disjunction_topk(dis: "DisjunctionSearcher", k: int) -> _TopKResult:
     largest CURRENT estimate sum*cnt/n, which only grows toward the final
     score -- so strict `bound < theta` skipping can never drop a true
     top-k doc.  Scores of returned docs are computed exactly; ranking is
-    identical to the exhaustive path (asserted in tests)."""
+    identical to the exhaustive path (asserted in tests).
+
+    Current saving is candidate-set growth (the sorted-union merge), not
+    posting DECODE -- gathered terms still decode fully.  Decode-level
+    skipping needs per-sub-block bounds inside a segment row (finer blocks
+    than the per-term maxima stored today); noted as follow-up."""
     kids = [c for c in dis.children if isinstance(c, TermSearcher)]
     if (
         len(kids) != len(dis.children)

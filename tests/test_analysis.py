@@ -137,3 +137,20 @@ def test_letter_whitespace_tokenizers():
 def test_ascii_alnum_analyzer():
     a = analyzer_named("ascii_alnum_lower")
     assert a.terms("Foo_bar 3.14 Baz-qux") == ["foo", "bar", "3", "14", "baz", "qux"]
+
+
+def test_datetime_parsers():
+    from bleve_ray.analysis.datetime_parsers import (
+        datetime_parser_named,
+        registered_datetime_parsers,
+    )
+
+    iso = datetime_parser_named("iso")
+    assert iso("2024-01-10T00:00:00Z") == 1704844800 * 10**9
+    assert iso("2024-01-10T00:00:00+00:00") == iso("2024-01-10T00:00:00")
+    assert iso("not a date") is None
+    flex = datetime_parser_named("flexible")
+    assert flex("2024/01/10") == iso("2024-01-10T00:00:00")
+    assert datetime_parser_named("unix_sec")(1704844800) == 1704844800 * 10**9
+    assert datetime_parser_named("unix_milli")(1704844800000) == 1704844800 * 10**9
+    assert "iso" in registered_datetime_parsers()
