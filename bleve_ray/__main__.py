@@ -48,6 +48,15 @@ def main(argv=None):
     q.add_argument("query_json")
     q.add_argument("--size", type=int, default=10)
 
+    fm = sub.add_parser("forcemerge")
+    fm.add_argument("index_dir")
+    fm.add_argument("--target", type=int, default=1)
+
+    tt = sub.add_parser("topterms")
+    tt.add_argument("index_dir")
+    tt.add_argument("field")
+    tt.add_argument("--limit", type=int, default=20)
+
     d = sub.add_parser("dictionary")
     d.add_argument("index_dir")
     d.add_argument("field")
@@ -90,6 +99,23 @@ def main(argv=None):
         ray.shutdown()
         return
 
+    if args.cmd == "forcemerge":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="error", log_to_driver=False)
+        from .index.build import IndexOptions, run_merge_phase
+        from .index import manifest as manifest_mod
+
+        man = manifest_mod.load(args.index_dir)
+        opts = IndexOptions(target_segments_per_shard=args.target)
+        man.merge_done = False
+        man = run_merge_phase(args.index_dir, man, opts)
+        print(json.dumps({"segments": len(man.segments), "epoch": man.epoch}))
+        ray.shutdown()
+        return
+
     from .search import Index
 
     idx = Index.open(args.index_dir)
@@ -120,6 +146,10 @@ def main(argv=None):
             {"query": json.loads(args.query_json), "size": args.size}
         )
         print(json.dumps(res.to_dict(), indent=1))
+    elif args.cmd == "topterms":
+        d = idx.reader.dictionary(args.field)
+        for term, df in sorted(d, key=lambda td: (-td[1], td[0]))[: args.limit]:
+            print(f"{term}\t{df}")
     elif args.cmd == "dictionary":
         for term, df in idx.reader.dictionary(args.field)[: args.limit]:
             print(f"{term}\t{df}")

@@ -225,7 +225,8 @@ def make_porter2_filter():
 
     def porter2_filter(tokens):
         for t in tokens:
-            t.term = stem(t.term)
+            if t.type != "KeyWord":  # keyword-marked tokens skip stemming
+                t.term = stem(t.term)
         return tokens
 
     return porter2_filter

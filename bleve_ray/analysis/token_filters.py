@@ -191,3 +191,53 @@ def make_unicodenorm_filter(form: str):
         return tokens
 
     return unicodenorm_filter
+
+
+def make_elision_filter(articles: Set[str] = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)):
+    """Strip elided articles before an apostrophe (reference
+    analysis/token/elision, default French article set): l'avion -> avion."""
+
+    def elision_filter(tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            for ch in ("'", "’"):
+                i = t.term.find(ch)
+                if i >= 0 and t.term[:i].lower() in articles:
+                    t.term = t.term[i + 1 :]
+                    break
+        return tokens
+
+    return elision_filter
+
+
+def make_hierarchy_filter(separator: str = "/", max_levels: int = 10):
+    """Path-hierarchy tokens (reference analysis/token/hierarchy):
+    'a/b/c' -> 'a', 'a/b', 'a/b/c' (all at the source position)."""
+
+    def hierarchy_filter(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for t in tokens:
+            parts = t.term.split(separator)[:max_levels]
+            acc = []
+            for part in parts:
+                acc.append(part)
+                out.append(
+                    Token(separator.join(acc), t.position, t.start, t.end, t.type)
+                )
+        return out
+
+    return hierarchy_filter
+
+
+def make_keyword_marker_filter(keywords: Set[str]):
+    """Mark tokens as keywords so later stemmers skip them (reference
+    analysis/token/keyword)."""
+
+    def keyword_marker(tokens: List[Token]) -> List[Token]:
+        for t in tokens:
+            if t.term in keywords:
+                t.type = "KeyWord"
+        return tokens
+
+    return keyword_marker

@@ -158,3 +158,53 @@ def test_cli_smoke(ray_session, tiny_corpus_dir, tmp_path_factory):
         )
         assert r.returncode == 0, (cmd, r.stderr[-1000:])
         assert check(r.stdout), (cmd, r.stdout[:500])
+
+
+def test_fuzzy_query_end_to_end(ray_session, tiny_corpus_dir, tmp_path_factory):
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    idx_dir = str(tmp_path_factory.mktemp("fz_idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, idx_dir, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(idx_dir)
+    exact = idx.search({"query": {"term": "lambda", "field": "content"}, "size": 100})
+    fuzzy = idx.search(
+        {"query": {"term": "lambada", "field": "content", "fuzziness": 2},
+         "size": 100}
+    )
+    # 'lambada' is within edit distance 2 of 'lambda'
+    assert fuzzy.total_hits >= exact.total_hits > 0
+    # regexp and wildcard expansions
+    rx = idx.search({"query": {"regexp": "lamb.*", "field": "content"}, "size": 5})
+    wc = idx.search({"query": {"wildcard": "lamb*", "field": "content"}, "size": 5})
+    assert rx.total_hits == wc.total_hits >= exact.total_hits
+
+
+def test_forcemerge_and_topterms_cli(ray_session, tiny_corpus_dir, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("fm_idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    from bleve_ray.index import IndexOptions, build_index
+
+    build_index(
+        files, idx_dir,
+        IndexOptions(num_shards=2, bucket_bits=4, target_segments_per_shard=8),
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "bleve_ray", "topterms", idx_dir, "content",
+         "--limit", "3"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0 and len(r.stdout.strip().splitlines()) == 3
+    r = subprocess.run(
+        [sys.executable, "-m", "bleve_ray", "forcemerge", idx_dir],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["segments"] == 2  # one per shard after ForceMerge

@@ -80,3 +80,31 @@ def test_lower_term_dotted_i():
     # Go unicode.ToLower maps U+0130 to a single 'i'
     assert lower_term("İstanbul") == "istanbul"
     assert lower_term("ABC") == "abc"
+
+
+def test_elision():
+    from bleve_ray.analysis.token_filters import make_elision_filter
+
+    f = make_elision_filter()
+    assert terms(f(toks("l'avion", "d'une", "plain"))) == [
+        "avion",
+        "une",
+        "plain",
+    ]
+
+
+def test_hierarchy():
+    from bleve_ray.analysis.token_filters import make_hierarchy_filter
+
+    f = make_hierarchy_filter("/")
+    assert terms(f(toks("a/b/c"))) == ["a", "a/b", "a/b/c"]
+
+
+def test_keyword_marker_blocks_stemming():
+    from bleve_ray.analysis.porter2 import make_porter2_filter
+    from bleve_ray.analysis.token_filters import make_keyword_marker_filter
+
+    marker = make_keyword_marker_filter({"running"})
+    stemmer = make_porter2_filter()
+    ts = stemmer(marker(toks("running", "jumping")))
+    assert terms(ts) == ["running", "jump"]
