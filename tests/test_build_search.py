@@ -171,3 +171,28 @@ def test_resume_skips_completed_partitions(
         rb = Index.open(d2).search(req).to_dict()
         ra.pop("took_ms"), rb.pop("took_ms")
         assert ra == rb
+
+
+def test_multi_phrase_query(built_index):
+    """MultiPhraseQuery: position slots with alternatives
+    (reference NewMultiPhraseQuery / tokenStreamToPhrase multi-term slots)."""
+    from bleve_ray.search import Index
+
+    idx_dir, _ = built_index
+    idx = Index.open(idx_dir)
+    # "return nil" OR "return err" via a multi-term second slot
+    r_multi = idx.search(
+        {
+            "query": {"terms": [["return"], ["nil", "err"]],
+                      "field": "content"},
+            "size": 100,
+        }
+    )
+    r_nil = idx.search(
+        {"query": {"match_phrase": "return nil", "field": "content"}, "size": 100}
+    )
+    r_err = idx.search(
+        {"query": {"match_phrase": "return err", "field": "content"}, "size": 100}
+    )
+    union_ids = {h.id for h in r_nil.hits} | {h.id for h in r_err.hits}
+    assert {h.id for h in r_multi.hits} == union_ids
