@@ -205,6 +205,12 @@ def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
     )
     index_dir = f"/tmp/bleve_ray_bench/index_{n_docs}_{num_cpus}"
     out = {"sf": sf, "num_cpus": num_cpus, "corpus_mb": round(total_bytes / 1e6, 1)}
+    if not warmup:
+        # small untimed warm-up (worker spin-up + page cache) so the timed
+        # build measures the pipeline, not Ray cold start
+        wfiles, _, _ = corpus_for(0.001, scale_mult=1, doc_lines=doc_lines)
+        bench_build(wfiles, index_dir + "_warm", num_cpus)
+        shutil.rmtree(index_dir + "_warm", ignore_errors=True)
     b = bench_build(files, index_dir, num_cpus, warmup=warmup)
     out.update({f"build.{k}": v for k, v in b.items()})
     out["mb_per_sec"] = round(total_bytes / 1e6 / b["build_sec"], 1)
