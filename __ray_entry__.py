@@ -285,6 +285,20 @@ def _q_minhash_pairs(sf_dir: str):
     )
 
 
+def _q_near_dup_verified(sf_dir: str):
+    """Full near-dup pipeline: MinHash-LSH candidates -> exact n-gram
+    Jaccard verification (>= 0.5)."""
+    import pyarrow as pa
+
+    from bleve_ray.pipelines.dedup import jaccard_verify_pairs, minhash_pairs_ds
+
+    df = minhash_pairs_ds(sf_dir).to_pandas()
+    pairs = [tuple(r) for r in df[["doc_a", "doc_b"]].values.tolist()]
+    verified = jaccard_verify_pairs(sf_dir, pairs)
+    mask = [float(j) >= 0.5 for j in verified["jaccard"].to_pylist()]
+    return verified.filter(pa.array(mask))
+
+
 def _q_events_windowed(sf_dir: str):
     import pyarrow as pa
 
@@ -505,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_stats.fingerprint_ds,
         "exact_dedup": dedup.exact_dedup_ds,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dup_verified": _q_near_dup_verified,
         "simhash": dedup.simhash_ds,
         "ann_cosine_topk": ann.ann_cosine_topk_ds,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,

@@ -241,3 +241,34 @@ def make_keyword_marker_filter(keywords: Set[str]):
         return tokens
 
     return keyword_marker
+
+
+def make_compound_filter(
+    dictionary: Set[str], min_subword: int = 3, max_subword: int = 15,
+    only_longest: bool = False,
+):
+    """Dictionary decompounder (reference analysis/token/compound): emit
+    dictionary subwords found inside each token, keeping the original token
+    too: 'notebook' with {note, book} -> notebook, note, book."""
+
+    def compound_filter(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for t in tokens:
+            out.append(t)
+            term = t.term.lower()
+            n = len(term)
+            found: List[str] = []
+            for i in range(n):
+                longest = None
+                for j in range(i + min_subword, min(i + max_subword, n) + 1):
+                    if term[i:j] in dictionary:
+                        longest = term[i:j]
+                        if not only_longest:
+                            found.append(term[i:j])
+                if only_longest and longest:
+                    found.append(longest)
+            for sub in found:
+                out.append(Token(sub, t.position, t.start, t.end, t.type))
+        return out
+
+    return compound_filter

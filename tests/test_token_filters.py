@@ -108,3 +108,12 @@ def test_keyword_marker_blocks_stemming():
     stemmer = make_porter2_filter()
     ts = stemmer(marker(toks("running", "jumping")))
     assert terms(ts) == ["running", "jump"]
+
+
+def test_compound_decompounder():
+    from bleve_ray.analysis.token_filters import make_compound_filter
+
+    f = make_compound_filter({"note", "book", "case"})
+    assert terms(f(toks("notebook"))) == ["notebook", "note", "book"]
+    assert terms(f(toks("bookcase"))) == ["bookcase", "book", "case"]
+    assert terms(f(toks("plain"))) == ["plain"]
