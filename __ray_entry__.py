@@ -583,7 +583,7 @@ FROM toks GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 50
         "collection_stats": f"""
 WITH {_PROLOGUE}
 SELECT (SELECT n FROM st) AS doc_count,
-       (SELECT sum(dl) FROM dl) AS total_tokens,
+       CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS total_tokens,
        CAST((SELECT avgdl FROM st) AS BIGINT) AS avgdl
 """,
         "token_count": """

@@ -246,6 +246,7 @@ class Index:
             and not request.get("facets")
             and not request.get("sort")
             and not request.get("search_after")
+            and not request.get("search_before")
         ):
             from .searcher import DisjunctionSearcher, disjunction_topk
 
@@ -263,6 +264,11 @@ class Index:
                 hits = searcher.search()
         else:
             hits = searcher.search()
+        # total_hits is cursor-independent (collector/topn.go basicPrepare
+        # counts every match before the searchAfter skip)
+        pre_cursor_total = len(hits.docnums)
+        size = request.get("size", 10)
+        from_ = request.get("from", 0)
         if request.get("search_after"):
             hits = _apply_search_after(
                 self.reader, hits, request["search_after"]
@@ -271,13 +277,19 @@ class Index:
             hits = _apply_search_before(
                 self.reader, hits, request["search_before"]
             )
+            # reference (index_impl.go SearchBefore) reverses the sort and
+            # returns the page immediately PRECEDING the cursor, re-sorted
+            # to the default order: i.e. the LAST `size` docs before it.
+            from_ = max(0, len(hits.docnums) - size)
         result = collect_topn(
             self.reader,
             hits,
-            size=request.get("size", 10),
-            from_=request.get("from", 0),
+            size=size,
+            from_=from_,
             sort=request.get("sort"),
         )
+        if request.get("search_after") or request.get("search_before"):
+            result.total_hits = pre_cursor_total
         result.total_relation = total_relation
         if request.get("facets"):
             from .facets import compute_facets

@@ -17,12 +17,14 @@ def within_distance(a: str, b: str, k: int) -> bool:
     # banded DP
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
-        cur = [i] + [0] * lb
+        # Out-of-band cells must read as > k, never 0: a 0 leaks into the
+        # next row via prev[j] and admits terms at distance > k.
+        cur = [k + 1] * (lb + 1)
+        cur[0] = i
         lo = max(1, i - k)
         hi = min(lb, i + k)
-        if lo > 1:
-            cur[lo - 1] = k + 1
-        best = k + 1
+        # column 0 (value i) is inside the band when i <= k
+        best = i if i <= k else k + 1
         for j in range(lo, hi + 1):
             cost = 0 if a[i - 1] == b[j - 1] else 1
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)

@@ -139,8 +139,8 @@ class PrefixQuery(Query):
 class TermRangeQuery(Query):
     """search_term_range.go equivalent over the dictionary."""
 
-    min: str
-    max: str
+    min: Optional[str] = None
+    max: Optional[str] = None
     field: str = ""
     inclusive_min: bool = True
     inclusive_max: bool = False
@@ -153,7 +153,9 @@ class TermRangeQuery(Query):
             for t in reader.terms_in_range(
                 field, self.min, self.max, self.inclusive_max
             )
-            if (t > self.min or (self.inclusive_min and t == self.min))
+            if self.min is None
+            or t > self.min
+            or (self.inclusive_min and t == self.min)
         ]
         if not terms:
             return MatchNoneSearcher()
@@ -230,7 +232,12 @@ def _parse_dt_nanos(s) -> int:
     d = _dt.datetime.fromisoformat(str(s).replace("Z", "+00:00"))
     if d.tzinfo is None:
         d = d.replace(tzinfo=_dt.timezone.utc)
-    return int(d.timestamp() * 1_000_000) * 1000
+    # exact integer arithmetic (reference indexes exact UnixNano); float
+    # d.timestamp() can lose a microsecond to rounding at boundaries
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    delta = d - epoch
+    whole_us = (delta.days * 86400 + delta.seconds) * 1_000_000
+    return (whole_us + delta.microseconds) * 1000
 
 
 @dataclass

@@ -283,13 +283,20 @@ class IndexReader:
         return sorted(set(out))
 
     def terms_in_range(
-        self, field: str, lo: str, hi: str, inclusive_hi: bool = True
+        self, field: str, lo: Optional[str], hi: Optional[str],
+        inclusive_hi: bool = True,
     ) -> List[str]:
+        """lo=None / hi=None are open bounds (NewTermRangeSearcher allows
+        nil min/max, search_term_range.go)."""
         out = set()
         for shard_entries in self._by_shard.values():
             for entry in shard_entries:
                 for f, t, d in self._reader(entry).iter_terms(field):
-                    if t > lo or t == lo:
-                        if t < hi or (inclusive_hi and t == hi):
-                            out.add(t)
+                    if lo is not None and t < lo:
+                        continue
+                    if hi is not None and (
+                        t > hi or (t == hi and not inclusive_hi)
+                    ):
+                        continue
+                    out.add(t)
         return sorted(out)

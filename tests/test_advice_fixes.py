@@ -1,0 +1,93 @@
+"""Regression tests for the round-1 ADVICE findings: banded-Levenshtein
+out-of-band leak, open-ended term ranges, exact datetime nanos."""
+
+import datetime
+import os
+import random
+
+import pytest
+
+from bleve_ray.index import IndexOptions, build_index
+from bleve_ray.search import Index
+from bleve_ray.search.levenshtein import within_distance
+from bleve_ray.search.query import _parse_dt_nanos
+
+
+def _lev(a, b):
+    d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        d[i][0] = i
+    for j in range(len(b) + 1):
+        d[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1,
+                d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[-1][-1]
+
+
+def test_levenshtein_band_leak():
+    # the round-1 bug: out-of-band 0 read via prev[j] when len gap == k
+    assert not within_distance("ab", "xyz", 1)
+    assert not within_distance("abc", "wxyz", 1)
+    assert within_distance("ab", "xb", 1)
+    assert within_distance("b", "", 1)
+    assert not within_distance("ab", "", 1)
+
+
+def test_levenshtein_matches_full_dp():
+    rng = random.Random(7)
+    al = "abcx"
+    for _ in range(1500):
+        a = "".join(rng.choices(al, k=rng.randint(0, 7)))
+        b = "".join(rng.choices(al, k=rng.randint(0, 7)))
+        for k in (0, 1, 2):
+            assert within_distance(a, b, k) == (_lev(a, b) <= k), (a, b, k)
+
+
+def test_parse_dt_nanos_exact():
+    # float seconds lose precision near microsecond boundaries
+    assert _parse_dt_nanos("2262-01-01T00:00:00.000001Z") == (
+        9214646400 * 1_000_000_000 + 1_000
+    )
+    assert _parse_dt_nanos("1970-01-01T00:00:00Z") == 0
+    assert _parse_dt_nanos("1969-12-31T23:59:59.999999Z") == -1_000
+    d = datetime.datetime(
+        2024, 5, 17, 12, 34, 56, 789123, tzinfo=datetime.timezone.utc
+    )
+    want = int(d.replace(microsecond=0).timestamp()) * 1_000_000_000
+    want += 789123 * 1000
+    assert _parse_dt_nanos("2024-05-17T12:34:56.789123Z") == want
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tiny_corpus_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("advice_idx"))
+    files = sorted(
+        os.path.join(tiny_corpus_dir, f) for f in os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    return Index.open(d)
+
+
+def test_term_range_open_ended(idx):
+    # {"min": X} with no max must not raise (nil max bound,
+    # search_term_range.go NewTermRangeSearcher)
+    r = idx.search(
+        {"query": {"min": "lambda", "field": "content"}, "size": 5}
+    )
+    assert r.total_hits > 0
+    r2 = idx.search(
+        {"query": {"max": "lambda", "field": "content"}, "size": 5}
+    )
+    assert r2.total_hits > 0
+    # fully open range == every doc with any term in the field
+    from bleve_ray.search.query import TermRangeQuery
+
+    r3 = idx.search(
+        {"query": TermRangeQuery(field="content"), "size": 5}
+    )
+    assert r3.total_hits >= max(r.total_hits, r2.total_hits)

@@ -61,3 +61,42 @@ def test_search_before(built):
     assert [(h.id, h.score) for h in r.hits] == [
         (h.id, h.score) for h in full[:2]
     ]
+
+
+def test_search_before_small_page(built):
+    """Page immediately PRECEDING the cursor (index_impl.go:776-782): with
+    size < docs-before-pivot, return the LAST `size` before it, not the
+    first; total_hits is cursor-independent."""
+    idx = Index.open(built)
+    req = {"query": {"match_all": {}}, "size": 1000}
+    full = idx.search(req).hits
+    assert len(full) >= 10
+    pivot = full[7]
+    r = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 3,
+            "search_before": [pivot.score, pivot.id],
+        }
+    )
+    assert [(h.id, h.score) for h in r.hits] == [
+        (h.id, h.score) for h in full[4:7]
+    ]
+    assert r.total_hits == len(full)
+
+
+def test_search_after_total_hits_cursor_independent(built):
+    idx = Index.open(built)
+    full = idx.search({"query": {"match_all": {}}, "size": 1000})
+    pivot = full.hits[5]
+    r = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 3,
+            "search_after": [pivot.score, pivot.id],
+        }
+    )
+    assert r.total_hits == full.total_hits
+    assert [(h.id, h.score) for h in r.hits] == [
+        (h.id, h.score) for h in full.hits[6:9]
+    ]
