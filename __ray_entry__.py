@@ -286,17 +286,27 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_near_dup_verified(sf_dir: str):
-    """Full near-dup pipeline: MinHash-LSH candidates -> exact n-gram
-    Jaccard verification (>= 0.5)."""
+    """Full near-dup pipeline, end-to-end distributed: MinHash-LSH
+    candidates -> broadcast pair list -> streamed corpus shingle stage ->
+    keyed-bucket groupby -> exact n-gram Jaccard (>= 0.5). The corpus is
+    never materialized on the driver; only the (small, LSH-bounded) pair
+    list and the verified scores are."""
+    import pandas as pd
     import pyarrow as pa
 
-    from bleve_ray.pipelines.dedup import jaccard_verify_pairs, minhash_pairs_ds
+    from bleve_ray.pipelines.dedup import jaccard_verify_ds
 
-    df = minhash_pairs_ds(sf_dir).to_pandas()
-    pairs = [tuple(r) for r in df[["doc_a", "doc_b"]].values.tolist()]
-    verified = jaccard_verify_pairs(sf_dir, pairs)
-    mask = [float(j) >= 0.5 for j in verified["jaccard"].to_pylist()]
-    return verified.filter(pa.array(mask))
+    pairs = _q_minhash_pairs(sf_dir)
+    df = jaccard_verify_ds(sf_dir, pairs).to_pandas()
+    df = df[df["jaccard"].astype(float) >= 0.5]
+    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(df["doc_a"], type=pa.int64()),
+            "doc_b": pa.array(df["doc_b"], type=pa.int64()),
+            "jaccard": pa.array(df["jaccard"], type=pa.string()),
+        }
+    )
 
 
 def _q_events_windowed(sf_dir: str):

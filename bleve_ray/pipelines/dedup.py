@@ -120,14 +120,32 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# LSH guard: a degenerate bucket (empty docs, boilerplate) would emit
+# O(n^2) pairs; cap the bucket and log the drop so truncation is visible.
+MAX_BUCKET_DOCS = 64
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    docs = sorted(group["doc_id"].to_pylist())
-    a, b = [], []
-    if len(docs) > 1:
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                a.append(docs[i])
-                b.append(docs[j])
+    docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    n = len(docs)
+    if n > MAX_BUCKET_DOCS:
+        import logging
+
+        logging.getLogger("bleve_ray.dedup").warning(
+            "LSH bucket band=%s hash=%s has %d docs > cap %d: "
+            "dropping %d potential pairs",
+            group["band"][0].as_py(),
+            group["band_hash"][0].as_py(),
+            n,
+            MAX_BUCKET_DOCS,
+            n * (n - 1) // 2,
+        )
+        n = 0
+    if n > 1:
+        ia, ib = np.triu_indices(n, k=1)
+        a, b = docs[ia], docs[ib]
+    else:
+        a = b = np.array([], dtype=np.int64)
     return pa.table(
         {
             "doc_a": pa.array(a, type=pa.int64()),
@@ -139,8 +157,10 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 def minhash_pairs_ds(sf_dir: str):
     """Candidate near-duplicate pairs from banded MinHash LSH:
     shingle -> minhash -> band rows -> groupby(band, band_hash) -> pairs.
-    Pairs are deduplicated across bands."""
+    Pairs are deduplicated across bands with a hash-partitioned aggregate
+    (not per-pair map_groups: millions of 2-row groups are slow)."""
     import ray.data
+    from ray.data.aggregate import Count
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -150,9 +170,35 @@ def minhash_pairs_ds(sf_dir: str):
         _bucket_pairs, batch_format="pyarrow"
     )
     # distinct pairs (a band collision can repeat across bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_n")
     )
+    return distinct.select_columns(["doc_a", "doc_b"])
+
+
+# per-process term-hash cache: corpus vocabulary is far smaller than the
+# token stream, so each distinct term is blake2b-hashed once per worker
+_TERM_BITS_CACHE: dict = {}
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_POW2 = (np.uint64(1) << _BIT_SHIFTS).astype(np.uint64)
+
+
+def _term_bits(term: str) -> np.ndarray:
+    bits = _TERM_BITS_CACHE.get(term)
+    if bits is None:
+        h = np.uint64(
+            int.from_bytes(
+                hashlib.blake2b(term.encode(), digest_size=8).digest(),
+                "little",
+            )
+        )
+        # +1/-1 per bit, ready to scale by tf
+        bits = np.where(
+            ((h >> _BIT_SHIFTS) & np.uint64(1)) == 1, 1, -1
+        ).astype(np.int64)
+        if len(_TERM_BITS_CACHE) < 1_000_000:
+            _TERM_BITS_CACHE[term] = bits
+    return bits
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -163,21 +209,10 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         if not toks:
             out.append("0" * 16)
             continue
-        acc = np.zeros(64, dtype=np.int64)
         uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        for term, cnt in zip(uniq, counts):
-            h = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(str(term).encode(), digest_size=8).digest(),
-                    "little",
-                )
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, cnt, -cnt)
-        sim = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                sim |= 1 << bit
+        mat = np.stack([_term_bits(str(term)) for term in uniq])
+        acc = (mat * counts[:, None]).sum(axis=0)
+        sim = int((_POW2[acc > 0]).sum())
         out.append(f"{sim:016x}")
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
@@ -191,23 +226,123 @@ def simhash_ds(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
 
-def jaccard_verify_pairs(sf_dir: str, pairs: List[tuple], k: int = SHINGLE_K):
-    """Exact n-gram Jaccard for candidate pairs (small side: pairs list is
-    broadcast; texts fetched per batch)."""
-    import pyarrow.parquet as pq
+_PAIR_BUCKETS = 256  # keyed buckets keep shuffle group counts low
 
-    t = pq.read_table(
+
+class _MemberShingles:
+    """Actor-pool stage: broadcast pair membership once per actor
+    (ray.get in __init__), stream the corpus, emit one
+    (pair_id, side, doc_a, doc_b, shingles) row per (member doc, pair).
+    No driver-side corpus read: only candidate-pair members produce
+    output, everything else streams through and is dropped."""
+
+    def __init__(self, member_ref, k: int):
+        import ray
+
+        self.member = ray.get(member_ref)  # doc_id -> [(pair_id, a, b, side)]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        pair_ids, sides, das, dbs, sh_list = [], [], [], [], []
+        for d, t in zip(ids, texts):
+            lst = self.member.get(d)
+            if not lst:
+                continue
+            sh = np.unique(_shingle_hashes(_tokens(t), self.k))
+            for pid, a, b, side in lst:
+                pair_ids.append(pid)
+                sides.append(side)
+                das.append(a)
+                dbs.append(b)
+                sh_list.append(sh)
+        return pa.table(
+            {
+                "pair_bucket": pa.array(
+                    [p % _PAIR_BUCKETS for p in pair_ids], type=pa.int32()
+                ),
+                "pair_id": pa.array(pair_ids, type=pa.int64()),
+                "side": pa.array(sides, type=pa.int8()),
+                "doc_a": pa.array(das, type=pa.int64()),
+                "doc_b": pa.array(dbs, type=pa.int64()),
+                "shingles": pa.array(
+                    [s.tolist() for s in sh_list], type=pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+
+def _bucket_jaccard(group: pa.Table) -> pa.Table:
+    """Per pair_id within a bucket: |A ∩ B| / |A ∪ B| over the two
+    (already-deduplicated, sorted) shingle arrays via np.intersect1d."""
+    pair_ids = group["pair_id"].to_numpy(zero_copy_only=False)
+    sides = group["side"].to_numpy(zero_copy_only=False)
+    das = group["doc_a"].to_numpy(zero_copy_only=False)
+    dbs = group["doc_b"].to_numpy(zero_copy_only=False)
+    shingles = group["shingles"].to_pylist()
+    by_pair = {}
+    for i, pid in enumerate(pair_ids):
+        e = by_pair.setdefault(int(pid), [None, None, int(das[i]), int(dbs[i])])
+        e[int(sides[i])] = np.asarray(shingles[i], dtype=np.uint64)
+    out = []
+    empty = np.array([], dtype=np.uint64)
+    for pid in sorted(by_pair):
+        sa, sb, a, b = by_pair[pid]
+        sa = sa if sa is not None else empty
+        sb = sb if sb is not None else empty
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        out.append({"doc_a": a, "doc_b": b, "jaccard": f"{j:.6f}"})
+    if not out:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.string()),
+            }
+        )
+    t = pa.Table.from_pylist(out)
+    return t.set_column(0, "doc_a", t["doc_a"].cast(pa.int64())).set_column(
+        1, "doc_b", t["doc_b"].cast(pa.int64())
+    )
+
+
+def jaccard_verify_ds(sf_dir: str, pairs, k: int = SHINGLE_K):
+    """Exact n-gram Jaccard for candidate pairs as a Ray pipeline:
+    broadcast the (small) pair list via ray.put, stream the corpus through
+    an actor pool emitting member shingle sets, co-locate the two sides of
+    each pair with one keyed-bucket groupby, score vectorized.
+
+    `pairs`: pa.Table with doc_a/doc_b columns, or list of (a, b) tuples.
+    Partitioning assumption: the pair list (LSH candidate output) fits in
+    the object store -- it is bounded by the MAX_BUCKET_DOCS cap, not by
+    corpus size."""
+    import ray
+    import ray.data
+
+    if isinstance(pairs, pa.Table):
+        pair_list = list(
+            zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist())
+        )
+    else:
+        pair_list = [tuple(p) for p in pairs]
+    member: dict = {}
+    for pid, (a, b) in enumerate(pair_list):
+        member.setdefault(a, []).append((pid, a, b, 0))
+        member.setdefault(b, []).append((pid, a, b, 1))
+    member_ref = ray.put(member)
+
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    out = []
-    for a, b in pairs:
-        sa = set(_shingle_hashes(_tokens(texts.get(a, ""))).tolist())
-        sb = set(_shingle_hashes(_tokens(texts.get(b, ""))).tolist())
-        union = len(sa | sb)
-        j = len(sa & sb) / union if union else 0.0
-        out.append({"doc_a": a, "doc_b": b, "jaccard": f"{j:.6f}"})
-    return pa.Table.from_pylist(
-        out
-        or [{"doc_a": 0, "doc_b": 0, "jaccard": "0.000000"}][:0]
+    rows = ds.map_batches(
+        _MemberShingles,
+        fn_constructor_args=(member_ref, k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return rows.groupby("pair_bucket").map_groups(
+        _bucket_jaccard, batch_format="pyarrow"
     )
