@@ -62,7 +62,7 @@ def _raw_expr(idf: str) -> str:
     return f"({idf} * (sqrt(f) * 1.2) / {sat})"
 
 
-def _sql_term_search(term: str, k: int = 10) -> str:
+def _sql_term_search(term: str, k: int = 10, offset: int = 0) -> str:
     idf = _idf_expr("(SELECT count(*) FROM tf1)")
     return f"""
 WITH {_PROLOGUE}, {_tf_cte('tf1', term)}
@@ -70,6 +70,25 @@ SELECT CAST(tf1.doc_id AS VARCHAR) AS doc_id,
        printf('%.6f', {_raw_expr(idf)}) AS score
 FROM tf1 JOIN dl ON tf1.doc_id = dl.doc_id
 ORDER BY {_raw_expr(idf)} DESC, CAST(tf1.doc_id AS VARCHAR) ASC
+LIMIT {k} OFFSET {offset}
+"""
+
+
+def _sql_tfidf_search(term: str, k: int = 10) -> str:
+    """TF-IDF model (scorer_term.go:153): score = sqrt(tf) * norm * idf,
+    idf = 1 + ln(docTotal/(docTerm+1)); norm is the float32-quantized
+    1/sqrt(fieldLength)."""
+    idf = (
+        "(1.0 + ln((SELECT n FROM st) /"
+        " (CAST((SELECT count(*) FROM tf1) AS DOUBLE) + 1.0)))"
+    )
+    score = f"(sqrt(f) * CAST(CAST(1.0/sqrt(dl.dl) AS REAL) AS DOUBLE) * {idf})"
+    return f"""
+WITH {_PROLOGUE}, {_tf_cte('tf1', term)}
+SELECT CAST(tf1.doc_id AS VARCHAR) AS doc_id,
+       printf('%.6f', {score}) AS score
+FROM tf1 JOIN dl ON tf1.doc_id = dl.doc_id
+ORDER BY {score} DESC, CAST(tf1.doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
 
@@ -181,13 +200,70 @@ def _documents_index(sf_dir: str):
     return Index.open(idx_dir)
 
 
+def _documents_index_ex(sf_dir: str):
+    """Documents index variant for the extended contract: composite _all
+    field enabled + text stored as docvalue (highlighting)."""
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    opts = IndexOptions(
+        fields={
+            "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True),
+            "lang": FieldConfig(analyzer="keyword", positions=False),
+            "n_chars": FieldConfig(field_type="numeric", positions=False),
+        },
+        doc_id_fields=["doc_id"],
+        num_shards=4,
+        bucket_bits=16,
+        docvalue_fields=["lang", "n_chars", "text"],
+        enable_all_field=True,
+    )
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + str(opts.to_dict())).encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/docidx_ex_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        build_index(
+            [os.path.join(sf_dir, "documents.parquet")], idx_dir, opts
+        )
+    return Index.open(idx_dir)
+
+
+def _documents_index_tfidf(sf_dir: str):
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    opts = IndexOptions(
+        fields={
+            "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True),
+        },
+        doc_id_fields=["doc_id"],
+        num_shards=4,
+        bucket_bits=16,
+        scoring_model="tfidf",
+    )
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + str(opts.to_dict())).encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/docidx_tfidf_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        build_index(
+            [os.path.join(sf_dir, "documents.parquet")], idx_dir, opts
+        )
+    return Index.open(idx_dir)
+
+
 def _events_index(sf_dir: str):
     from bleve_ray.index import FieldConfig, IndexOptions, build_index
     from bleve_ray.index.manifest import load as load_manifest
     from bleve_ray.search import Index
 
     key = hashlib.sha1(
-        (os.path.abspath(sf_dir) + ":events:v1").encode()
+        (os.path.abspath(sf_dir) + ":events:v2").encode()
     ).hexdigest()[:12]
     idx_dir = f"/tmp/bleve_ray_cache/evidx_{key}"
     man = load_manifest(idx_dir)
@@ -206,6 +282,7 @@ def _events_index(sf_dir: str):
                 doc_id_fields=["event_id"],
                 num_shards=4,
                 bucket_bits=16,
+                docvalue_fields=["event_type"],
             ),
         )
     return Index.open(idx_dir)
@@ -450,6 +527,175 @@ def _q_sort_by_nchars(sf_dir: str):
     )
 
 
+def _docs_list_query(req: dict, use_ex: bool = False):
+    """All matching external doc ids, sorted lexicographically (scoring
+    skipped; semantics-only check for dictionary-expansion query kinds)."""
+
+    def run(sf_dir: str):
+        import pyarrow as pa
+
+        idx = _documents_index_ex(sf_dir) if use_ex else _documents_index(sf_dir)
+        r = idx.search({**req, "size": 1_000_000, "score": "none"})
+        ids = sorted(h.id for h in r.hits)
+        return pa.table({"doc_id": pa.array(ids, type=pa.string())})
+
+    return run
+
+
+def _q_search_after_page2(sf_dir: str):
+    """Page 2 of a term search via the search_after cursor; oracle is the
+    same BM25 ranking with OFFSET 10 (index_impl.go:776-782 semantics)."""
+    idx = _documents_index(sf_dir)
+    req = {"query": {"term": "vector", "field": "text"}, "size": 10}
+    page1 = idx.search(req)
+    last = page1.hits[-1]
+    page2 = idx.search({**req, "search_after": [last.score, last.id]})
+    return _hits_table(page2)
+
+
+def _q_tfidf_top10(sf_dir: str):
+    idx = _documents_index_tfidf(sf_dir)
+    return _hits_table(
+        idx.search({"query": {"term": "vector", "field": "text"}, "size": 10})
+    )
+
+
+def _q_highlight_marks(sf_dir: str):
+    """Top-10 by doc id for a term query with highlighting on; emits
+    whether the fragment produced a <mark>-tagged match (oracle: every
+    matching doc must highlight)."""
+    import pyarrow as pa
+
+    idx = _documents_index_ex(sf_dir)
+    r = idx.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 10,
+            "sort": ["_id"],
+            "highlight": {"fields": ["text"], "style": "html"},
+        }
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([h.id for h in r.hits], type=pa.string()),
+            "has_mark": pa.array(
+                [
+                    any("<mark>" in f for f in (h.fragments or {}).get("text", []))
+                    for h in r.hits
+                ],
+                type=pa.bool_(),
+            ),
+        }
+    )
+
+
+def _q_shingle_distinct(sf_dir: str):
+    """Distinct 2-gram shingle count over the corpus as a Ray pipeline:
+    tokenize + shingle filter in map_batches, hash-partitioned distinct."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from bleve_ray.analysis.analyzers import analyzer_named
+    from bleve_ray.analysis.token_filters import make_shingle_filter
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        an = analyzer_named("ascii_alnum_lower")
+        sh = make_shingle_filter(2, 2, sep=" ")
+        out = []
+        for t in batch["text"].to_pylist():
+            toks = an.analyze(t or "")
+            out.extend(tok.term for tok in sh(toks))
+        return pa.table({"shingle": pa.array(out, type=pa.string())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    distinct = (
+        ds.map_batches(shingles, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Count(alias_name="_n"))
+    )
+    n = distinct.count()
+    return pa.table({"n_shingles": pa.array([n], type=pa.int64())})
+
+
+def _q_facet_lang_filtered(sf_dir: str):
+    """Terms facet over a non-trivial (term) query match set."""
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 0,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    t = r.facets["langs"]["terms"]
+    return pa.table(
+        {
+            "lang": pa.array([x["term"] for x in t]),
+            "n_docs": pa.array([x["count"] for x in t], type=pa.int64()),
+        }
+    )
+
+
+def _q_facet_nchars_ranges(sf_dir: str):
+    """Numeric-range facet (facet_builder_numeric.go) over match_all."""
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {
+                "sizes": {
+                    "field": "n_chars",
+                    "numeric_ranges": [
+                        {"name": "small", "max": 200},
+                        {"name": "mid", "min": 200, "max": 400},
+                        {"name": "large", "min": 400},
+                    ],
+                }
+            },
+        }
+    )
+    b = r.facets["sizes"]["numeric_ranges"]
+    return pa.table(
+        {
+            "range_name": pa.array([x["name"] for x in b]),
+            "n_docs": pa.array([x["count"] for x in b], type=pa.int64()),
+        }
+    )
+
+
+def _q_facet_event_type_window(sf_dir: str):
+    """Terms facet over a datetime-range query match set (events index)."""
+    import pyarrow as pa
+
+    idx = _events_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "start": "2024-01-10T00:00:00",
+                "end": "2024-01-20T00:00:00",
+                "field": "ts",
+            },
+            "size": 0,
+            "facets": {"types": {"field": "event_type", "size": 10}},
+        }
+    )
+    t = r.facets["types"]["terms"]
+    return pa.table(
+        {
+            "event_type": pa.array([x["term"] for x in t]),
+            "n_events": pa.array([x["count"] for x in t], type=pa.int64()),
+        }
+    )
+
+
 # --- contract functions ----------------------------------------------------
 
 
@@ -516,6 +762,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ),
         "prefix_count": _q_prefix_count,
+        "fuzzy_docs": _docs_list_query(
+            {"query": {"term": "vektor", "fuzziness": 1, "field": "text"}}
+        ),
+        "regexp_docs": _docs_list_query(
+            {"query": {"regexp": "ve[ck]tor", "field": "text"}}
+        ),
+        "wildcard_docs": _docs_list_query(
+            {"query": {"wildcard": "wind*", "field": "text"}}
+        ),
+        "term_range_docs": _docs_list_query(
+            {"query": {"min": "merge", "max": "model", "field": "text"}}
+        ),
+        "ids_docs": _docs_list_query(
+            {"query": {"ids": ["3", "17", "41", "99999999"]}}
+        ),
+        "all_field_docs": _docs_list_query(
+            {"query": {"term": "de", "field": "_all"}}, use_ex=True
+        ),
+        "search_after_page2": _q_search_after_page2,
+        "tfidf_top10": _q_tfidf_top10,
+        "highlight_marks": _q_highlight_marks,
+        "shingle_distinct": _q_shingle_distinct,
+        "facet_lang_filtered": _q_facet_lang_filtered,
+        "facet_nchars_ranges": _q_facet_nchars_ranges,
+        "facet_event_type_window": _q_facet_event_type_window,
         "doc_freq_top_terms": _q_doc_freq_top_terms,
         "collection_stats": _q_collection_stats,
         "numeric_range_count": _q_numeric_range_count,
@@ -545,8 +816,89 @@ def oracle_sql() -> dict[str, str]:
         f"'{w}'"
         for w in "the of and to in is for on with as by at from that this it be are was".split()
     )
+    toks_cte = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)"""
     return {
         "term_search_bm25": _sql_term_search("vector"),
+        "search_after_page2": _sql_term_search("vector", k=10, offset=10),
+        "tfidf_top10": _sql_tfidf_search("vector"),
+        "fuzzy_docs": f"""
+WITH {toks_cte}
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM toks WHERE levenshtein(term, 'vektor') <= 1
+ORDER BY doc_id
+""",
+        "regexp_docs": f"""
+WITH {toks_cte}
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM toks WHERE regexp_full_match(term, 've[ck]tor')
+ORDER BY doc_id
+""",
+        "wildcard_docs": f"""
+WITH {toks_cte}
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM toks WHERE term LIKE 'wind%'
+ORDER BY doc_id
+""",
+        "term_range_docs": f"""
+WITH {toks_cte}
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM toks WHERE term >= 'merge' AND term < 'model'
+ORDER BY doc_id
+""",
+        "ids_docs": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE CAST(doc_id AS VARCHAR) IN ('3', '17', '41', '99999999')
+ORDER BY CAST(doc_id AS VARCHAR)
+""",
+        "all_field_docs": f"""
+WITH {toks_cte}
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents
+WHERE lang = 'de'
+   OR doc_id IN (SELECT doc_id FROM toks WHERE term = 'de')
+ORDER BY doc_id
+""",
+        "highlight_marks": f"""
+WITH {toks_cte},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS has_mark
+FROM m ORDER BY CAST(doc_id AS VARCHAR) LIMIT 10
+""",
+        "shingle_distinct": """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+  FROM documents
+)
+SELECT count(DISTINCT a.term || ' ' || b.term) AS n_shingles
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+""",
+        "facet_lang_filtered": f"""
+WITH {toks_cte},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')
+SELECT lang, count(*) AS n_docs
+FROM documents JOIN m USING (doc_id)
+GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 10
+""",
+        "facet_nchars_ranges": """
+SELECT 'small' AS range_name, count(*) AS n_docs
+FROM documents WHERE n_chars < 200
+UNION ALL
+SELECT 'mid', count(*) FROM documents WHERE n_chars >= 200 AND n_chars < 400
+UNION ALL
+SELECT 'large', count(*) FROM documents WHERE n_chars >= 400
+""",
+        "facet_event_type_window": """
+SELECT event_type, count(*) AS n_events FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type ORDER BY n_events DESC, event_type ASC LIMIT 10
+""",
         "numeric_range_count": """
 SELECT count(*) AS n_docs FROM documents
 WHERE n_chars >= 100 AND n_chars < 300
