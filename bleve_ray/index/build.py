@@ -148,39 +148,68 @@ def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
 
 def _numeric_tokens(col: pa.ChunkedArray, field_type: str):
     """Numeric/datetime column -> prefix-coded trie term stream
-    (16 terms per value at shifts 0,4,...,60)."""
+    (16 terms per value at shifts 0,4,...,60), fully vectorized: the
+    sortable mapping is a numpy bit flip, each shift level's terms are
+    built as a (n, width) uint8 matrix viewed as fixed-width bytes."""
     import pyarrow as _pa
 
-    from .numeric import PRECISION_STEP, float64_to_int64, prefix_coded_int64
+    from .numeric import PRECISION_STEP, SHIFT_START
 
     typ = col.type
+    n_rows = len(col)
     if field_type == "datetime" or _pa.types.is_timestamp(typ):
         unit = typ.unit if _pa.types.is_timestamp(typ) else "us"
         mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
-        vals = [
-            None if v is None else int(v) * mult
-            for v in pc.cast(col, _pa.int64()).to_pylist()
-        ]
-        int_vals = vals
+        casted = pc.cast(col, _pa.int64()).combine_chunks()
+        valid = np.asarray(casted.is_valid())
+        iv = np.asarray(casted.fill_null(0), dtype=np.int64) * np.int64(mult)
     else:
-        int_vals = [
-            None if v is None else float64_to_int64(v)
-            for v in pc.cast(col, _pa.float64()).to_pylist()
-        ]
-    shifts = list(range(0, 64, PRECISION_STEP))
-    flat: List[str] = []
-    di: List[int] = []
-    for i, v in enumerate(int_vals):
-        if v is None:
-            continue
-        for sft in shifts:
-            flat.append(prefix_coded_int64(v, sft))
-            di.append(i)
-    terms = pa.array(flat, type=pa.string())
-    doc_idx = np.asarray(di, dtype=np.int64)
-    positions = np.zeros(len(di), dtype=np.int32)
-    field_len = np.bincount(doc_idx, minlength=len(int_vals)).astype(np.int64)
+        casted = pc.cast(col, _pa.float64()).combine_chunks()
+        valid = np.asarray(casted.is_valid())
+        f = np.asarray(casted.fill_null(0.0), dtype=np.float64)
+        # Float64ToInt64 sortable mapping (numeric/float.go), vectorized
+        bits = f.view(np.int64).copy()
+        neg = bits < 0
+        bits[neg] ^= np.int64(0x7FFFFFFFFFFFFFFF)
+        iv = bits
+    valid_idx = np.flatnonzero(valid).astype(np.int64)
+    iv = iv[valid_idx]
+    nv = len(iv)
+    sortable0 = iv.view(np.uint64) ^ np.uint64(0x8000000000000000)
+    term_chunks = []
+    for sft in range(0, 64, PRECISION_STEP):
+        n_chars = ((63 - sft) // 7) + 1
+        width = n_chars + 1
+        mat = np.empty((nv, width), dtype=np.uint8)
+        mat[:, 0] = SHIFT_START + sft
+        s = sortable0 >> np.uint64(sft)
+        for j in range(n_chars):
+            sh = np.uint64(7 * (n_chars - 1 - j))
+            mat[:, 1 + j] = (s >> sh) & np.uint64(0x7F)
+        # fixed-width rows -> StringArray via raw buffers (S-dtype would
+        # strip legitimate trailing 0x00 bytes from the coded terms)
+        offsets = np.arange(0, (nv + 1) * width, width, dtype=np.int32)
+        term_chunks.append(
+            pa.StringArray.from_buffers(
+                nv,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(mat.tobytes()),
+            )
+        )
+    n_shifts = len(term_chunks)
+    terms = pa.concat_arrays(term_chunks)
+    doc_idx = np.tile(valid_idx, n_shifts)
+    positions = np.zeros(len(doc_idx), dtype=np.int32)
+    field_len = np.zeros(n_rows, dtype=np.int64)
+    field_len[valid_idx] = n_shifts
     return terms, doc_idx, positions, field_len
+
+
+# (field, term, num_shards) -> shard cache: terms follow a Zipf law, so in
+# steady state nearly every lookup hits; sha1 runs once per distinct term
+# per worker process.  Bounded to keep worker heaps flat.
+_SHARD_CACHE: Dict = {}
+_SHARD_CACHE_MAX = 2_000_000
 
 
 def shard_of_terms(fields: np.ndarray, terms: pa.Array, num_shards: int) -> np.ndarray:
@@ -189,9 +218,17 @@ def shard_of_terms(fields: np.ndarray, terms: pa.Array, num_shards: int) -> np.n
     dependence)."""
     out = np.empty(len(terms), dtype=np.int32)
     tl = terms.to_pylist()
+    cache = _SHARD_CACHE
+    room = len(cache) < _SHARD_CACHE_MAX
     for i, (f, t) in enumerate(zip(fields, tl)):
-        h = hashlib.sha1(f"{f}\x1f{t}".encode()).digest()
-        out[i] = int.from_bytes(h[:4], "little") % num_shards
+        key = (f, t, num_shards)
+        s = cache.get(key)
+        if s is None:
+            h = hashlib.sha1(f"{f}\x1f{t}".encode()).digest()
+            s = int.from_bytes(h[:4], "little") % num_shards
+            if room:
+                cache[key] = s
+        out[i] = s
     return out
 
 
