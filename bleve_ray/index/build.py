@@ -613,11 +613,17 @@ def _pack_chunks(chunks: pa.Table) -> pa.Table:
     breaks = _np.flatnonzero(_np.diff(k_sorted)) + 1
     starts = _np.concatenate(([0], breaks, [len(key)]))
     payload = chunks.drop_columns(["shard", "bucket"])
+    # zstd the exchange blobs: disk/object-store bandwidth is the fixed
+    # resource (does not grow with vCPUs on one box), compression cycles
+    # scale with workers -- trading bytes for CPU improves scaling
+    opts = ipc.IpcWriteOptions(
+        compression=pa.Codec("zstd", compression_level=1)
+    )
     for i in range(len(starts) - 1):
         idx = order[starts[i] : starts[i + 1]]
         sub = payload.take(pa.array(idx))
         sink = pa.BufferOutputStream()
-        with ipc.new_stream(sink, sub.schema) as w:
+        with ipc.new_stream(sink, sub.schema, options=opts) as w:
             w.write_table(sub)
         out_shard.append(int(sh[idx[0]]))
         out_bucket.append(int(bk[idx[0]]))
@@ -820,10 +826,15 @@ def _build_partition(
 
     descs = []
     total_rows = 0
+    rows_per_file: Dict[int, int] = {}
     with ThreadPoolExecutor(max_workers=16) as ex:
-        for out, row in ex.map(_file_descs, zip(file_indexes, files)):
+        for (fi, _), (out, row) in zip(
+            zip(file_indexes, files),
+            ex.map(_file_descs, zip(file_indexes, files)),
+        ):
             descs.extend(out)
             total_rows += row
+            rows_per_file[fi] = row
 
     ds = ray.data.from_items(descs, override_num_blocks=max(1, len(descs)))
     chunks = ds.map_batches(
@@ -833,29 +844,64 @@ def _build_partition(
     )
     lineage_rows: List[tuple] = []
     if options.shuffle == "storage":
-        # external shuffle: stage-1 emitted (shard,bucket,path) manifest
-        # rows; stage-2 = one Ray task per group over its chunk files
-        chunk_rows = chunks.take_all()
-        groups: Dict[tuple, List[str]] = {}
-        for r in chunk_rows:
-            if r["shard"] == -1:
-                digest, cnt = r["path"].split(":")
-                lineage_rows.append((r["bucket"], digest, int(cnt)))
-                continue
-            groups.setdefault((r["shard"], r["bucket"]), []).append(r["path"])
-
+        # external shuffle: stage-1 emits (shard,bucket,path) manifest rows;
+        # stage-2 = one Ray task per group over its chunk files.  The
+        # manifest rows are consumed STREAMING and each bucket's segment
+        # tasks are submitted the moment its input files are fully analyzed
+        # (bucket completion tracked via the per-sub-batch lineage row
+        # counts), so stage 2 overlaps stage 1's tail instead of waiting
+        # behind a global barrier.
         @ray.remote
         def _seg_task(shard: int, bucket: int, paths: List[str]) -> dict:
             return build_segment_from_chunk_files(
                 index_dir, partition_id, shard, bucket, paths
             )
 
-        seg_rows = ray.get(
-            [
-                _seg_task.remote(sh, b, sorted(ps))
-                for (sh, b), ps in sorted(groups.items())
-            ]
-        )
+        groups: Dict[tuple, List[str]] = {}
+        futures: Dict[tuple, object] = {}
+        # bucket -> expected analyzed rows; only derivable when buckets are
+        # file-aligned (bucket_bits >= DOCNUM_FILE_SHIFT); otherwise all
+        # groups are submitted after the stream drains (still correct)
+        expected: Dict[int, int] = {}
+        got: Dict[int, int] = {}
+        track = options.bucket_bits >= DOCNUM_FILE_SHIFT
+        if track:
+            fshift = options.bucket_bits - DOCNUM_FILE_SHIFT
+            for fi, n in rows_per_file.items():
+                b = fi >> fshift
+                expected[b] = expected.get(b, 0) + n
+
+        def _submit_bucket(b: int) -> None:
+            for key in [k for k in groups if k[1] == b]:
+                futures[key] = _seg_task.remote(
+                    key[0], key[1], sorted(groups.pop(key))
+                )
+
+        for batch in chunks.iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            shards = batch["shard"].to_pylist()
+            buckets = batch["bucket"].to_pylist()
+            paths = batch["path"].to_pylist()
+            done_buckets = []
+            for sh, b, p in zip(shards, buckets, paths):
+                if sh == -1:
+                    digest, cnt = p.split(":")
+                    lineage_rows.append((b, digest, int(cnt)))
+                    if track:
+                        bb = b >> options.bucket_bits
+                        got[bb] = got.get(bb, 0) + int(cnt)
+                        if got[bb] == expected.get(bb, -1):
+                            done_buckets.append(bb)
+                    continue
+                groups.setdefault((sh, b), []).append(p)
+            for bb in done_buckets:
+                _submit_bucket(bb)
+        # any bucket not closed by row accounting (empty docs emit no
+        # lineage-bearing chunk table) drains here
+        for key in list(sorted(groups)):
+            futures[key] = _seg_task.remote(key[0], key[1], sorted(groups.pop(key)))
+        seg_rows = ray.get([futures[k] for k in sorted(futures)])
         # chunk files consumed; GC them (segments are the checkpoint)
         import shutil as _sh
 
