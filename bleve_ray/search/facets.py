@@ -5,44 +5,118 @@
   total = matched docs with a value; other = total - sum(top terms))
 - numeric-range facet: counts per [min,max) range (facet_builder_numeric.go)
 
-Computed vectorized over the full matched docnum array using the columnar
-docvalues; across partitions this is the partial-count-then-merge pattern
-(FacetResults.Merge equivalent) -- here partitions are docvalue files.
-"""
+Counting is vectorized (pyarrow value_counts / numpy histogram masks).
+Small match sets count on the driver over the columnar docvalues; large
+match sets fan out one Ray task per docvalue file computing PARTIAL
+counts that the driver merges before ranking -- the FacetResults.Merge
+shape (search/facets_builder.go Merge), so top-N is exact because
+truncation happens only after the merge."""
 
 from __future__ import annotations
 
 from typing import Dict, List, Optional
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# above this many matched docs, fan facet counting out as Ray tasks
+DISTRIBUTED_FACET_THRESHOLD = 200_000
 
 
 def compute_facets(
     reader, docnums: np.ndarray, facet_requests: Dict[str, dict]
 ) -> Dict[str, dict]:
+    if len(docnums) >= DISTRIBUTED_FACET_THRESHOLD:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                return _compute_facets_distributed(
+                    reader, docnums, facet_requests
+                )
+        except ImportError:
+            pass
     fields = sorted({fr["field"] for fr in facet_requests.values()})
     dv = reader.docvalues_for(docnums, fields)
     out = {}
     for name, fr in facet_requests.items():
         values = dv[fr["field"]]
-        if "numeric_ranges" in fr:
-            out[name] = _numeric_range_facet(fr, values)
-        else:
-            out[name] = _terms_facet(fr, values)
+        partial = _partial_counts(fr, values)
+        out[name] = _finalize_facet(fr, [partial])
     return out
 
 
-def _terms_facet(fr: dict, values: List) -> dict:
-    size = fr.get("size", 10)
+def _partial_counts(fr: dict, values: List) -> dict:
+    """One partition's contribution: either term->count + missing, or
+    per-range counts + missing (mergeable, un-truncated)."""
+    if "numeric_ranges" in fr:
+        arr = np.array(
+            [np.nan if v is None else float(v) for v in values],
+            dtype=np.float64,
+        )
+        missing = int(np.isnan(arr).sum())
+        counts = []
+        for r in fr["numeric_ranges"]:
+            lo = r.get("min", -np.inf)
+            hi = r.get("max", np.inf)
+            counts.append(int(np.count_nonzero((arr >= lo) & (arr < hi))))
+        return {"missing": missing, "n": len(values), "ranges": counts}
+    try:
+        arr = pa.array(values)
+        missing = arr.null_count
+        if not pa.types.is_string(arr.type):
+            arr = pc.cast(arr, pa.string())
+        vc = pc.value_counts(arr.drop_null())
+        counts = dict(
+            zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        )
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # mixed-type docvalues: fall back to str() keys
+        counts = {}
+        missing = 0
+        for v in values:
+            if v is None:
+                missing += 1
+            else:
+                counts[str(v)] = counts.get(str(v), 0) + 1
+    return {"missing": missing, "n": len(values), "terms": counts}
+
+
+def _finalize_facet(fr: dict, partials: List[dict]) -> dict:
+    """FacetResults.Merge + top-N truncation (exact: merge first)."""
+    missing = sum(p["missing"] for p in partials)
+    n = sum(p["n"] for p in partials)
+    total = n - missing
+    if "numeric_ranges" in fr:
+        ranges = fr["numeric_ranges"]
+        merged = [0] * len(ranges)
+        for p in partials:
+            for i, c in enumerate(p["ranges"]):
+                merged[i] += c
+        buckets = []
+        covered = 0
+        for r, c in zip(ranges, merged):
+            covered += c
+            lo = r.get("min", -np.inf)
+            hi = r.get("max", np.inf)
+            buckets.append(
+                {"name": r.get("name", f"[{lo},{hi})"), "min": r.get("min"),
+                 "max": r.get("max"), "count": c}
+            )
+        return {
+            "field": fr["field"],
+            "total": total,
+            "missing": missing,
+            "other": max(0, total - covered),
+            "numeric_ranges": buckets,
+        }
     counts: Dict[str, int] = {}
-    missing = 0
-    for v in values:
-        if v is None:
-            missing += 1
-        else:
-            counts[str(v)] = counts.get(str(v), 0) + 1
+    for p in partials:
+        for t, c in p["terms"].items():
+            counts[t] = counts.get(t, 0) + c
+    size = fr.get("size", 10)
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
-    total = len(values) - missing
     other = total - sum(c for _, c in ranked)
     return {
         "field": fr["field"],
@@ -53,28 +127,72 @@ def _terms_facet(fr: dict, values: List) -> dict:
     }
 
 
-def _numeric_range_facet(fr: dict, values: List) -> dict:
-    ranges = fr["numeric_ranges"]
-    arr = np.array(
-        [np.nan if v is None else float(v) for v in values], dtype=np.float64
-    )
-    missing = int(np.isnan(arr).sum())
-    buckets = []
-    covered = 0
-    for r in ranges:
-        lo = r.get("min", -np.inf)
-        hi = r.get("max", np.inf)
-        n = int(np.count_nonzero((arr >= lo) & (arr < hi)))
-        covered += n
-        buckets.append(
-            {"name": r.get("name", f"[{lo},{hi})"), "min": r.get("min"),
-             "max": r.get("max"), "count": n}
-        )
-    total = len(values) - missing
+def _compute_facets_distributed(
+    reader, docnums: np.ndarray, facet_requests: Dict[str, dict]
+) -> Dict[str, dict]:
+    """Fan out one Ray task per docvalue file over its slice of the
+    (sorted) match set; each task returns partial counts, merged here.
+    Partitioning assumption: docvalue files hold disjoint docnum ranges
+    (they are written per analyze sub-batch)."""
+    import ray
+
+    fields = sorted({fr["field"] for fr in facet_requests.values()})
+    files = reader._dv_files()
+    sorted_dn = np.sort(docnums)
+    reqs = dict(facet_requests)
+
+    @ray.remote
+    def _facet_task(path: str, dn_slice: np.ndarray) -> Dict[str, dict]:
+        import pyarrow.parquet as _pq
+
+        have = _pq.ParquetFile(path).schema_arrow.names
+        t = _pq.read_table(
+            path, columns=["docnum"] + [f for f in fields if f in have]
+        ).sort_by("docnum")
+        nums = np.asarray(t["docnum"], dtype=np.int64)
+        if len(nums) == 0:
+            nums = np.array([-1], dtype=np.int64)
+        j = np.searchsorted(nums, dn_slice)
+        j_cl = np.minimum(j, len(nums) - 1)
+        hit = nums[j_cl] == dn_slice
+        src = j_cl[hit]
+        n_miss_file = int(len(dn_slice) - hit.sum())
+        out = {}
+        for name, fr in reqs.items():
+            f = fr["field"]
+            if f in t.column_names:
+                vals = t[f].take(pa.array(src)).to_pylist()
+            else:
+                vals = [None] * len(src)
+            # docnums that matched the query but have no dv row count as
+            # missing for every facet
+            p = _partial_counts(fr, vals)
+            p["missing"] += n_miss_file
+            p["n"] += n_miss_file
+            out[name] = p
+        return out
+
+    futures = []
+    covered = np.zeros(len(sorted_dn), dtype=bool)
+    for path, lo, hi in files:
+        a = np.searchsorted(sorted_dn, lo, side="left")
+        b = np.searchsorted(sorted_dn, hi, side="right")
+        if b > a:
+            futures.append(_facet_task.remote(path, sorted_dn[a:b]))
+            covered[a:b] = True
+    n_uncovered = int((~covered).sum())
+    partial_lists: Dict[str, List[dict]] = {name: [] for name in reqs}
+    for res in ray.get(futures):
+        for name, p in res.items():
+            partial_lists[name].append(p)
+    if n_uncovered:
+        for name in reqs:
+            partial_lists[name].append(
+                {"missing": n_uncovered, "n": n_uncovered,
+                 **({"ranges": [0] * len(reqs[name]["numeric_ranges"])}
+                    if "numeric_ranges" in reqs[name] else {"terms": {}})}
+            )
     return {
-        "field": fr["field"],
-        "total": total,
-        "missing": missing,
-        "other": max(0, total - covered),
-        "numeric_ranges": buckets,
+        name: _finalize_facet(fr, partial_lists[name])
+        for name, fr in reqs.items()
     }

@@ -230,7 +230,9 @@ class IndexReader:
             t = pq.read_table(path).sort_by("docnum")
             nums = np.asarray(t["docnum"], dtype=np.int64)
             cols = {
-                c: t[c].to_pylist() for c in t.column_names if c != "docnum"
+                c: np.asarray(t[c].to_pylist(), dtype=object)
+                for c in t.column_names
+                if c != "docnum"
             }
             cached = (nums, cols)
             self._dv_cache[path] = cached
@@ -240,27 +242,38 @@ class IndexReader:
         self, docnums: np.ndarray, fields: List[str]
     ) -> Dict[str, list]:
         """Forward values aligned to docnums (DocValueReader equivalent;
-        used by facets, sort-by-field and highlighting's stored text)."""
-        out: Dict[str, list] = {f: [None] * len(docnums) for f in fields}
+        used by facets, sort-by-field and highlighting's stored text).
+        Vectorized: one searchsorted per touched docvalue file, values
+        gathered by fancy indexing -- no per-doc Python loop."""
+        n = len(docnums)
+        out_np: Dict[str, np.ndarray] = {
+            f: np.full(n, None, dtype=object) for f in fields
+        }
         files = self._dv_files()
-        if not files:
-            return out
+        if not files or n == 0:
+            return {f: v.tolist() for f, v in out_np.items()}
         order = np.argsort(docnums, kind="stable")
-        fi = 0
-        for oi in order:
-            dn = int(docnums[oi])
-            # advance to the file containing dn (docnums visited ascending)
-            while fi < len(files) and files[fi][2] < dn:
-                fi += 1
-            if fi >= len(files) or files[fi][1] > dn:
-                continue
+        sorted_dn = docnums[order]
+        file_his = np.array([hi for _, _, hi in files], dtype=np.int64)
+        file_los = np.array([lo for _, lo, _ in files], dtype=np.int64)
+        fidx = np.searchsorted(file_his, sorted_dn, side="left")
+        in_range = (fidx < len(files)) & (
+            file_los[np.minimum(fidx, len(files) - 1)] <= sorted_dn
+        )
+        for fi in np.unique(fidx[in_range]):
+            sel = np.flatnonzero((fidx == fi) & in_range)
+            dn_sel = sorted_dn[sel]
             nums, cols = self._load_dv(files[fi][0])
-            j = int(np.searchsorted(nums, dn))
-            if j < len(nums) and nums[j] == dn:
-                for f in fields:
-                    if f in cols:
-                        out[f][oi] = cols[f][j]
-        return out
+            j = np.searchsorted(nums, dn_sel)
+            j_cl = np.minimum(j, len(nums) - 1)
+            hit = nums[j_cl] == dn_sel
+            src = j_cl[hit]
+            dst = order[sel[hit]]
+            for f in fields:
+                col = cols.get(f)
+                if col is not None:
+                    out_np[f][dst] = col[src]
+        return {f: v.tolist() for f, v in out_np.items()}
 
     def dictionary(self, field: str) -> List[Tuple[str, int]]:
         """Full sorted term dictionary with global df (FieldDict equivalent,

@@ -124,3 +124,28 @@ def test_stored_fields_and_highlight(doc_index):
             "<mark>vector</mark>" in f or "<mark>merge</mark>" in f
             for f in frags
         )
+
+
+def test_distributed_facets_match_driver_path(doc_index, monkeypatch):
+    """The Ray-stage facet path (partial counts per docvalue file ->
+    FacetResults.Merge) must agree exactly with the driver path."""
+    import bleve_ray.search.facets as F
+
+    req = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "facets": {
+            "langs": {"field": "lang", "size": 3},
+            "sizes": {
+                "field": "n_chars",
+                "numeric_ranges": [
+                    {"name": "small", "max": 250},
+                    {"name": "big", "min": 250},
+                ],
+            },
+        },
+    }
+    driver = doc_index.search(req).facets
+    monkeypatch.setattr(F, "DISTRIBUTED_FACET_THRESHOLD", 1)
+    dist = doc_index.search(req).facets
+    assert dist == driver
