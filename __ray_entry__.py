@@ -803,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_verified": _q_near_dup_verified,
         "simhash": dedup.simhash_ds,
         "ann_cosine_topk": ann.ann_cosine_topk_ds,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
         # --- generic relational ops ---
         "events_windowed": _q_events_windowed,

@@ -225,6 +225,70 @@ class Index:
     def open(index_dir: str) -> "Index":
         return Index(index_dir)
 
+    def _search_hybrid(self, request: dict) -> SearchResult:
+        """Hybrid FTS + KNN search (search_knn.go + rescorer.go):
+        request["knn"] = [{"field", "vector", "k", "boost"?}, ...];
+        request["score"] = "rrf" | "rsf" selects fusion rescoring
+        (fusion/rrf.go, rsf.go), otherwise additive merge
+        (mergeKNNResults).  KNN vectors come from the named docvalue
+        column; similarity is cosine."""
+        import time as _t
+
+        from .fusion import (
+            DEFAULT_RANK_CONSTANT,
+            default_knn_merge,
+            knn_topk,
+            reciprocal_rank_fusion,
+            relative_score_fusion,
+        )
+
+        t0 = _t.perf_counter()
+        size = request.get("size", 10)
+        from_ = request.get("from", 0)
+        q = request.get("query", {"match_none": {}})
+        query = parse_query(q) if isinstance(q, dict) else q
+        options = SearchOptions(
+            scoring_model=self.mapping.scoring_model, score=""
+        )
+        fts = query.searcher(self.reader, self.mapping, options).search()
+        sources = [(fts.docnums.tolist(), fts.scores)]
+        weights = [1.0]
+        for kr in request["knn"]:
+            nums, sims = knn_topk(
+                self.reader, kr["field"], kr["vector"], int(kr.get("k", 10))
+            )
+            sources.append((nums.tolist(), sims))
+            weights.append(float(kr.get("boost", 1.0)))
+        params = request.get("params") or {}
+        window = int(params.get("score_window_size", from_ + size) or 1)
+        window = max(window, size)
+        mode = request.get("score", "")
+        if mode == "rrf":
+            fused = reciprocal_rank_fusion(
+                sources,
+                weights,
+                int(params.get("score_rank_constant", DEFAULT_RANK_CONSTANT)),
+                window,
+            )
+        elif mode == "rsf":
+            fused = relative_score_fusion(sources, weights, window)
+        else:
+            fused = default_knn_merge(sources, weights)
+        docnums = np.fromiter(fused.keys(), dtype=np.int64, count=len(fused))
+        scores = np.fromiter(fused.values(), dtype=np.float64, count=len(fused))
+        hits = SearchHits(docnums, scores)
+        result = collect_topn(self.reader, hits, size=size, from_=from_)
+        if mode in ("rrf", "rsf") and len(result.hits) > window:
+            result.hits = result.hits[:window]
+        result.took_ms = (_t.perf_counter() - t0) * 1e3
+        want_fields = request.get("fields") or []
+        if want_fields and result.hits:
+            dn = np.array([h.docnum for h in result.hits], dtype=np.int64)
+            dv = self.reader.docvalues_for(dn, sorted(set(want_fields)))
+            for j, h in enumerate(result.hits):
+                h.fields = {f: dv[f][j] for f in want_fields}
+        return result
+
     def search(self, request: dict) -> SearchResult:
         """request: bleve SearchRequest shape:
         {"query": {...}, "size": 10, "from": 0,
@@ -233,6 +297,8 @@ class Index:
                     {"field": f, "numeric_ranges": [...]}},
          "highlight": {"fields": [...], "style": "html"|"ansi"},
          "fields": ["stored", ...]}"""
+        if request.get("knn"):
+            return self._search_hybrid(request)
         q = request["query"]
         query = parse_query(q) if isinstance(q, dict) else q
         options = SearchOptions(

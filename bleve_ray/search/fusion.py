@@ -1,0 +1,157 @@
+"""Hybrid-search score fusion (reference fusion/rrf.go, fusion/rsf.go,
+rescorer.go) and the KNN top-k searcher over docvalue vector columns
+(search_knn.go role; vectors here live in the columnar docvalues).
+
+Scores fuse over (docnum, fts_score, [knn_score_i]) triples:
+
+- RRF (rrf.go:34-120): per source, hits ranked desc; contribution =
+  weight / (rank_constant + rank); fts hits beyond the window (or with
+  score 0) contribute 0.
+- RSF (rsf.go:35-140): per source, min/max-normalize the top-window
+  scores to [0,1], contribution = weight * norm (norm=1 when max==min).
+- default merge (search_knn.go mergeKNNResults): fts score + sum of
+  boost-weighted knn scores for docs present in either set.
+
+DEFAULT_RANK_CONSTANT = 60 (rescorer.go DefaultScoreRankConstant).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_RANK_CONSTANT = 60
+
+# above this many docvalue files, KNN scanning fans out as Ray tasks
+KNN_DISTRIBUTED_FILE_THRESHOLD = 64
+
+
+def _ranked(ids: List[int], scores: np.ndarray) -> List[int]:
+    """Indices sorted by (-score, id) -- the reference sorts by score with
+    stable doc order."""
+    return sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+
+
+def reciprocal_rank_fusion(
+    sources: List[Tuple[List[int], np.ndarray]],
+    weights: List[float],
+    rank_constant: int,
+    window_size: int,
+) -> Dict[int, float]:
+    """sources[0] is the FTS ranking, sources[1:] the KNN rankings; each is
+    (docnums, scores).  Returns docnum -> fused score."""
+    fused: Dict[int, float] = {}
+    for si, ((ids, scores), w) in enumerate(zip(sources, weights)):
+        order = _ranked(ids, scores)
+        for rank_pos, i in enumerate(order):
+            if rank_pos >= window_size:
+                break
+            if si == 0 and scores[i] == 0.0:
+                break  # rrf.go:69-71: fts hits with score 0 stop counting
+            contrib = w / (rank_constant + rank_pos + 1)
+            d = ids[i]
+            fused[d] = fused.get(d, 0.0) + contrib
+    return fused
+
+
+def relative_score_fusion(
+    sources: List[Tuple[List[int], np.ndarray]],
+    weights: List[float],
+    window_size: int,
+) -> Dict[int, float]:
+    fused: Dict[int, float] = {}
+    for si, ((ids, scores), w) in enumerate(zip(sources, weights)):
+        order = _ranked(ids, scores)
+        limit = min(len(order), window_size)
+        if si == 0:
+            # fts: hits with score 0 are not counted (rsf.go:56-62)
+            while limit > 0 and scores[order[limit - 1]] == 0.0:
+                limit -= 1
+        if limit == 0:
+            continue
+        mx = float(scores[order[0]])
+        mn = float(scores[order[limit - 1]])
+        denom = mx - mn
+        for rank_pos in range(limit):
+            i = order[rank_pos]
+            norm = (scores[i] - mn) / denom if denom > 0 else 1.0
+            d = ids[i]
+            fused[d] = fused.get(d, 0.0) + w * norm
+    return fused
+
+
+def default_knn_merge(
+    sources: List[Tuple[List[int], np.ndarray]],
+    weights: List[float],
+) -> Dict[int, float]:
+    """search_knn.go mergeKNNResults: additive merge, knn contributions
+    scaled by their boost."""
+    fused: Dict[int, float] = {}
+    for si, ((ids, scores), w) in enumerate(zip(sources, weights)):
+        for i, d in enumerate(ids):
+            fused[d] = fused.get(d, 0.0) + (
+                scores[i] if si == 0 else w * scores[i]
+            )
+    return fused
+
+
+def _file_topk(
+    nums: np.ndarray, col: np.ndarray, qv: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Local cosine top-k for one docvalue file's vector column."""
+    valid = np.array([v is not None for v in col], dtype=bool)
+    if not valid.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    idx = np.flatnonzero(valid)
+    mat = np.stack([np.asarray(col[i], dtype=np.float64) for i in idx])
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat @ qn) / norms
+    if len(sims) > k:
+        keep = np.argpartition(-sims, k - 1)[:k]
+    else:
+        keep = np.arange(len(sims))
+    return nums[idx[keep]], sims[keep]
+
+
+def knn_topk(
+    reader, field: str, vector, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Brute-force cosine top-k over a docvalue vector column: per-file
+    local top-k (np.argpartition) then a tiny merge -- never a global
+    sort.  Fans out as Ray tasks when the index has many docvalue files."""
+    qv = np.asarray(vector, dtype=np.float64)
+    files = reader._dv_files()
+    parts: List[Tuple[np.ndarray, np.ndarray]] = []
+    if len(files) >= KNN_DISTRIBUTED_FILE_THRESHOLD:
+        import ray
+
+        @ray.remote
+        def _task(path: str):
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["docnum", field]).sort_by(
+                "docnum"
+            )
+            nums = np.asarray(t["docnum"], dtype=np.int64)
+            col = np.asarray(t[field].to_pylist(), dtype=object)
+            return _file_topk(nums, col, qv, k)
+
+        parts = ray.get([_task.remote(p) for p, _, _ in files])
+    else:
+        for p, _, _ in files:
+            nums, cols = reader._load_dv(p)
+            col = cols.get(field)
+            if col is None:
+                continue
+            parts.append(_file_topk(nums, col, qv, k))
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    all_nums = np.concatenate([p[0] for p in parts])
+    all_sims = np.concatenate([p[1] for p in parts])
+    order = sorted(
+        range(len(all_nums)), key=lambda i: (-all_sims[i], all_nums[i])
+    )[:k]
+    return all_nums[order], all_sims[order]

@@ -1,0 +1,178 @@
+"""Hybrid FTS+KNN search: knn request, RRF/RSF fusion (fusion/rrf.go,
+rsf.go, rescorer.go semantics), default additive merge."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bleve_ray.index import FieldConfig, IndexOptions, build_index
+from bleve_ray.search import Index
+from bleve_ray.search.fusion import (
+    reciprocal_rank_fusion,
+    relative_score_fusion,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("vecidx")
+    rng = np.random.default_rng(11)
+    n = 40
+    texts = []
+    for i in range(n):
+        words = ["alpha", "beta", "gamma", "delta"]
+        texts.append(" ".join(words[: (i % 4) + 1]) + f" doc{i}")
+    vecs = rng.standard_normal((n, 8))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    src = str(d / "docs.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(d / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="standard", positions=True)},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+            docvalue_fields=["embedding"],
+        ),
+    )
+    return Index.open(idx_dir), vecs
+
+
+def _brute_knn(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ qn) / norms
+    order = sorted(range(len(vecs)), key=lambda i: (-sims[i], i))[:k]
+    return order, sims
+
+
+def test_knn_only(vec_index):
+    idx, vecs = vec_index
+    q = vecs[3]
+    r = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [{"field": "embedding", "vector": q.tolist(), "k": 5}],
+            "size": 5,
+        }
+    )
+    want, sims = _brute_knn(vecs.astype(np.float32).astype(np.float64), q, 5)
+    got = [int(h.id) for h in r.hits]
+    assert got == want
+    for h in r.hits:
+        assert h.score == pytest.approx(sims[int(h.id)], rel=1e-5)
+
+
+def test_hybrid_default_merge(vec_index):
+    """search_knn.go mergeKNNResults: fts + boost*knn additive."""
+    idx, vecs = vec_index
+    q = vecs[7]
+    fts = idx.search({"query": {"term": "beta", "field": "text"}, "size": 40})
+    fts_scores = {int(h.id): h.score for h in fts.hits}
+    knn_ids, sims = _brute_knn(
+        vecs.astype(np.float32).astype(np.float64), q, 5
+    )
+    r = idx.search(
+        {
+            "query": {"term": "beta", "field": "text"},
+            "knn": [
+                {"field": "embedding", "vector": q.tolist(), "k": 5,
+                 "boost": 2.0}
+            ],
+            "size": 50,
+        }
+    )
+    expect = dict(fts_scores)
+    for i in knn_ids:
+        expect[i] = expect.get(i, 0.0) + 2.0 * sims[i]
+    got = {int(h.id): h.score for h in r.hits}
+    assert set(got) == set(expect)
+    for i, s in got.items():
+        assert s == pytest.approx(expect[i], rel=1e-5)
+
+
+def test_rrf_fusion(vec_index):
+    """score=rrf: contribution weight/(rank_constant+rank) per source."""
+    idx, vecs = vec_index
+    q = vecs[2]
+    fts = idx.search({"query": {"term": "gamma", "field": "text"}, "size": 40})
+    knn_ids, sims = _brute_knn(
+        vecs.astype(np.float32).astype(np.float64), q, 5
+    )
+    r = idx.search(
+        {
+            "query": {"term": "gamma", "field": "text"},
+            "knn": [{"field": "embedding", "vector": q.tolist(), "k": 5}],
+            "score": "rrf",
+            "size": 10,
+            "params": {"score_window_size": 10},
+        }
+    )
+    src_fts = (
+        [h.docnum for h in fts.hits],
+        np.array([h.score for h in fts.hits]),
+    )
+    # map external id -> docnum via the fts result ordering is not enough;
+    # recompute via the library fusion primitive for expectation
+    dn_by_id = {int(h.id): h.docnum for h in fts.hits}
+    all_ids = idx.search({"query": {"match_all": {}}, "size": 50})
+    for h in all_ids.hits:
+        dn_by_id[int(h.id)] = h.docnum
+    src_knn = (
+        [dn_by_id[i] for i in knn_ids],
+        np.array([sims[i] for i in knn_ids]),
+    )
+    fused = reciprocal_rank_fusion([src_fts, src_knn], [1.0, 1.0], 60, 10)
+    # default order tie-break is the EXTERNAL id string, like collect_topn
+    id_by_dn = {dn: str(i) for i, dn in dn_by_id.items()}
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], id_by_dn[kv[0]]))[:10]
+    got = [(h.docnum, h.score) for h in r.hits]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_rsf_fusion_normalizes(vec_index):
+    idx, vecs = vec_index
+    q = vecs[5]
+    r = idx.search(
+        {
+            "query": {"term": "alpha", "field": "text"},
+            "knn": [{"field": "embedding", "vector": q.tolist(), "k": 5}],
+            "score": "rsf",
+            "size": 10,
+        }
+    )
+    assert len(r.hits) > 0
+    # top fused score is bounded by sum of weights (each source in [0,1])
+    assert r.hits[0].score <= 2.0 + 1e-9
+    scores = [h.score for h in r.hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_fusion_primitives_reference_vectors():
+    """Locked RRF example: two sources, rank_constant=60."""
+    fts = ([10, 11, 12], np.array([3.0, 2.0, 1.0]))
+    knn = ([12, 13], np.array([0.9, 0.8]))
+    fused = reciprocal_rank_fusion([fts, knn], [1.0, 1.0], 60, 10)
+    assert fused[10] == pytest.approx(1 / 61)
+    assert fused[11] == pytest.approx(1 / 62)
+    assert fused[12] == pytest.approx(1 / 63 + 1 / 61)
+    assert fused[13] == pytest.approx(1 / 62)
+    rsf = relative_score_fusion([fts, knn], [1.0, 1.0], 10)
+    assert rsf[10] == pytest.approx(1.0)  # (3-1)/(3-1)
+    assert rsf[11] == pytest.approx(0.5)
+    assert rsf[12] == pytest.approx(0.0 + 1.0)  # fts min + knn max
+    assert rsf[13] == pytest.approx(0.0)

@@ -161,3 +161,28 @@ def test_multimodal_stub_plumbing(ray_session):
         out2.sort_values("item_id")["feature"].apply(list).tolist()
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF probe path: top-10 recall vs brute force >= 0.9 at default
+    knobs (nlist=16, nprobe=10)."""
+    from bleve_ray.pipelines.ann import ann_cosine_topk_ds, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    brute = set(ann_cosine_topk_ds(sf)["vec_id"].to_pylist())
+    ivf = set(ann_ivf_topk(sf)["vec_id"].to_pylist())
+    assert len(brute & ivf) / 10 >= 0.9
+
+
+def test_ann_lsh_topk_shape(ray_session):
+    """LSH probe path returns exact-cosine-ranked candidates from the
+    probed buckets only (recall is data-dependent; shape + determinism
+    checked here)."""
+    from bleve_ray.pipelines.ann import ann_lsh_topk
+
+    sf = "/root/testdata/sf0.001"
+    a = ann_lsh_topk(sf, probe_hamming=2)
+    b = ann_lsh_topk(sf, probe_hamming=2)
+    assert a.to_pylist() == b.to_pylist()
+    sims = [float(s) for s in a["sim"].to_pylist()]
+    assert sims == sorted(sims, reverse=True)
