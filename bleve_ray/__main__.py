@@ -66,7 +66,19 @@ def main(argv=None):
     du.add_argument("index_dir")
     du.add_argument("--limit", type=int, default=20)
 
+    dl = sub.add_parser("delete")
+    dl.add_argument("index_dir")
+    dl.add_argument("doc_ids", nargs="+")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "delete":
+        from .index.mutate import delete_ids
+
+        man = delete_ids(args.index_dir, args.doc_ids)
+        print(json.dumps({"deleted_total": man.deleted_count,
+                          "epoch": man.epoch}))
+        return
 
     if args.cmd == "build":
         import ray

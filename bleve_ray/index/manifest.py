@@ -67,6 +67,11 @@ class Manifest:
     docmeta: List[DocmetaEntry] = field(default_factory=list)
     stats: Dict[str, Any] = field(default_factory=dict)
     merge_done: bool = False
+    # online-mutation slice (scorch obsoleted-bitmap role,
+    # index/scorch/README.md:111-137): tombstoned docnums live in a
+    # parquet sidecar; readers consult it, rollback restores the prior set
+    deleted_path: Optional[str] = None
+    deleted_count: int = 0
 
     def to_json(self) -> str:
         d = {
@@ -77,6 +82,8 @@ class Manifest:
             "docmeta": [asdict(d_) for d_ in self.docmeta],
             "stats": self.stats,
             "merge_done": self.merge_done,
+            "deleted_path": self.deleted_path,
+            "deleted_count": self.deleted_count,
         }
         return json.dumps(d, indent=1, sort_keys=True)
 
@@ -91,6 +98,8 @@ class Manifest:
             docmeta=[DocmetaEntry(**d_) for d_ in d["docmeta"]],
             stats=d["stats"],
             merge_done=d.get("merge_done", False),
+            deleted_path=d.get("deleted_path"),
+            deleted_count=d.get("deleted_count", 0),
         )
 
     def completed_partition_ids(self) -> set:

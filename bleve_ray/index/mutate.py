@@ -1,0 +1,66 @@
+"""Online mutations: delete-by-id tombstones.
+
+The slice of scorch's introducer/obsoleted-bitmap machinery
+(index/scorch/introducer.go:108-260, README.md:111-137) that an
+index-once builder needs: `delete_ids` resolves external ids to docnums,
+unions them with the current tombstone set, writes the set as a parquet
+sidecar and commits a new manifest epoch.  Readers consult the set at
+search time (every query kind excludes tombstoned docs; doc_count
+reflects them); `rollback` to a prior epoch restores the prior set.
+Physical removal happens at forcemerge, like scorch merges dropping
+obsoleted docs.
+
+Scoring note (Lucene/scorch parity): df/avgdl statistics still include
+tombstoned docs until a merge rewrites the segments; only result sets
+and doc_count exclude them immediately.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import manifest as manifest_mod
+
+
+def load_deleted(index_dir: str, man) -> np.ndarray:
+    if not getattr(man, "deleted_path", None):
+        return np.empty(0, dtype=np.int64)
+    t = pq.read_table(
+        os.path.join(index_dir, man.deleted_path), columns=["docnum"]
+    )
+    return np.asarray(t["docnum"], dtype=np.int64)
+
+
+def delete_ids(index_dir: str, doc_ids: List[str]) -> "manifest_mod.Manifest":
+    """Tombstone the given external ids (Index.Delete / Batch.Delete role,
+    index.go:46-65).  Unknown ids are ignored, like the reference's
+    delete of a non-indexed id.  Returns the committed manifest."""
+    from ..search.reader import IndexReader
+
+    man = manifest_mod.load(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    reader = IndexReader(index_dir)
+    new_dn = reader.docnums_for_ids(list(doc_ids))
+    prev = load_deleted(index_dir, man)
+    merged = np.union1d(prev, new_dn).astype(np.int64)
+    if len(merged) == len(prev):
+        return man  # nothing new to delete
+    deldir = os.path.join(index_dir, "deleted")
+    os.makedirs(deldir, exist_ok=True)
+    rel = os.path.join("deleted", f"del_{man.epoch + 1:06d}.parquet")
+    tmp = os.path.join(index_dir, rel) + f".tmp{os.getpid()}"
+    pq.write_table(
+        pa.table({"docnum": pa.array(merged, type=pa.int64())}),
+        tmp,
+        compression="zstd",
+    )
+    os.replace(tmp, os.path.join(index_dir, rel))
+    man.deleted_path = rel
+    man.deleted_count = int(len(merged))
+    return manifest_mod.commit(index_dir, man)

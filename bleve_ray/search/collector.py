@@ -251,12 +251,15 @@ class Index:
             scoring_model=self.mapping.scoring_model, score=""
         )
         fts = query.searcher(self.reader, self.mapping, options).search()
-        sources = [(fts.docnums.tolist(), fts.scores)]
+        fkeep = self.reader.filter_deleted(fts.docnums)
+        sources = [(fts.docnums[fkeep].tolist(), fts.scores[fkeep])]
         weights = [1.0]
         for kr in request["knn"]:
             nums, sims = knn_topk(
                 self.reader, kr["field"], kr["vector"], int(kr.get("k", 10))
             )
+            kkeep = self.reader.filter_deleted(nums)
+            nums, sims = nums[kkeep], sims[kkeep]
             sources.append((nums.tolist(), sims))
             weights.append(float(kr.get("boost", 1.0)))
         params = request.get("params") or {}
@@ -330,6 +333,11 @@ class Index:
                 hits = searcher.search()
         else:
             hits = searcher.search()
+        # tombstone filter (obsoleted-bitmap consult, mutate.py): every
+        # query kind excludes deleted docs
+        keep = self.reader.filter_deleted(hits.docnums)
+        if not keep.all():
+            hits = SearchHits(hits.docnums[keep], hits.scores[keep])
         # total_hits is cursor-independent (collector/topn.go basicPrepare
         # counts every match before the searchAfter skip)
         pre_cursor_total = len(hits.docnums)

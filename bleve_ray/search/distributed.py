@@ -62,6 +62,8 @@ class DistributedIndexReader:
         self.num_shards = self.local.num_shards
         self.options = self.local.options
         self.manifest = self.local.manifest
+        self.deleted = self.local.deleted
+        self.filter_deleted = self.local.filter_deleted
         num_actors = min(num_actors, self.num_shards)
         actor_cls = ray.remote(PostingShardActor)
         self._actor_of_shard: Dict[int, int] = {}

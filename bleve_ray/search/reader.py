@@ -56,6 +56,19 @@ class IndexReader:
         self._docmeta_cache: Dict[str, Tuple[np.ndarray, list]] = {}
         self._all_docnums: Optional[np.ndarray] = None
         self._posting_cache: Dict = {}
+        from ..index.mutate import load_deleted
+
+        # tombstoned docnums (sorted; obsoleted-bitmap role) -- consulted
+        # by every searcher via filter_deleted
+        self.deleted: np.ndarray = load_deleted(index_dir, self.manifest)
+
+    def filter_deleted(self, docnums: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask over docnums excluding tombstoned docs."""
+        if len(self.deleted) == 0:
+            return np.ones(len(docnums), dtype=bool)
+        j = np.searchsorted(self.deleted, docnums)
+        j_cl = np.minimum(j, len(self.deleted) - 1)
+        return self.deleted[j_cl] != docnums
 
     # --- postings ---------------------------------------------------------
 
@@ -127,7 +140,7 @@ class IndexReader:
     # --- stats ------------------------------------------------------------
 
     def doc_count(self) -> int:
-        return int(self.manifest.stats["doc_count"])
+        return int(self.manifest.stats["doc_count"]) - len(self.deleted)
 
     def field_cardinality(self, field: str) -> int:
         fs = self.manifest.stats["field_stats"].get(field)
@@ -135,8 +148,11 @@ class IndexReader:
 
     def bm25_metrics(self, field: str) -> Tuple[int, float]:
         """(docCount, avgDocLength) -- bm25ScoreMetrics
-        (search_term.go:83-113, including the ceil)."""
-        count = self.doc_count()
+        (search_term.go:83-113, including the ceil).  Uses the segment
+        stats as written: like Lucene/scorch, tombstoned docs keep
+        contributing to scoring statistics until a merge rewrites the
+        segments (mutate.py scoring note)."""
+        count = int(self.manifest.stats["doc_count"])
         card = self.field_cardinality(field)
         if count == 0 and card == 0:
             return 0, 0.0
