@@ -151,6 +151,17 @@ class SegmentReader:
                 )
             )
         self._cache: Dict[int, pa.Table] = {}
+        # observability: row groups actually READ (cold) -- lets tests
+        # assert that selective dictionary ops prune
+        self.rg_read_count = 0
+
+    def _get_rg(self, rg: int) -> pa.Table:
+        tbl = self._cache.get(rg)
+        if tbl is None:
+            tbl = self._pf.read_row_group(rg)
+            self._cache[rg] = tbl
+            self.rg_read_count += 1
+        return tbl
 
     def lookup(
         self, field: str, term: str, want_positions: bool = False
@@ -158,10 +169,7 @@ class SegmentReader:
         key = (field, term)
         for rg, (lo, hi) in enumerate(self._rg_bounds):
             if lo <= key <= hi:
-                tbl = self._cache.get(rg)
-                if tbl is None:
-                    tbl = self._pf.read_row_group(rg)
-                    self._cache[rg] = tbl
+                tbl = self._get_rg(rg)
                 mask = pc.and_(
                     pc.equal(tbl["field"], field), pc.equal(tbl["term"], term)
                 )
@@ -186,18 +194,53 @@ class SegmentReader:
     def read_all(self) -> pa.Table:
         return self._pf.read()
 
+    def terms_table(
+        self,
+        field: str,
+        lo: Optional[str] = None,
+        hi: Optional[str] = None,
+        inclusive_hi: bool = True,
+    ) -> pa.Table:
+        """(term, df) rows for a field restricted to [lo, hi] bounds,
+        reading ONLY row groups whose (field, term) statistics overlap
+        the range -- the binary-searchable dictionary role of the
+        reference's vellum FST (FieldDictRange, snapshot_index.go:242-400)
+        expressed over sorted parquet row groups."""
+        picked = []
+        for rg, ((fmin, tmin), (fmax, tmax)) in enumerate(self._rg_bounds):
+            if fmax < field or fmin > field:
+                continue
+            # overlap test against [ (field, lo), (field, hi) ]
+            if lo is not None and (fmax, tmax) < (field, lo):
+                continue
+            if hi is not None and (fmin, tmin) > (field, hi):
+                continue
+            picked.append(rg)
+        if not picked:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "df": pa.array([], type=pa.int64())}
+            )
+        parts = []
+        for rg in picked:
+            tbl = self._get_rg(rg)
+            mask = pc.equal(tbl["field"], field)
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(tbl["term"], lo))
+            if hi is not None:
+                cmp = (
+                    pc.less_equal(tbl["term"], hi)
+                    if inclusive_hi
+                    else pc.less(tbl["term"], hi)
+                )
+                mask = pc.and_(mask, cmp)
+            parts.append(tbl.filter(mask).select(["term", "df"]))
+        return pa.concat_tables(parts)
+
     def dictionary_range(
         self, field: str, lo: str, hi: str, inclusive_hi: bool = False
     ) -> List[Tuple[str, int]]:
         """Terms in [lo, hi) (or [lo,hi]) for a field -- FieldDictRange
         equivalent (snapshot_index.go:242-400)."""
-        out = []
-        for f, t, d in self.iter_terms(field):
-            if t < lo:
-                continue
-            if t > hi or (t == hi and not inclusive_hi):
-                if f == field and t > hi:
-                    break
-                continue
-            out.append((t, d))
-        return out
+        t = self.terms_table(field, lo, hi, inclusive_hi)
+        return list(zip(t["term"].to_pylist(), t["df"].to_pylist()))

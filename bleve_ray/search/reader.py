@@ -180,18 +180,30 @@ class IndexReader:
 
     def doc_ids_for(self, docnums: np.ndarray) -> List[str]:
         """Resolve docnums -> external IDs (stored-field lookup equivalent,
-        snapshot_index_doc.go)."""
-        out = [None] * len(docnums)
-        entries = self.manifest.docmeta
-        for i, dn in enumerate(docnums):
-            dn = int(dn)
-            for e in entries:
-                if e.min_docnum <= dn <= e.max_docnum:
-                    nums, ids = self._load_docmeta(e.path)
-                    j = int(np.searchsorted(nums, dn))
-                    if j < len(nums) and nums[j] == dn:
-                        out[i] = ids[j]
-                        break
+        snapshot_index_doc.go).  Entries are bisected by docnum range and
+        each touched docmeta file gets one batched searchsorted."""
+        n = len(docnums)
+        out = [None] * n
+        entries = sorted(self.manifest.docmeta, key=lambda e: e.min_docnum)
+        if not entries or n == 0:
+            return out
+        docnums = np.asarray(docnums, dtype=np.int64)
+        order = np.argsort(docnums, kind="stable")
+        sorted_dn = docnums[order]
+        his = np.array([e.max_docnum for e in entries], dtype=np.int64)
+        los = np.array([e.min_docnum for e in entries], dtype=np.int64)
+        eidx = np.searchsorted(his, sorted_dn, side="left")
+        ok = (eidx < len(entries)) & (
+            los[np.minimum(eidx, len(entries) - 1)] <= sorted_dn
+        )
+        for ei in np.unique(eidx[ok]):
+            sel = np.flatnonzero((eidx == ei) & ok)
+            nums, ids = self._load_docmeta(entries[ei].path)
+            j = np.searchsorted(nums, sorted_dn[sel])
+            j_cl = np.minimum(j, len(nums) - 1)
+            hit = nums[j_cl] == sorted_dn[sel]
+            for s, jj in zip(sel[hit], j_cl[hit]):
+                out[order[s]] = ids[jj]
         return out
 
     def docnums_for_ids(self, doc_ids: List[str]) -> np.ndarray:
@@ -291,41 +303,54 @@ class IndexReader:
                     out_np[f][dst] = col[src]
         return {f: v.tolist() for f, v in out_np.items()}
 
+    def _terms_tables(
+        self,
+        field: str,
+        lo: Optional[str] = None,
+        hi: Optional[str] = None,
+        inclusive_hi: bool = True,
+    ):
+        import pyarrow as pa
+
+        parts = []
+        for shard_entries in self._by_shard.values():
+            for entry in shard_entries:
+                parts.append(
+                    self._reader(entry).terms_table(
+                        field, lo, hi, inclusive_hi
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "df": pa.array([], type=pa.int64())}
+            )
+        return pa.concat_tables(parts)
+
     def dictionary(self, field: str) -> List[Tuple[str, int]]:
         """Full sorted term dictionary with global df (FieldDict equivalent,
-        snapshot_index.go:242+)."""
-        agg: Dict[str, int] = {}
-        for shard_entries in self._by_shard.values():
-            for entry in shard_entries:
-                for f, t, d in self._reader(entry).iter_terms(field):
-                    agg[t] = agg.get(t, 0) + d
-        return sorted(agg.items())
+        snapshot_index.go:242+), vectorized: per-segment column reads +
+        one hash aggregate."""
+        t = self._terms_tables(field)
+        if len(t) == 0:
+            return []
+        agg = t.group_by("term").aggregate([("df", "sum")]).sort_by("term")
+        return list(zip(agg["term"].to_pylist(), agg["df_sum"].to_pylist()))
 
     def terms_with_prefix(self, field: str, prefix: str) -> List[str]:
-        """FieldDictPrefix equivalent."""
-        out = []
-        for shard_entries in self._by_shard.values():
-            for entry in shard_entries:
-                for f, t, d in self._reader(entry).iter_terms(field):
-                    if t.startswith(prefix):
-                        out.append(t)
-        return sorted(set(out))
+        """FieldDictPrefix equivalent; prunes to row groups overlapping
+        [prefix, prefix + U+10FFFF)."""
+        hi = prefix + "\U0010ffff" if prefix else None
+        t = self._terms_tables(field, prefix or None, hi, inclusive_hi=False)
+        terms = sorted(set(t["term"].to_pylist()))
+        return [x for x in terms if x.startswith(prefix)]
 
     def terms_in_range(
         self, field: str, lo: Optional[str], hi: Optional[str],
         inclusive_hi: bool = True,
     ) -> List[str]:
         """lo=None / hi=None are open bounds (NewTermRangeSearcher allows
-        nil min/max, search_term_range.go)."""
-        out = set()
-        for shard_entries in self._by_shard.values():
-            for entry in shard_entries:
-                for f, t, d in self._reader(entry).iter_terms(field):
-                    if lo is not None and t < lo:
-                        continue
-                    if hi is not None and (
-                        t > hi or (t == hi and not inclusive_hi)
-                    ):
-                        continue
-                    out.add(t)
-        return sorted(out)
+        nil min/max, search_term_range.go).  Row groups outside the range
+        are never read (binary-searchable sorted dictionary)."""
+        t = self._terms_tables(field, lo, hi, inclusive_hi)
+        return sorted(set(t["term"].to_pylist()))

@@ -48,3 +48,72 @@ def test_search_after_walks_full_ranking(idx):
     assert [(h.id, h.score) for h in walked] == [
         (h.id, h.score) for h in full
     ]
+
+
+def test_dictionary_pruning_reads_fewer_row_groups(ray_session, tmp_path):
+    """A selective prefix reads strictly fewer row groups than the
+    segment holds (parquet (field,term) stats as the binary-searchable
+    dictionary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index import segment as segment_mod
+    from bleve_ray.search import Index
+
+    # enough distinct terms to span several 2048-term row groups in one
+    # shard: synthetic terms 'tXXXXX'
+    n = 20000
+    texts = [f"t{i:05d} common" for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="ascii_alnum_lower",
+                                        positions=False)},
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=36,
+        ),
+    )
+    idx = Index.open(d)
+    terms = idx.reader.terms_with_prefix("text", "t0000")
+    assert terms == [f"t{i:05d}" for i in range(10)]
+    readers = list(idx.reader._seg_readers.values())
+    total_rgs = sum(r._pf.metadata.num_row_groups for r in readers)
+    read_rgs = sum(r.rg_read_count for r in readers)
+    assert total_rgs >= 4
+    assert read_rgs < total_rgs, (read_rgs, total_rgs)
+
+
+def test_term_range_pruned_matches_full_scan(ray_session, tiny_corpus_dir,
+                                             tmp_path):
+    import os as _os
+
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    d = str(tmp_path / "rangeidx")
+    files = sorted(
+        _os.path.join(tiny_corpus_dir, f)
+        for f in _os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(d)
+    # reference: full dictionary filtered in python
+    full = [t for t, _ in idx.reader.dictionary("content")]
+    lo, hi = "f", "m"
+    want = [t for t in full if lo <= t < hi]
+    got = idx.reader.terms_in_range("content", lo, hi, inclusive_hi=False)
+    assert got == want
+    want_p = [t for t in full if t.startswith("re")]
+    assert idx.reader.terms_with_prefix("content", "re") == want_p
