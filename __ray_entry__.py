@@ -620,6 +620,38 @@ def _q_shingle_distinct(sf_dir: str):
     return pa.table({"n_shingles": pa.array([n], type=pa.int64())})
 
 
+def _q_analyzer_es_stats(sf_dir: str):
+    """Spanish language-pack analyzer (lower -> stop_es -> normalize_es ->
+    light_stemmer_es) run over the corpus as a Ray stage; the oracle
+    replicates the exact chain in SQL (the light stemmer is a CASE
+    expression).  Emits total kept tokens + distinct stemmed terms."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from bleve_ray.analysis.analyzers import analyzer_named
+
+    def stems(batch: pa.Table) -> pa.Table:
+        an = analyzer_named("es")
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend(an.terms(t or ""))
+        return pa.table({"term": pa.array(out, type=pa.string())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    terms = ds.map_batches(stems, batch_format="pyarrow")
+    n_tokens = terms.count()
+    n_terms = terms.groupby("term").aggregate(Count(alias_name="_n")).count()
+    return pa.table(
+        {
+            "n_tokens": pa.array([n_tokens], type=pa.int64()),
+            "n_terms": pa.array([n_terms], type=pa.int64()),
+        }
+    )
+
+
 def _q_facet_lang_filtered(sf_dir: str):
     """Terms facet over a non-trivial (term) query match set."""
     import pyarrow as pa
@@ -784,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top10": _q_tfidf_top10,
         "highlight_marks": _q_highlight_marks,
         "shingle_distinct": _q_shingle_distinct,
+        "analyzer_es_stats": _q_analyzer_es_stats,
         "facet_lang_filtered": _q_facet_lang_filtered,
         "facet_nchars_ranges": _q_facet_nchars_ranges,
         "facet_event_type_window": _q_facet_event_type_window,
@@ -810,6 +843,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "events_agg": _q_events_agg,
     }
+
+
+def _sql_analyzer_es_stats() -> str:
+    from bleve_ray.analysis.stopwords_langs import ES_STOP_WORDS
+
+    stop = ",".join(f"'{w}'" for w in sorted(ES_STOP_WORDS))
+    acc_from = "àáâäòóôöèéêëùúûüìíîï"
+    acc_to = "aaaaooooeeeeuuuuiiii"
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+kept AS (SELECT t FROM toks WHERE t NOT IN ({stop})),
+normed AS (SELECT translate(t, '{acc_from}', '{acc_to}') AS n FROM kept),
+stemmed AS (
+  SELECT CASE
+    WHEN len(n) < 5 THEN n
+    WHEN substr(n, -1, 1) IN ('o', 'a', 'e') THEN substr(n, 1, len(n) - 1)
+    WHEN substr(n, -1, 1) = 's' AND n LIKE '%eses'
+      THEN substr(n, 1, len(n) - 2)
+    WHEN substr(n, -1, 1) = 's' AND n LIKE '%ces'
+      THEN substr(n, 1, len(n) - 3) || 'z'
+    WHEN substr(n, -1, 1) = 's' AND substr(n, -2, 1) IN ('o', 'a', 'e')
+      THEN substr(n, 1, len(n) - 2)
+    ELSE n END AS stem
+  FROM normed
+)
+SELECT count(*) AS n_tokens, count(DISTINCT stem) AS n_terms FROM stemmed
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -879,6 +942,7 @@ WITH pos AS (
 SELECT count(DISTINCT a.term || ' ' || b.term) AS n_shingles
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
 """,
+        "analyzer_es_stats": _sql_analyzer_es_stats(),
         "facet_lang_filtered": f"""
 WITH {toks_cte},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')

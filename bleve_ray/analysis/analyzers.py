@@ -230,3 +230,100 @@ def make_custom_analyzer(
     if register:
         register_analyzer(a)
     return a
+
+
+# --- language packs (de/fr/es/it/pt) ---------------------------------------
+# Chains mirror the reference analyzers exactly
+# (analysis/lang/{de,fr,es,it,pt}/analyzer_*.go): unicode tokenizer,
+# lowercase, language stop list, then the language's normalize/light-stem
+# filters; fr/it insert their elision filter after lowercase.
+
+
+def _make_lang_packs():
+    from .lang_light import (
+        ITALIAN_ARTICLES,
+        french_light_stem,
+        german_light_stem,
+        german_normalize,
+        italian_light_stem,
+        make_stem_filter,
+        portuguese_light_stem,
+        spanish_light_stem,
+        spanish_normalize,
+    )
+    from .stopwords_langs import (
+        DE_STOP_WORDS,
+        ES_STOP_WORDS,
+        FR_STOP_WORDS,
+        IT_STOP_WORDS,
+        PT_STOP_WORDS,
+    )
+    from .token_filters import make_elision_filter
+
+    register_analyzer(
+        Analyzer(
+            name="de",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_stop_filter(DE_STOP_WORDS),
+                make_stem_filter(german_normalize),
+                make_stem_filter(german_light_stem),
+            ],
+            fast_path=False,
+        )
+    )
+    register_analyzer(
+        Analyzer(
+            name="fr",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_elision_filter(),  # default set IS the French articles
+                make_stop_filter(FR_STOP_WORDS),
+                make_stem_filter(french_light_stem),
+            ],
+            fast_path=False,
+        )
+    )
+    register_analyzer(
+        Analyzer(
+            name="es",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_stop_filter(ES_STOP_WORDS),
+                make_stem_filter(spanish_normalize),
+                make_stem_filter(spanish_light_stem),
+            ],
+            fast_path=False,
+        )
+    )
+    register_analyzer(
+        Analyzer(
+            name="it",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_elision_filter(ITALIAN_ARTICLES),
+                make_stop_filter(IT_STOP_WORDS),
+                make_stem_filter(italian_light_stem),
+            ],
+            fast_path=False,
+        )
+    )
+    register_analyzer(
+        Analyzer(
+            name="pt",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_stop_filter(PT_STOP_WORDS),
+                make_stem_filter(portuguese_light_stem),
+            ],
+            fast_path=False,
+        )
+    )
+
+
+_make_lang_packs()
