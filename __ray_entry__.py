@@ -257,6 +257,100 @@ def _documents_index_tfidf(sf_dir: str):
     return Index.open(idx_dir)
 
 
+def _geo_index(sf_dir: str):
+    """Geo index over deterministically derived points: lon/lat are exact
+    integer-arithmetic functions of doc_id, reproduced verbatim in the
+    DuckDB oracles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + ":geo:v1").encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/geoidx_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        lon = (did * 7 % 360) - 180 + 0.5
+        lat = (did * 3 % 180) - 90 + 0.5
+        src = f"/tmp/bleve_ray_cache/geo_src_{key}.parquet"
+        os.makedirs("/tmp/bleve_ray_cache", exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "pt": pa.StructArray.from_arrays(
+                        [
+                            pa.array(lon.astype(np.float64)),
+                            pa.array(lat.astype(np.float64)),
+                        ],
+                        names=["lon", "lat"],
+                    ),
+                }
+            ),
+            src,
+        )
+        build_index(
+            [src],
+            idx_dir,
+            IndexOptions(
+                fields={"pt": FieldConfig(field_type="geo", positions=False)},
+                doc_id_fields=["doc_id"],
+                num_shards=4,
+                bucket_bits=16,
+            ),
+        )
+    return Index.open(idx_dir)
+
+
+def _q_geo_bbox_docs(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _geo_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "top_left": {"lon": -30.0, "lat": 45.0},
+                "bottom_right": {"lon": 60.0, "lat": -20.0},
+                "field": "pt",
+            },
+            "size": 1_000_000,
+            "score": "none",
+        }
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
+def _q_geo_distance_docs(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _geo_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "location": {"lon": 12.5, "lat": 41.5},
+                "distance": "2500km",
+                "field": "pt",
+            },
+            "size": 1_000_000,
+            "score": "none",
+        }
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
 def _events_index(sf_dir: str):
     from bleve_ray.index import FieldConfig, IndexOptions, build_index
     from bleve_ray.index.manifest import load as load_manifest
@@ -817,6 +911,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_marks": _q_highlight_marks,
         "shingle_distinct": _q_shingle_distinct,
         "analyzer_es_stats": _q_analyzer_es_stats,
+        "geo_bbox_docs": _q_geo_bbox_docs,
+        "geo_distance_docs": _q_geo_distance_docs,
         "facet_lang_filtered": _q_facet_lang_filtered,
         "facet_nchars_ranges": _q_facet_nchars_ranges,
         "facet_event_type_window": _q_facet_event_type_window,
@@ -943,6 +1039,36 @@ SELECT count(DISTINCT a.term || ' ' || b.term) AS n_shingles
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
 """,
         "analyzer_es_stats": _sql_analyzer_es_stats(),
+        "geo_bbox_docs": """
+WITH pts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         ((doc_id * 7) % 360) - 180 + 0.5 AS lon,
+         ((doc_id * 3) % 180) - 90 + 0.5 AS lat
+  FROM documents
+)
+SELECT doc_id FROM pts
+WHERE lon >= -30.0 AND lon <= 60.0 AND lat >= -20.0 AND lat <= 45.0
+ORDER BY doc_id
+""",
+        # plain spherical haversine (mean diameter 2*6371km); the engine's
+        # latitude-dependent-diameter formula differs by <0.35%, and the
+        # derived grid keeps every point >=36km away from the 2500km
+        # boundary, so classification is identical
+        "geo_distance_docs": """
+WITH pts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         (((doc_id * 7) % 360) - 180 + 0.5) * pi() / 180 AS lon_r,
+         (((doc_id * 3) % 180) - 90 + 0.5) * pi() / 180 AS lat_r
+  FROM documents
+),
+q AS (SELECT 12.5 * pi() / 180 AS qlon_r, 41.5 * pi() / 180 AS qlat_r)
+SELECT doc_id FROM pts, q
+WHERE 2 * 6371 * asin(least(1.0, sqrt(
+        ((1 - cos(qlat_r - lat_r))
+         + cos(qlat_r) * cos(lat_r) * (1 - cos(qlon_r - lon_r))) / 2
+      ))) <= 2500.0
+ORDER BY doc_id
+""",
         "facet_lang_filtered": f"""
 WITH {toks_cte},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')

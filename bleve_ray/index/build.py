@@ -174,10 +174,21 @@ def _numeric_tokens(col: pa.ChunkedArray, field_type: str):
         iv = bits
     valid_idx = np.flatnonzero(valid).astype(np.int64)
     iv = iv[valid_idx]
+    return trie_terms_for_values(iv, valid_idx, n_rows, PRECISION_STEP)
+
+
+def trie_terms_for_values(
+    iv: np.ndarray, valid_idx: np.ndarray, n_rows: int, precision_step: int
+):
+    """Vectorized prefix-coded trie terms for int64 values at every shift
+    level (shared by numeric/datetime [step 4] and geo morton [step 9,
+    document/field_geopoint.go:35])."""
+    from .numeric import SHIFT_START
+
     nv = len(iv)
     sortable0 = iv.view(np.uint64) ^ np.uint64(0x8000000000000000)
     term_chunks = []
-    for sft in range(0, 64, PRECISION_STEP):
+    for sft in range(0, 64, precision_step):
         n_chars = ((63 - sft) // 7) + 1
         width = n_chars + 1
         mat = np.empty((nv, width), dtype=np.uint8)
@@ -203,6 +214,38 @@ def _numeric_tokens(col: pa.ChunkedArray, field_type: str):
     field_len = np.zeros(n_rows, dtype=np.int64)
     field_len[valid_idx] = n_shifts
     return terms, doc_idx, positions, field_len
+
+
+def _geo_tokens(col: pa.ChunkedArray):
+    """Geo column (struct{lon,lat} or list[lon,lat]) -> morton-hash trie
+    terms at precision step 9 (document/field_geopoint.go:115-129,
+    geo/geo.go:50 MortonHash)."""
+    from .geo import GEO_PRECISION_STEP, morton_hash
+
+    arr = col.combine_chunks()
+    n_rows = len(arr)
+    if pa.types.is_struct(arr.type):
+        lon = np.asarray(
+            pc.cast(arr.field("lon"), pa.float64()).fill_null(np.nan)
+        )
+        lat = np.asarray(
+            pc.cast(arr.field("lat"), pa.float64()).fill_null(np.nan)
+        )
+        valid = np.asarray(arr.is_valid()) & ~np.isnan(lon) & ~np.isnan(lat)
+    else:  # list<double> [lon, lat]
+        valid = np.asarray(arr.is_valid())
+        lon = np.full(n_rows, np.nan)
+        lat = np.full(n_rows, np.nan)
+        vals = arr.to_pylist()
+        for i, v in enumerate(vals):
+            if v is not None and len(v) == 2:
+                lon[i], lat[i] = float(v[0]), float(v[1])
+        valid &= ~np.isnan(lon) & ~np.isnan(lat)
+    valid_idx = np.flatnonzero(valid).astype(np.int64)
+    mh = morton_hash(lon[valid_idx], lat[valid_idx]).view(np.int64)
+    return trie_terms_for_values(
+        mh, valid_idx, n_rows, GEO_PRECISION_STEP
+    )
 
 
 # (field, term, num_shards) -> shard cache: terms follow a Zipf law, so in
@@ -295,7 +338,11 @@ class ReadAnalyzeInvert:
         chunk_tables = []
         primary_field = next(iter(opts.fields))
         shas = [
-            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            hashlib.sha256(
+                (
+                    t if isinstance(t, str) else "" if t is None else repr(t)
+                ).encode("utf-8")
+            ).hexdigest()
             for t in tbl[primary_field].to_pylist()
         ]
         all_terms, all_doc_idx, all_field_len = [], [], None
@@ -303,7 +350,11 @@ class ReadAnalyzeInvert:
             texts = tbl[fname].to_pylist() if fname in tbl.column_names else []
             if not texts:
                 continue
-            if fcfg.field_type != "text":
+            if fcfg.field_type == "geo":
+                terms, doc_idx, positions, field_len = _geo_tokens(
+                    tbl[fname]
+                )
+            elif fcfg.field_type != "text":
                 terms, doc_idx, positions, field_len = _numeric_tokens(
                     tbl[fname], fcfg.field_type
                 )
@@ -760,6 +811,11 @@ def build_index(
     import ray.data
 
     options = options or IndexOptions()
+    # geo queries need the source lon/lat for exact boundary filtering
+    # (the reference's DocValueReader path, search_geoboundingbox.go:78)
+    for fname, fcfg in options.fields.items():
+        if fcfg.field_type == "geo" and fname not in options.docvalue_fields:
+            options.docvalue_fields.append(fname)
     os.makedirs(index_dir, exist_ok=True)
     man = manifest_mod.load(index_dir) if resume else None
     if man is None:

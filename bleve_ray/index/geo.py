@@ -1,0 +1,228 @@
+"""Geo point encoding + distance math (reference geo/geo.go, sloppy.go).
+
+- morton_hash: lon/lat scaled to 32-bit ints (geo.go:54-61) and
+  bit-interleaved (lon = even bits, lat = odd bits) into a uint64.
+- haversin_km: the reference's latitude-dependent-diameter haversine
+  (geo_dist.go:88-99 + sloppy.go earthDiameter table) so distances agree
+  to the meter.
+- morton_ranges_for_rect: quadtree decomposition of a lon/lat rectangle
+  into contiguous morton-code intervals -- the candidate-pruning role of
+  ComputeGeoRange (search_geoboundingbox.go:137+).  Intervals are a
+  SUPERSET of the rect; searchers apply an exact docvalue filter, so the
+  decomposition budget only affects pruning, never correctness.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+GEO_BITS = 32  # geo.go:26
+GEO_PRECISION_STEP = 9  # document/field_geopoint.go:35
+
+_MIN_LON, _MAX_LON = -180.0, 180.0
+_MIN_LAT, _MAX_LAT = -90.0, 90.0
+_LON_SCALE = float((1 << GEO_BITS) - 1) / 360.0
+_LAT_SCALE = float((1 << GEO_BITS) - 1) / 180.0
+
+
+def scale_lon(lon) -> np.ndarray:
+    return ((np.asarray(lon, dtype=np.float64) - _MIN_LON) * _LON_SCALE).astype(
+        np.uint64
+    )
+
+
+def scale_lat(lat) -> np.ndarray:
+    return ((np.asarray(lat, dtype=np.float64) - _MIN_LAT) * _LAT_SCALE).astype(
+        np.uint64
+    )
+
+
+_B = [
+    np.uint64(0x5555555555555555),
+    np.uint64(0x3333333333333333),
+    np.uint64(0x0F0F0F0F0F0F0F0F),
+    np.uint64(0x00FF00FF00FF00FF),
+    np.uint64(0x0000FFFF0000FFFF),
+]
+
+
+def _spread(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of x into the even bit positions."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x | (x << np.uint64(16))) & _B[4]
+    x = (x | (x << np.uint64(8))) & _B[3]
+    x = (x | (x << np.uint64(4))) & _B[2]
+    x = (x | (x << np.uint64(2))) & _B[1]
+    x = (x | (x << np.uint64(1))) & _B[0]
+    return x
+
+
+def _squash(x: np.ndarray) -> np.ndarray:
+    """Inverse of _spread: collect even bits into the low 32 bits."""
+    x = np.asarray(x, dtype=np.uint64) & _B[0]
+    x = (x | (x >> np.uint64(1))) & _B[1]
+    x = (x | (x >> np.uint64(2))) & _B[2]
+    x = (x | (x >> np.uint64(4))) & _B[3]
+    x = (x | (x >> np.uint64(8))) & _B[4]
+    x = (x | (x >> np.uint64(16))) & np.uint64(0xFFFFFFFF)
+    return x
+
+
+def interleave(x, y) -> np.ndarray:
+    """numeric Interleave: x in even bits, y in odd bits."""
+    return _spread(x) | (_spread(y) << np.uint64(1))
+
+
+def morton_hash(lon, lat) -> np.ndarray:
+    return interleave(scale_lon(lon), scale_lat(lat))
+
+
+def morton_unhash(hash_) -> Tuple[np.ndarray, np.ndarray]:
+    h = np.asarray(hash_, dtype=np.uint64)
+    lon = _squash(h).astype(np.float64) / _LON_SCALE + _MIN_LON
+    lat = _squash(h >> np.uint64(1)).astype(np.float64) / _LAT_SCALE + _MIN_LAT
+    return lon, lat
+
+
+# --- distance (geo_dist.go + sloppy.go) ------------------------------------
+
+_RADIUS_TABS = (1 << 10) + 1
+_RADIUS_DELTA = (math.pi / 2) / (_RADIUS_TABS - 1)
+_RADIUS_INDEXER = 1 / _RADIUS_DELTA
+_DEG2RAD = math.pi / 180.0
+
+
+def _earth_diameter_table() -> np.ndarray:
+    a, b = 6378137.0, 6356752.31420
+    a2, b2 = a * a, b * b
+    t = np.empty(_RADIUS_TABS, dtype=np.float64)
+    t[0] = 2.0 * a / 1000
+    t[-1] = 2.0 * b / 1000
+    for i in range(1, _RADIUS_TABS - 1):
+        lat = math.pi * i / (2 * _RADIUS_TABS - 1)
+        one = (a2 * math.cos(lat)) ** 2
+        two = (b2 * math.sin(lat)) ** 2
+        three = (a * math.cos(lat)) ** 2
+        four = (b * math.sin(lat)) ** 2
+        t[i] = 2 * math.sqrt((one + two) / (three + four)) / 1000
+    return t
+
+
+_EARTH_DIAM = _earth_diameter_table()
+
+
+def haversin_km(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Reference Haversin (geo_dist.go:88-99): result in kilometers."""
+    x1 = np.asarray(lat1, dtype=np.float64) * _DEG2RAD
+    x2 = np.asarray(lat2, dtype=np.float64) * _DEG2RAD
+    h1 = 1 - np.cos(x1 - x2)
+    h2 = 1 - np.cos(
+        (np.asarray(lon1, dtype=np.float64) - np.asarray(lon2, dtype=np.float64))
+        * _DEG2RAD
+    )
+    h = (h1 + np.cos(x1) * np.cos(x2) * h2) / 2
+    avg_lat = (x1 + x2) / 2
+    idx = np.mod(np.abs(avg_lat) * _RADIUS_INDEXER + 0.5, _RADIUS_TABS)
+    diameter = _EARTH_DIAM[idx.astype(np.int64)]
+    return diameter * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+_DIST_UNIT_KM = {
+    "mm": 1e-6, "cm": 1e-5, "in": 2.54e-5, "yd": 0.0009144,
+    "ft": 0.0003048, "km": 1.0, "mi": 1.609344, "m": 0.001,
+}
+
+
+def parse_distance_km(d) -> float:
+    """geo/parse.go ParseDistance: number + optional unit, default meters."""
+    if isinstance(d, (int, float)):
+        return float(d) * 0.001
+    s = str(d).strip().lower()
+    for u in sorted(_DIST_UNIT_KM, key=len, reverse=True):
+        if s.endswith(u):
+            return float(s[: -len(u)]) * _DIST_UNIT_KM[u]
+    return float(s) * 0.001
+
+
+# --- rectangle covering ----------------------------------------------------
+
+
+def rect_from_point_distance(lon: float, lat: float, dist_km: float):
+    """geo.go RectFromPointDistance role: bounding rect of the circle."""
+    lat_delta = dist_km / 111.195  # km per degree latitude (mean)
+    coslat = max(0.01, math.cos(lat * _DEG2RAD))
+    lon_delta = dist_km / (111.195 * coslat)
+    return (
+        max(_MIN_LON, lon - lon_delta),
+        max(_MIN_LAT, lat - lat_delta),
+        min(_MAX_LON, lon + lon_delta),
+        min(_MAX_LAT, lat + lat_delta),
+    )
+
+
+def morton_ranges_for_rect(
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    max_cells: int = 64,
+) -> List[Tuple[int, int]]:
+    """Quadtree cover of the scaled-integer rect as morton intervals
+    (int64, sortable domain).  Cells fully inside emit their whole code
+    range; when the cell budget runs out, partial cells emit their range
+    too (superset -- the exact filter downstream removes false
+    positives)."""
+    x1, x2 = int(scale_lon(min_lon)), int(scale_lon(max_lon))
+    y1, y2 = int(scale_lat(min_lat)), int(scale_lat(max_lat))
+    out: List[Tuple[int, int]] = []
+    # stack of (cell_x0, cell_y0, level) where the cell spans 2^level units
+    stack = [(0, 0, GEO_BITS)]
+    while stack:
+        cx, cy, lvl = stack.pop()
+        size = 1 << lvl
+        if cx > x2 or cy > y2 or cx + size - 1 < x1 or cy + size - 1 < y1:
+            continue
+        inside = (
+            cx >= x1 and cx + size - 1 <= x2
+            and cy >= y1 and cy + size - 1 <= y2
+        )
+        if inside or lvl == 0 or len(stack) + len(out) >= max_cells:
+            base = int(interleave(np.uint64(cx), np.uint64(cy)))
+            out.append((base, base + (1 << (2 * lvl)) - 1))
+            continue
+        half = size >> 1
+        stack.extend(
+            [
+                (cx, cy, lvl - 1),
+                (cx + half, cy, lvl - 1),
+                (cx, cy + half, lvl - 1),
+                (cx + half, cy + half, lvl - 1),
+            ]
+        )
+    # to sortable int64 domain (values are indexed as int64 view of uint64);
+    # split any interval straddling 2^63 first (only the full-domain cell
+    # can, since cells are power-of-4 aligned)
+    half_point = 1 << 63
+    split: List[Tuple[int, int]] = []
+    for a, b in out:
+        if a < half_point <= b:
+            split.append((a, half_point - 1))
+            split.append((half_point, b))
+        else:
+            split.append((a, b))
+
+    def to_i64(u: int) -> int:
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    merged = sorted((to_i64(a), to_i64(b)) for a, b in split)
+    # coalesce adjacent intervals
+    res: List[Tuple[int, int]] = []
+    for a, b in merged:
+        if res and a <= res[-1][1] + 1:
+            res[-1] = (res[-1][0], max(res[-1][1], b))
+        else:
+            res.append((a, b))
+    return res

@@ -29,9 +29,16 @@ class IndexMapping:
     default_field: str = "content"
     analyzers: Dict[str, str] = dc_field(default_factory=dict)
     scoring_model: str = "bm25"
+    # query-time synonym expansion (SynonymDefinition, index.go:358-390)
+    synonyms: Optional[object] = None
 
     def analyzer_for(self, field: str) -> str:
         return self.analyzers.get(field, "standard")
+
+    def set_synonyms(self, definitions, analyzer=None) -> None:
+        from .synonyms import Thesaurus
+
+        self.synonyms = Thesaurus.from_definitions(definitions, analyzer)
 
 
 @dataclass

@@ -47,6 +47,13 @@ class TermQuery(Query):
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
+        th = getattr(mapping, "synonyms", None)
+        if th is not None:
+            from .synonyms import synonym_term_searcher
+
+            return synonym_term_searcher(
+                reader, self.term, field, self.boost, options, th
+            )
         return TermSearcher(reader, self.term, field, self.boost, options)
 
 
@@ -69,10 +76,21 @@ class MatchQuery(Query):
         tokens = analyzer.analyze(self.match)
         if not tokens:
             return MatchNoneSearcher()
-        tqs = [
-            TermSearcher(reader, t.term, field, self.boost, options)
-            for t in tokens
-        ]
+        th = getattr(mapping, "synonyms", None)
+        if th is not None:
+            from .synonyms import synonym_term_searcher
+
+            tqs = [
+                synonym_term_searcher(
+                    reader, t.term, field, self.boost, options, th
+                )
+                for t in tokens
+            ]
+        else:
+            tqs = [
+                TermSearcher(reader, t.term, field, self.boost, options)
+                for t in tokens
+            ]
         if self.operator == "and":
             return ConjunctionSearcher(tqs)
         return DisjunctionSearcher(tqs, min_match=1)
@@ -446,6 +464,26 @@ def parse_query(d: Dict) -> Query:
             must_not=_sub("must_not", 0),
             boost=boost,
         )
+    if "top_left" in d and "bottom_right" in d:
+        # geo bounding box (query.go:255-270 dispatch)
+        def _pt(p):
+            if isinstance(p, dict):
+                return float(p["lon"]), float(p["lat"])
+            return float(p[0]), float(p[1])
+
+        tl, br = _pt(d["top_left"]), _pt(d["bottom_right"])
+        return GeoBoundingBoxQuery(
+            tl[0], tl[1], br[0], br[1], field=d.get("field", ""), boost=boost
+        )
+    if "location" in d and "distance" in d:
+        loc = d["location"]
+        if isinstance(loc, dict):
+            lon, lat = float(loc["lon"]), float(loc["lat"])
+        else:
+            lon, lat = float(loc[0]), float(loc[1])
+        return GeoDistanceQuery(
+            lon, lat, d["distance"], field=d.get("field", ""), boost=boost
+        )
     if "min" in d or "max" in d:
         lo, hi = d.get("min"), d.get("max")
         if isinstance(lo, (int, float)) or isinstance(hi, (int, float)):
@@ -487,3 +525,130 @@ def parse_query(d: Dict) -> Query:
 
         return parse_query_string(d["query"])
     raise ValueError(f"unrecognized query: {d!r}")
+
+
+class FilteringSearcher(Searcher):
+    """NewFilteringSearcher (search_filter.go): wraps a searcher and keeps
+    only hits passing a docnum-level predicate."""
+
+    def __init__(self, inner: Searcher, predicate):
+        self.inner = inner
+        self.predicate = predicate
+
+    def weight(self) -> float:
+        return self.inner.weight()
+
+    def set_query_norm(self, qnorm: float) -> None:
+        self.inner.set_query_norm(qnorm)
+
+    def search(self):
+        hits = self.inner.search()
+        if len(hits.docnums) == 0:
+            return hits
+        keep = self.predicate(hits.docnums)
+        from .searcher import SearchHits
+
+        return SearchHits(hits.docnums[keep], hits.scores[keep])
+
+
+def _geo_values(reader, field, docnums):
+    """lon/lat arrays for docnums from the geo field's docvalues (struct
+    or [lon, lat] list values)."""
+    import numpy as np
+
+    vals = reader.docvalues_for(docnums, [field])[field]
+    lon = np.full(len(vals), np.nan)
+    lat = np.full(len(vals), np.nan)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            lon[i], lat[i] = float(v["lon"]), float(v["lat"])
+        elif isinstance(v, (list, tuple)) and len(v) == 2:
+            lon[i], lat[i] = float(v[0]), float(v[1])
+    return lon, lat
+
+
+def _geo_candidate_searcher(reader, field, rect, boost, options):
+    """Morton-interval candidates -> trie terms -> MultiTermSearcher
+    (the ComputeGeoRange role, search_geoboundingbox.go:70-126)."""
+    from ..index.geo import GEO_PRECISION_STEP, morton_ranges_for_rect
+    from ..index.numeric import split_int64_range
+
+    terms: List[str] = []
+    for lo, hi in morton_ranges_for_rect(*rect):
+        for start_t, end_t in split_int64_range(
+            lo, hi, precision_step=GEO_PRECISION_STEP
+        ):
+            terms.extend(
+                reader.terms_in_range(field, start_t, end_t, inclusive_hi=True)
+            )
+    terms = sorted(set(terms))
+    if not terms:
+        return MatchNoneSearcher()
+    return MultiTermSearcher(reader, terms, field, boost, options)
+
+
+@dataclass
+class GeoBoundingBoxQuery(Query):
+    """search_geoboundingbox.go: morton-range candidates + exact rect
+    filter over the geo docvalues."""
+
+    top_left_lon: float
+    top_left_lat: float
+    bottom_right_lon: float
+    bottom_right_lat: float
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import numpy as np
+
+        field = self.field or mapping.default_field
+        min_lon, max_lon = self.top_left_lon, self.bottom_right_lon
+        min_lat, max_lat = self.bottom_right_lat, self.top_left_lat
+        inner = _geo_candidate_searcher(
+            reader, field, (min_lon, min_lat, max_lon, max_lat), self.boost,
+            options,
+        )
+
+        def rect_ok(docnums):
+            lon, lat = _geo_values(reader, field, docnums)
+            return (
+                (lon >= min_lon) & (lon <= max_lon)
+                & (lat >= min_lat) & (lat <= max_lat)
+            )
+
+        return FilteringSearcher(inner, rect_ok)
+
+
+@dataclass
+class GeoDistanceQuery(Query):
+    """search_geopointdistance.go: circle bounding-rect candidates +
+    exact reference-haversine filter."""
+
+    lon: float
+    lat: float
+    distance: str = "100km"
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        from ..index.geo import (
+            haversin_km,
+            parse_distance_km,
+            rect_from_point_distance,
+        )
+
+        field = self.field or mapping.default_field
+        dist_km = parse_distance_km(self.distance)
+        rect = rect_from_point_distance(self.lon, self.lat, dist_km)
+        inner = _geo_candidate_searcher(
+            reader, field, rect, self.boost, options
+        )
+
+        def dist_ok(docnums):
+            lon, lat = _geo_values(reader, field, docnums)
+            return haversin_km(self.lon, self.lat, lon, lat) <= dist_km
+
+        return FilteringSearcher(inner, dist_ok)

@@ -1,0 +1,134 @@
+"""Geo queries: morton-hash trie terms + bounding box / point distance
+with exact docvalue filtering (reference geo/geo.go, sloppy.go,
+search_geoboundingbox.go, search_geopointdistance.go)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bleve_ray.index import FieldConfig, IndexOptions, build_index
+from bleve_ray.index.geo import (
+    haversin_km,
+    interleave,
+    morton_hash,
+    morton_ranges_for_rect,
+    morton_unhash,
+    parse_distance_km,
+)
+from bleve_ray.search import Index
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    h = morton_hash(lon, lat)
+    lon2, lat2 = morton_unhash(h)
+    # 32-bit quantization: ~1e-7 degrees resolution
+    assert np.abs(lon - lon2).max() < 1e-6
+    assert np.abs(lat - lat2).max() < 1e-6
+
+
+def test_interleave_bits():
+    assert int(interleave(np.uint64(0b11), np.uint64(0b00))) == 0b0101
+    assert int(interleave(np.uint64(0b00), np.uint64(0b11))) == 0b1010
+
+
+def test_haversin_known_distances():
+    # Paris (2.3522, 48.8566) -> London (-0.1276, 51.5072) ~ 334 km
+    d = float(haversin_km(2.3522, 48.8566, -0.1276, 51.5072))
+    assert 330 < d < 345
+    assert float(haversin_km(0, 0, 0, 0)) == 0.0
+
+
+def test_parse_distance():
+    assert parse_distance_km("5km") == 5.0
+    assert parse_distance_km("500m") == 0.5
+    assert parse_distance_km(1000) == 1.0  # bare number = meters
+    assert abs(parse_distance_km("1mi") - 1.609344) < 1e-9
+
+
+def test_morton_ranges_cover_rect_points():
+    rng = np.random.default_rng(5)
+    rect = (-10.0, 40.0, 5.0, 50.0)
+    ranges = morton_ranges_for_rect(*rect)
+    lon = rng.uniform(rect[0], rect[2], 300)
+    lat = rng.uniform(rect[1], rect[3], 300)
+    h = morton_hash(lon, lat).view(np.int64)
+    for v in h:
+        assert any(lo <= int(v) <= hi for lo, hi in ranges), int(v)
+
+
+@pytest.fixture(scope="module")
+def geo_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("geoidx")
+    rng = np.random.default_rng(9)
+    n = 300
+    lon = np.round(rng.uniform(-180, 180, n), 4)
+    lat = np.round(rng.uniform(-90, 90, n), 4)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "pt": pa.StructArray.from_arrays(
+                [pa.array(lon), pa.array(lat)], names=["lon", "lat"]
+            ),
+        }
+    )
+    src = str(d / "geo.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(d / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={"pt": FieldConfig(field_type="geo", positions=False)},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+        ),
+    )
+    return Index.open(idx_dir), lon, lat
+
+
+def test_geo_bounding_box(geo_index):
+    idx, lon, lat = geo_index
+    min_lon, max_lon, min_lat, max_lat = -30.0, 60.0, -20.0, 45.0
+    r = idx.search(
+        {
+            "query": {
+                "top_left": {"lon": min_lon, "lat": max_lat},
+                "bottom_right": {"lon": max_lon, "lat": min_lat},
+                "field": "pt",
+            },
+            "size": 1000,
+        }
+    )
+    want = {
+        str(i)
+        for i in range(len(lon))
+        if min_lon <= lon[i] <= max_lon and min_lat <= lat[i] <= max_lat
+    }
+    got = {h.id for h in r.hits}
+    assert got == want
+    assert len(want) > 5
+
+
+def test_geo_distance(geo_index):
+    idx, lon, lat = geo_index
+    qlon, qlat, dist = 10.0, 45.0, "2000km"
+    r = idx.search(
+        {
+            "query": {
+                "location": {"lon": qlon, "lat": qlat},
+                "distance": dist,
+                "field": "pt",
+            },
+            "size": 1000,
+        }
+    )
+    d = haversin_km(qlon, qlat, lon, lat)
+    want = {str(i) for i in range(len(lon)) if d[i] <= 2000.0}
+    got = {h.id for h in r.hits}
+    assert got == want
+    assert len(want) > 2

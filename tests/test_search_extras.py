@@ -117,3 +117,52 @@ def test_term_range_pruned_matches_full_scan(ray_session, tiny_corpus_dir,
     assert got == want
     want_p = [t for t in full if t.startswith("re")]
     assert idx.reader.terms_with_prefix("content", "re") == want_p
+
+
+def test_synonym_expansion(ray_session, tiny_corpus_dir, tmp_path):
+    """SynonymDefinition semantics (index.go:358-390): bidirectional and
+    unidirectional mappings; query-time disjunction with synonyms at
+    boost/2 (search_term.go:154-196)."""
+    import os as _os
+
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+    from bleve_ray.search.synonyms import Thesaurus
+
+    th = Thesaurus.from_definitions(
+        [
+            {"synonyms": ["func", "lambda"]},  # bidirectional
+            {"input": ["closure"], "synonyms": ["lambda"]},  # one-way
+        ]
+    )
+    assert th.synonyms_of("func") == ["lambda"]
+    assert th.synonyms_of("lambda") == ["func"]
+    assert th.synonyms_of("closure") == ["lambda"]
+    assert th.synonyms_of("lambda") == ["func"]  # no back-mapping
+
+    d = str(tmp_path / "synidx")
+    files = sorted(
+        _os.path.join(tiny_corpus_dir, f)
+        for f in _os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(d)
+    plain = idx.search(
+        {"query": {"term": "func", "field": "content"}, "size": 200}
+    )
+    lam = idx.search(
+        {"query": {"term": "lambda", "field": "content"}, "size": 200}
+    )
+    idx.mapping.set_synonyms(
+        [{"synonyms": ["func", "lambda"]}]
+    )
+    syn = idx.search(
+        {"query": {"term": "func", "field": "content"}, "size": 500}
+    )
+    ids = {h.id for h in syn.hits}
+    assert {h.id for h in plain.hits} <= ids
+    assert {h.id for h in lam.hits} <= ids
+    assert syn.total_hits >= max(plain.total_hits, lam.total_hits)
+    # docs that ONLY contain the synonym score at half weight relative to
+    # an equally-ranked direct match; just assert both term sets present
+    assert syn.total_hits <= plain.total_hits + lam.total_hits
