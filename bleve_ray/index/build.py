@@ -255,6 +255,56 @@ _SHARD_CACHE: Dict = {}
 _SHARD_CACHE_MAX = 2_000_000
 
 
+def _boolean_tokens(col: pa.ChunkedArray):
+    """Boolean field -> single term 'T'/'F' (document/field_boolean.go)."""
+    arr = pc.cast(col.combine_chunks(), pa.bool_())
+    n_rows = len(arr)
+    valid = np.asarray(arr.is_valid())
+    vals = np.asarray(arr.fill_null(False))
+    valid_idx = np.flatnonzero(valid).astype(np.int64)
+    terms = pa.array(
+        np.where(vals[valid_idx], "T", "F"), type=pa.string()
+    )
+    positions = np.zeros(len(valid_idx), dtype=np.int32)
+    field_len = np.zeros(n_rows, dtype=np.int64)
+    field_len[valid_idx] = 1
+    return terms, valid_idx, positions, field_len
+
+
+def ip_term(value: str) -> str:
+    """IP -> 16-byte term (net.IP.To16, query/ip_range.go:69), carried as
+    a latin-1 string so byte order == codepoint order == term order."""
+    import ipaddress
+
+    ip = ipaddress.ip_address(value.strip())
+    if isinstance(ip, ipaddress.IPv4Address):
+        b = bytes(12)[:10] + b"\xff\xff" + ip.packed
+    else:
+        b = ip.packed
+    return b.decode("latin-1")
+
+
+def _ip_tokens(col: pa.ChunkedArray):
+    """IP field -> one 16-byte term per value."""
+    arr = pc.cast(col.combine_chunks(), pa.string())
+    n_rows = len(arr)
+    vals = arr.to_pylist()
+    out, idx = [], []
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        try:
+            out.append(ip_term(v))
+            idx.append(i)
+        except ValueError:
+            continue
+    valid_idx = np.asarray(idx, dtype=np.int64)
+    positions = np.zeros(len(valid_idx), dtype=np.int32)
+    field_len = np.zeros(n_rows, dtype=np.int64)
+    field_len[valid_idx] = 1
+    return pa.array(out, type=pa.string()), valid_idx, positions, field_len
+
+
 def shard_of_terms(fields: np.ndarray, terms: pa.Array, num_shards: int) -> np.ndarray:
     """Deterministic shard id per (field, term): first 4 bytes of
     sha1(field:term) mod S.  Stable across runs/processes (no PYTHONHASHSEED
@@ -352,6 +402,14 @@ class ReadAnalyzeInvert:
                 continue
             if fcfg.field_type == "geo":
                 terms, doc_idx, positions, field_len = _geo_tokens(
+                    tbl[fname]
+                )
+            elif fcfg.field_type == "boolean":
+                terms, doc_idx, positions, field_len = _boolean_tokens(
+                    tbl[fname]
+                )
+            elif fcfg.field_type == "ip":
+                terms, doc_idx, positions, field_len = _ip_tokens(
                     tbl[fname]
                 )
             elif fcfg.field_type != "text":

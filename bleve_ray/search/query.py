@@ -515,6 +515,10 @@ def parse_query(d: Dict) -> Query:
         )
     if "ids" in d:
         return DocIDQuery(d["ids"], boost=boost)
+    if "bool" in d and isinstance(d["bool"], bool):
+        return BoolFieldQuery(d["bool"], field=d.get("field", ""), boost=boost)
+    if "cidr" in d:
+        return IPRangeQuery(d["cidr"], field=d.get("field", ""), boost=boost)
     if "match_all" in d:
         return MatchAllQuery(boost=boost)
     if "match_none" in d:
@@ -652,3 +656,129 @@ class GeoDistanceQuery(Query):
             return haversin_km(self.lon, self.lat, lon, lat) <= dist_km
 
         return FilteringSearcher(inner, dist_ok)
+
+
+@dataclass
+class BoolFieldQuery(Query):
+    """bool_field.go: term search on 'T'/'F'."""
+
+    bool_val: bool
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        return TermSearcher(
+            reader, "T" if self.bool_val else "F", field, self.boost, options
+        )
+
+
+@dataclass
+class IPRangeQuery(Query):
+    """ip_range.go: a bare IP is a term search on its 16-byte form; a
+    CIDR expands the dictionary range [network, broadcast] like
+    NewIPRangeSearcher (search_ip_range.go:43-67)."""
+
+    cidr: str
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import ipaddress
+
+        from ..index.build import ip_term
+
+        field = self.field or mapping.default_field
+        try:
+            net = ipaddress.ip_network(self.cidr, strict=False)
+        except ValueError:
+            return MatchNoneSearcher()
+        if net.num_addresses == 1:
+            return TermSearcher(
+                reader, ip_term(str(net.network_address)), field, self.boost,
+                options,
+            )
+        lo = ip_term(str(net.network_address))
+        hi = ip_term(str(net.broadcast_address))
+        terms = reader.terms_in_range(field, lo, hi, inclusive_hi=True)
+        if not terms:
+            return MatchNoneSearcher()
+        return MultiTermSearcher(reader, terms, field, self.boost, options)
+
+
+@dataclass
+class CustomScoreQuery(Query):
+    """custom_score.go: wrap a child query and re-score each hit via an
+    embedder callback ``score_func(doc_id, score, fields) -> float``;
+    ``fields`` holds the requested docvalues for the hit."""
+
+    query: "Query"
+    score_func: object = None
+    fields: Sequence[str] = ()
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import numpy as np
+
+        inner = self.query.searcher(reader, mapping, options)
+        outer = self
+
+        class _Rescoring(Searcher):
+            def weight(self):
+                return inner.weight()
+
+            def set_query_norm(self, qnorm):
+                inner.set_query_norm(qnorm)
+
+            def search(self):
+                from .searcher import SearchHits
+
+                hits = inner.search()
+                if len(hits.docnums) == 0 or outer.score_func is None:
+                    return hits
+                dv = (
+                    reader.docvalues_for(hits.docnums, list(outer.fields))
+                    if outer.fields
+                    else {}
+                )
+                ids = reader.doc_ids_for(hits.docnums)
+                new = np.empty(len(hits.docnums), dtype=np.float64)
+                for i in range(len(hits.docnums)):
+                    f = {k: dv[k][i] for k in dv}
+                    new[i] = outer.score_func(ids[i], float(hits.scores[i]), f)
+                return SearchHits(hits.docnums, new * outer.boost)
+
+        return _Rescoring()
+
+
+@dataclass
+class CustomFilterQuery(Query):
+    """custom_filter.go: wrap a child query, keep hits for which
+    ``filter_func(doc_id, score, fields) -> bool`` is true."""
+
+    query: "Query"
+    filter_func: object = None
+    fields: Sequence[str] = ()
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import numpy as np
+
+        inner = self.query.searcher(reader, mapping, options)
+        outer = self
+
+        def predicate(docnums):
+            hits_scores = None  # scores unavailable at this level
+            dv = (
+                reader.docvalues_for(docnums, list(outer.fields))
+                if outer.fields
+                else {}
+            )
+            ids = reader.doc_ids_for(docnums)
+            keep = np.zeros(len(docnums), dtype=bool)
+            for i in range(len(docnums)):
+                f = {k: dv[k][i] for k in dv}
+                keep[i] = bool(outer.filter_func(ids[i], 0.0, f))
+            return keep
+
+        return FilteringSearcher(inner, predicate)

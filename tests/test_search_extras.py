@@ -166,3 +166,110 @@ def test_synonym_expansion(ray_session, tiny_corpus_dir, tmp_path):
     # docs that ONLY contain the synonym score at half weight relative to
     # an equally-ranked direct match; just assert both term sets present
     assert syn.total_hits <= plain.total_hits + lam.total_hits
+
+
+def test_bool_field_and_ip_queries(ray_session, tmp_path):
+    """bool_field.go ('T'/'F' terms) and ip_range.go (16-byte terms;
+    CIDR = dictionary range [network, broadcast])."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "active": pa.array([True, False, True, None, False, True]),
+            "addr": pa.array(
+                [
+                    "10.0.0.1",
+                    "10.0.1.200",
+                    "192.168.1.5",
+                    "10.44.0.9",
+                    "2001:db8::1",
+                    "192.168.1.6",
+                ]
+            ),
+        }
+    )
+    src = str(tmp_path / "b.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "bidx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={
+                "active": FieldConfig(field_type="boolean", positions=False),
+                "addr": FieldConfig(field_type="ip", positions=False),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+        ),
+    )
+    idx = Index.open(d)
+    r = idx.search({"query": {"bool": True, "field": "active"}, "size": 10})
+    assert sorted(h.id for h in r.hits) == ["0", "2", "5"]
+    r = idx.search({"query": {"bool": False, "field": "active"}, "size": 10})
+    assert sorted(h.id for h in r.hits) == ["1", "4"]
+    # exact IP
+    r = idx.search({"query": {"cidr": "10.0.0.1", "field": "addr"}, "size": 10})
+    assert [h.id for h in r.hits] == ["0"]
+    # CIDR ranges
+    r = idx.search({"query": {"cidr": "10.0.0.0/16", "field": "addr"},
+                    "size": 10})
+    assert sorted(h.id for h in r.hits) == ["0", "1"]
+    r = idx.search({"query": {"cidr": "10.0.0.0/8", "field": "addr"},
+                    "size": 10})
+    assert sorted(h.id for h in r.hits) == ["0", "1", "3"]
+    r = idx.search({"query": {"cidr": "192.168.1.0/24", "field": "addr"},
+                    "size": 10})
+    assert sorted(h.id for h in r.hits) == ["2", "5"]
+    r = idx.search({"query": {"cidr": "2001:db8::/32", "field": "addr"},
+                    "size": 10})
+    assert [h.id for h in r.hits] == ["4"]
+
+
+def test_custom_score_and_filter_queries(ray_session, tiny_corpus_dir,
+                                         tmp_path):
+    import os as _os
+
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+    from bleve_ray.search.query import (
+        CustomFilterQuery,
+        CustomScoreQuery,
+        TermQuery,
+    )
+
+    d = str(tmp_path / "csidx")
+    files = sorted(
+        _os.path.join(tiny_corpus_dir, f)
+        for f in _os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(d)
+    base = idx.search({"query": {"term": "func", "field": "content"},
+                       "size": 500})
+    # rescore: id-parity bonus
+    q = CustomScoreQuery(
+        TermQuery("func", field="content"),
+        score_func=lambda did, score, fields: score + (
+            10.0 if did.endswith("2") else 0.0
+        ),
+    )
+    r = idx.search({"query": q, "size": 500})
+    assert r.total_hits == base.total_hits
+    boosted = [h for h in r.hits if h.id.endswith("2")]
+    if boosted:
+        assert r.hits[0].id.endswith("2")
+    # filter: keep only ids ending in a digit > 5
+    q2 = CustomFilterQuery(
+        TermQuery("func", field="content"),
+        filter_func=lambda did, score, fields: did[-1] in "6789",
+    )
+    r2 = idx.search({"query": q2, "size": 500})
+    assert all(h.id[-1] in "6789" for h in r2.hits)
+    assert r2.total_hits == sum(1 for h in base.hits if h.id[-1] in "6789")
