@@ -409,5 +409,9 @@ class Index:
                                 terms_by_field.get(f, set()),
                                 analyzer_named(self.mapping.analyzer_for(f)),
                                 style=hl.get("style", "html"),
+                                max_fragments=hl.get("max_fragments", 1),
+                                fragment_size=hl.get(
+                                    "fragment_size", 200
+                                ),
                             )
         return result

@@ -182,3 +182,103 @@ class DistributedIndex(Index):
                 ]
             )
         return super().search(request)
+
+
+class IndexAlias:
+    """Multi-index alias (index_alias_impl.go:776-1090): scatter a search
+    to HETEROGENEOUS member indexes, gather and merge.
+
+    Merge semantics: hits interleaved by (-score, id) (the default sort
+    order), total summed, max_score maxed, facets merged partial-style
+    before top-N truncation.  Each member scores with its own collection
+    statistics (the reference's behavior without presearch-global
+    scoring; homogeneous-shard global scoring lives in
+    DistributedIndex)."""
+
+    def __init__(self, indexes: List[Index]):
+        if not indexes:
+            raise ValueError("alias needs at least one index")
+        self.indexes = list(indexes)
+
+    def add(self, index: Index) -> None:
+        self.indexes.append(index)
+
+    def search(self, request: dict) -> SearchResult:
+        import time as _t
+
+        t0 = _t.perf_counter()
+        size = request.get("size", 10)
+        from_ = request.get("from", 0)
+        sub_req = dict(request)
+        # every member must return enough rows to fill the global window
+        sub_req["size"] = from_ + size
+        sub_req["from"] = 0
+        results = [idx.search(sub_req) for idx in self.indexes]
+        merged = []
+        for ri, r in enumerate(results):
+            for h in r.hits:
+                merged.append((ri, h))
+        merged.sort(key=lambda x: (-x[1].score, x[1].id))
+        window = [h for _, h in merged[from_ : from_ + size]]
+        total = sum(r.total_hits for r in results)
+        max_score = max((r.max_score for r in results), default=0.0)
+        out = SearchResult(
+            total_hits=total,
+            max_score=max_score,
+            hits=window,
+            took_ms=(_t.perf_counter() - t0) * 1e3,
+        )
+        if request.get("facets"):
+            out.facets = _merge_facet_results(
+                request["facets"], [r.facets for r in results if r.facets]
+            )
+        return out
+
+
+def _merge_facet_results(requests: dict, facet_sets: List[dict]) -> dict:
+    """FacetResults.Merge across member indexes: re-aggregate counts and
+    re-truncate top-N after the merge (search/facets_builder.go)."""
+    out = {}
+    for name, fr in requests.items():
+        partials = [fs[name] for fs in facet_sets if name in fs]
+        if not partials:
+            continue
+        if "numeric_ranges" in fr:
+            buckets = {}
+            total = missing = other = 0
+            for p in partials:
+                total += p["total"]
+                missing += p["missing"]
+                other += p["other"]
+                for b in p["numeric_ranges"]:
+                    e = buckets.setdefault(
+                        b["name"],
+                        {"name": b["name"], "min": b.get("min"),
+                         "max": b.get("max"), "count": 0},
+                    )
+                    e["count"] += b["count"]
+            out[name] = {
+                "field": fr["field"], "total": total, "missing": missing,
+                "other": other,
+                "numeric_ranges": [
+                    buckets[b["name"]]
+                    for b in partials[0]["numeric_ranges"]
+                ],
+            }
+        else:
+            counts: Dict[str, int] = {}
+            total = missing = 0
+            for p in partials:
+                total += p["total"]
+                missing += p["missing"]
+                for t in p["terms"]:
+                    counts[t["term"]] = counts.get(t["term"], 0) + t["count"]
+            size = fr.get("size", 10)
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            ranked = ranked[:size]
+            out[name] = {
+                "field": fr["field"], "total": total, "missing": missing,
+                "other": total - sum(c for _, c in ranked),
+                "terms": [{"term": t, "count": c} for t, c in ranked],
+            }
+    return out

@@ -52,39 +52,70 @@ def extract_query_terms(q: dict, analyzer_for, default_field: str) -> Dict[str, 
     return out
 
 
+def simple_fragmenter(text: str, spans, fragment_size: int):
+    """fragmenter/simple: fixed-size windows anchored near each match."""
+    frags = []
+    for s, _, _ in spans:
+        start = max(0, s - fragment_size // 4)
+        end = min(len(text), start + fragment_size)
+        frags.append((start, end))
+    return frags
+
+
+def score_fragment(spans, start: int, end: int) -> float:
+    """fragment_scorer_simple.go:36-50: +1 per DISTINCT query term with at
+    least one location inside the fragment (extra occurrences of the same
+    term do not add)."""
+    seen = set()
+    for a, b, term in spans:
+        if a >= start and b <= end:
+            seen.add(term)
+    return float(len(seen))
+
+
 def highlight_text(
     text: str,
     terms: Set[str],
     analyzer,
     style: str = "html",
     max_fragments: int = 1,
+    fragment_size: int = FRAGMENT_SIZE,
+    fragmenter=None,
 ) -> List[str]:
-    """-> up to max_fragments highlighted fragments of ``text``."""
+    """-> up to max_fragments highlighted fragments of ``text``;
+    ``fragmenter`` is a pluggable (text, spans, fragment_size) ->
+    [(start, end)] callable (custom-fragmenter hook, like the reference's
+    registry-resolved fragmenters)."""
     pre, post = STYLES.get(style, STYLES["html"])
-    spans: List[Tuple[int, int]] = []
+    spans: List[Tuple[int, int, str]] = []
     # char-offset token spans via the exact tokenizer chain (lower only;
     # the stop filter never removes a query term match)
     for tok in analyzer.tokenizer.tokenize(text):
-        if tok.term.lower() in terms:
-            spans.append((tok.start, tok.end))
+        lt = tok.term.lower()
+        if lt in terms:
+            spans.append((tok.start, tok.end, lt))
     if not spans:
-        frag = text[:FRAGMENT_SIZE]
+        frag = text[:fragment_size]
         return [frag]
     # NOTE: tokenizer spans are byte offsets; for ascii they equal char
     # offsets.  For non-ascii text recompute via encode-prefix mapping.
     if not text.isascii():
         b = text.encode("utf-8")
         spans = [
-            (len(b[:s].decode("utf-8", "ignore")), len(b[:e].decode("utf-8", "ignore")))
-            for s, e in spans
+            (
+                len(b[:s].decode("utf-8", "ignore")),
+                len(b[:e].decode("utf-8", "ignore")),
+                t,
+            )
+            for s, e, t in spans
         ]
-    # score fragments: window of FRAGMENT_SIZE around each span start
-    frags: List[Tuple[int, int, int]] = []  # (score, start, end)
-    for s, _ in spans:
-        start = max(0, s - FRAGMENT_SIZE // 4)
-        end = min(len(text), start + FRAGMENT_SIZE)
-        score = sum(1 for a, b_ in spans if a >= start and b_ <= end)
-        frags.append((score, start, end))
+    make_frags = fragmenter or simple_fragmenter
+    # score candidates: distinct matched terms per fragment, ties broken
+    # by earlier start (highlighter_simple.go ordering)
+    frags = [
+        (score_fragment(spans, start, end), start, end)
+        for start, end in make_frags(text, spans, fragment_size)
+    ]
     frags.sort(key=lambda f: (-f[0], f[1]))
     chosen: List[Tuple[int, int]] = []
     for _, start, end in frags:
@@ -95,7 +126,7 @@ def highlight_text(
         chosen.append((start, end))
     out = []
     for start, end in sorted(chosen):
-        in_frag = [(a, b_) for a, b_ in spans if a >= start and b_ <= end]
+        in_frag = [(a, b_) for a, b_, _ in spans if a >= start and b_ <= end]
         parts = []
         cur = start
         for a, b_ in sorted(in_frag):

@@ -274,10 +274,20 @@ class FuzzyQuery(Query):
         field = self.field or mapping.default_field
         fuzz = min(self.fuzziness, 2)  # MaxFuzziness (search_fuzzy.go:26)
         prefix = self.term[: self.prefix_length]
+        if prefix:
+            # row-group-pruned prefix slice of the dictionary (the role of
+            # the reference's Levenshtein-automaton FST walk restricted by
+            # prefix_length, search_fuzzy.go:93-120)
+            terms = reader.terms_with_prefix(field, prefix)
+        else:
+            terms = reader.terms_in_range(field, None, None)
+        # cheap vectorized length band before the DP: |len(t)-len(q)| <= k
+        tl = len(self.term)
         cands = [
             t
-            for t, df in reader.dictionary(field)
-            if t.startswith(prefix) and within_distance(self.term, t, fuzz)
+            for t in terms
+            if abs(len(t) - tl) <= fuzz
+            and within_distance(self.term, t, fuzz)
         ]
         if not cands:
             return MatchNoneSearcher()

@@ -32,3 +32,72 @@ def built_index(ray_session, tiny_corpus_dir, tmp_path_factory):
     )
     build_index(files, idx_dir, IndexOptions(num_shards=6, bucket_bits=4))
     return idx_dir, files
+
+
+def test_index_alias_merges_heterogeneous(ray_session, tmp_path):
+    """IndexAlias over two DIFFERENT indexes: hits interleave by score,
+    totals sum, facets merge (index_alias_impl.go:776-1090)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+    from bleve_ray.search.distributed import IndexAlias
+
+    def mk(name, rows, lang):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    [f"{name}-{i}" for i in range(len(rows))],
+                ),
+                "text": pa.array(rows),
+                "lang": pa.array([lang] * len(rows)),
+            }
+        )
+        src = str(tmp_path / f"{name}.parquet")
+        pq.write_table(tbl, src)
+        d = str(tmp_path / f"{name}_idx")
+        build_index(
+            [src],
+            d,
+            IndexOptions(
+                fields={
+                    "text": FieldConfig(analyzer="standard", positions=True),
+                    "lang": FieldConfig(analyzer="keyword", positions=False),
+                },
+                doc_id_fields=["doc_id"],
+                num_shards=2,
+                bucket_bits=6,
+                docvalue_fields=["lang"],
+            ),
+        )
+        return Index.open(d)
+
+    a = mk("a", ["shared token alpha"] * 3 + ["only alpha here"], "en")
+    b = mk("b", ["shared token beta"] * 2 + ["unrelated text"], "de")
+    alias = IndexAlias([a, b])
+    r = alias.search({"query": {"term": "shared", "field": "text"},
+                      "size": 10})
+    ra = a.search({"query": {"term": "shared", "field": "text"}, "size": 10})
+    rb = b.search({"query": {"term": "shared", "field": "text"}, "size": 10})
+    assert r.total_hits == ra.total_hits + rb.total_hits == 5
+    got = [(h.id, h.score) for h in r.hits]
+    want = sorted(
+        [(h.id, h.score) for h in ra.hits] + [(h.id, h.score) for h in rb.hits],
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+    # facet merge across members
+    rf = alias.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    terms = {t["term"]: t["count"] for t in rf.facets["langs"]["terms"]}
+    assert terms == {"en": 4, "de": 3}
+    # paging across members
+    page2 = alias.search({"query": {"term": "shared", "field": "text"},
+                          "size": 2, "from": 2})
+    assert [(h.id, h.score) for h in page2.hits] == want[2:4]

@@ -149,3 +149,53 @@ def test_distributed_facets_match_driver_path(doc_index, monkeypatch):
     monkeypatch.setattr(F, "DISTRIBUTED_FACET_THRESHOLD", 1)
     dist = doc_index.search(req).facets
     assert dist == driver
+
+
+def test_fragment_scoring_distinct_terms():
+    """fragment_scorer_simple.go: +1 per distinct term present, repeats
+    don't add; the best-scoring fragment wins."""
+    from bleve_ray.analysis import analyzer_named
+    from bleve_ray.search.highlight import highlight_text, score_fragment
+
+    spans = [(0, 3, "foo"), (5, 8, "foo"), (10, 13, "bar")]
+    assert score_fragment(spans, 0, 14) == 2.0  # foo+bar, repeat ignored
+    assert score_fragment(spans, 0, 9) == 1.0
+    # a two-term cluster beats an earlier single-term repeat cluster
+    text = ("alpha " * 30) + "alpha beta " + ("filler " * 40)
+    frags = highlight_text(
+        text, {"alpha", "beta"}, analyzer_named("standard"),
+        fragment_size=40,
+    )
+    assert len(frags) == 1
+    assert "<mark>beta</mark>" in frags[0]
+
+
+def test_custom_fragmenter_hook():
+    from bleve_ray.analysis import analyzer_named
+    from bleve_ray.search.highlight import highlight_text
+
+    def whole_text(text, spans, fragment_size):
+        return [(0, len(text))]
+
+    text = "one two three match four"
+    frags = highlight_text(
+        text, {"match"}, analyzer_named("standard"),
+        fragmenter=whole_text,
+    )
+    assert frags == ["one two three <mark>match</mark> four"]
+
+
+def test_max_fragments_request_option(doc_index):
+    r = doc_index.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 1,
+            "fields": ["text"],
+            "highlight": {"fields": ["text"], "max_fragments": 2,
+                          "fragment_size": 60},
+        }
+    )
+    assert r.hits and r.hits[0].fragments
+    frags = r.hits[0].fragments["text"]
+    assert 1 <= len(frags) <= 2
+    assert any("<mark>" in f for f in frags)
