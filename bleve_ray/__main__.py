@@ -33,7 +33,7 @@ def main(argv=None):
     b.add_argument("--docvalues", default="", help="comma-separated columns")
     b.add_argument("--store", default="", help="comma-separated columns")
 
-    for name in ("count", "fields", "check"):
+    for name in ("count", "fields", "check", "stats"):
         p = sub.add_parser(name)
         p.add_argument("index_dir")
 
@@ -133,6 +133,8 @@ def main(argv=None):
     idx = Index.open(args.index_dir)
     if args.cmd == "count":
         print(idx.reader.doc_count())
+    elif args.cmd == "stats":
+        print(json.dumps(idx.reader.stats(), sort_keys=True))
     elif args.cmd == "fields":
         print(json.dumps(list(idx.reader.options["fields"])))
     elif args.cmd == "check":

@@ -128,6 +128,28 @@ class IndexOptions:
             "enable_all_field": self.enable_all_field,
         }
 
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "IndexOptions":
+        """Rebuild options from a manifest's options dict (incremental
+        adds must analyze exactly like the original build)."""
+        return IndexOptions(
+            fields={
+                k: FieldConfig(
+                    analyzer=v.get("analyzer", "standard"),
+                    positions=v.get("positions", True),
+                    field_type=v.get("field_type", "text"),
+                )
+                for k, v in d["fields"].items()
+            },
+            doc_id_fields=d.get("doc_id_fields"),
+            num_shards=d["num_shards"],
+            bucket_bits=d["bucket_bits"],
+            scoring_model=d.get("scoring_model", "bm25"),
+            docvalue_fields=list(d.get("docvalue_fields", [])),
+            store_fields=list(d.get("store_fields", [])),
+            enable_all_field=d.get("enable_all_field", False),
+        )
+
 
 def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
     if options.doc_id_fields is None:

@@ -61,6 +61,13 @@ class IndexReader:
         # tombstoned docnums (sorted; obsoleted-bitmap role) -- consulted
         # by every searcher via filter_deleted
         self.deleted: np.ndarray = load_deleted(index_dir, self.manifest)
+        # query-side counters (index/scorch/stats.go role)
+        self.counters: Dict[str, int] = {
+            "term_searchers_started": 0,
+            "postings_decoded": 0,
+            "posting_cache_hits": 0,
+            "dictionary_ops": 0,
+        }
 
     def filter_deleted(self, docnums: np.ndarray) -> np.ndarray:
         """Boolean keep-mask over docnums excluding tombstoned docs."""
@@ -93,9 +100,12 @@ class IndexReader:
         tree touching the same term twice (e.g. phrase verification after
         the conjunction) decodes once."""
         ck = (field, term, want_positions)
+        self.counters["term_searchers_started"] += 1
         if ck in self._posting_cache:
+            self.counters["posting_cache_hits"] += 1
             return self._posting_cache[ck]
         p = self._posting_uncached(field, term, want_positions)
+        self.counters["postings_decoded"] += 1
         if len(self._posting_cache) >= 256:
             self._posting_cache.pop(next(iter(self._posting_cache)))
         self._posting_cache[ck] = p
@@ -312,6 +322,7 @@ class IndexReader:
     ):
         import pyarrow as pa
 
+        self.counters["dictionary_ops"] += 1
         parts = []
         for shard_entries in self._by_shard.values():
             for entry in shard_entries:
@@ -354,3 +365,22 @@ class IndexReader:
         are never read (binary-searchable sorted dictionary)."""
         t = self._terms_tables(field, lo, hi, inclusive_hi)
         return sorted(set(t["term"].to_pylist()))
+
+    def stats(self) -> Dict:
+        """Query-side stats surface (index/scorch/stats.go:29-180 role):
+        reader counters + segment/rowgroup observability + index-level
+        stats from the manifest."""
+        rg_total = rg_read = 0
+        for r in self._seg_readers.values():
+            rg_total += r._pf.metadata.num_row_groups
+            rg_read += r.rg_read_count
+        return {
+            **self.counters,
+            "segments_open": len(self._seg_readers),
+            "segments_total": len(self.manifest.segments),
+            "row_groups_known": rg_total,
+            "row_groups_read": rg_read,
+            "doc_count": self.doc_count(),
+            "deleted_count": len(self.deleted),
+            "epoch": self.manifest.epoch,
+        }

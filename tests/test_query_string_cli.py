@@ -208,3 +208,27 @@ def test_forcemerge_and_topterms_cli(ray_session, tiny_corpus_dir, tmp_path_fact
     assert r.returncode == 0, r.stderr[-800:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["segments"] == 2  # one per shard after ForceMerge
+
+
+def test_reader_stats_surface(ray_session, tiny_corpus_dir, tmp_path):
+    import os as _os
+
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    d = str(tmp_path / "statsidx")
+    files = sorted(
+        _os.path.join(tiny_corpus_dir, f)
+        for f in _os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(d)
+    s0 = idx.reader.stats()
+    assert s0["postings_decoded"] == 0 and s0["doc_count"] == 64
+    idx.search({"query": {"term": "func", "field": "content"}, "size": 5})
+    idx.search({"query": {"term": "func", "field": "content"}, "size": 5})
+    s1 = idx.reader.stats()
+    assert s1["term_searchers_started"] >= 2
+    assert s1["posting_cache_hits"] >= 1
+    assert s1["postings_decoded"] >= 1
+    assert s1["segments_open"] >= 1
