@@ -746,6 +746,152 @@ def _q_analyzer_es_stats(sf_dir: str):
     )
 
 
+def _typed_index(sf_dir: str):
+    """Boolean + IP typed-field index over columns derived from doc_id by
+    exact integer arithmetic (reproduced in the oracles)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + ":typed:v1").encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/typedidx_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        active = (did % 3) == 0
+        addr = [
+            f"10.{(int(d) // 256) % 256}.{int(d) % 256}.7" for d in did
+        ]
+        src = f"/tmp/bleve_ray_cache/typed_src_{key}.parquet"
+        os.makedirs("/tmp/bleve_ray_cache", exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "active": pa.array(active),
+                    "addr": pa.array(addr, type=pa.string()),
+                }
+            ),
+            src,
+        )
+        build_index(
+            [src],
+            idx_dir,
+            IndexOptions(
+                fields={
+                    "active": FieldConfig(
+                        field_type="boolean", positions=False
+                    ),
+                    "addr": FieldConfig(field_type="ip", positions=False),
+                },
+                doc_id_fields=["doc_id"],
+                num_shards=4,
+                bucket_bits=16,
+            ),
+        )
+    return Index.open(idx_dir)
+
+
+def _q_bool_docs(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _typed_index(sf_dir)
+    r = idx.search(
+        {"query": {"bool": True, "field": "active"}, "size": 1_000_000,
+         "score": "none"}
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
+def _q_ip_cidr_docs(sf_dir: str):
+    import pyarrow as pa
+
+    idx = _typed_index(sf_dir)
+    r = idx.search(
+        {"query": {"cidr": "10.1.0.0/16", "field": "addr"},
+         "size": 1_000_000, "score": "none"}
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
+def _q_synonym_docs(sf_dir: str):
+    """Query-time synonym expansion: term + bidirectional synonym as a
+    disjunction (search_term.go:154-196); oracle = term IN (t, synonym)."""
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    idx.mapping.set_synonyms([{"synonyms": ["vector", "window"]}])
+    try:
+        r = idx.search(
+            {"query": {"term": "vector", "field": "text"},
+             "size": 1_000_000, "score": "none"}
+        )
+    finally:
+        idx.mapping.synonyms = None  # shared cached index: reset
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
+def _q_top_customers(sf_dir: str):
+    """Relational join pipeline: per-customer order counts (hash
+    aggregate) joined to customer names via a BROADCAST small side
+    (ray.put once, dict lookup per batch) -- no shuffle join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    counts = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    name_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        names = _ray.get(name_ref)
+        keys = batch["o_custkey"].to_pylist()
+        return batch.append_column(
+            "c_name",
+            pa.array([names.get(k) for k in keys], type=pa.string()),
+        )
+
+    joined = counts.map_batches(attach, batch_format="pyarrow")
+    df = joined.to_pandas()
+    df = df.sort_values(
+        ["n_orders", "o_custkey"], ascending=[False, True]
+    ).head(10)
+    return pa.table(
+        {
+            "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+            "c_name": pa.array(df["c_name"], type=pa.string()),
+            "n_orders": pa.array(df["n_orders"], type=pa.int64()),
+        }
+    )
+
+
 def _q_facet_lang_filtered(sf_dir: str):
     """Terms facet over a non-trivial (term) query match set."""
     import pyarrow as pa
@@ -913,6 +1059,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzer_es_stats": _q_analyzer_es_stats,
         "geo_bbox_docs": _q_geo_bbox_docs,
         "geo_distance_docs": _q_geo_distance_docs,
+        "bool_docs": _q_bool_docs,
+        "ip_cidr_docs": _q_ip_cidr_docs,
+        "synonym_docs": _q_synonym_docs,
+        "top_customers": _q_top_customers,
         "facet_lang_filtered": _q_facet_lang_filtered,
         "facet_nchars_ranges": _q_facet_nchars_ranges,
         "facet_event_type_window": _q_facet_event_type_window,
@@ -1049,6 +1199,30 @@ WITH pts AS (
 SELECT doc_id FROM pts
 WHERE lon >= -30.0 AND lon <= 60.0 AND lat >= -20.0 AND lat <= 45.0
 ORDER BY doc_id
+""",
+        "bool_docs": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE doc_id % 3 = 0 ORDER BY CAST(doc_id AS VARCHAR)
+""",
+        "ip_cidr_docs": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE ((doc_id // 256) % 256) = 1
+ORDER BY CAST(doc_id AS VARCHAR)
+""",
+        "synonym_docs": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM toks WHERE term IN ('vector', 'window')
+ORDER BY doc_id
+""",
+        "top_customers": """
+SELECT o.o_custkey, c.c_name, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY n_orders DESC, o.o_custkey ASC LIMIT 10
 """,
         # plain spherical haversine (mean diameter 2*6371km); the engine's
         # latitude-dependent-diameter formula differs by <0.35%, and the

@@ -294,6 +294,26 @@ class FuzzyQuery(Query):
         return MultiTermSearcher(reader, cands, field, self.boost, options)
 
 
+_REGEX_SPECIAL = set(".^$*+?{}[]|()\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest leading run of literal characters in a regex (conservative:
+    stops at any metacharacter; a literal followed by a quantifier is
+    excluded)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c in _REGEX_SPECIAL:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break  # quantifier applies to this char
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 @dataclass
 class RegexpQuery(Query):
     """search_regexp.go: dictionary scan by regex (anchored, like Bleve)."""
@@ -307,7 +327,16 @@ class RegexpQuery(Query):
 
         field = self.field or mapping.default_field
         pat = re.compile(self.regexp)
-        terms = [t for t, df in reader.dictionary(field) if pat.fullmatch(t)]
+        # literal-prefix pruning (the reference computes the same bound
+        # from the regexp automaton, search_regexp.go:38-66
+        # LiteralPrefix): only the dictionary slice sharing the prefix is
+        # scanned, via row-group-pruned range reads
+        prefix = _regex_literal_prefix(self.regexp)
+        if prefix:
+            cand = reader.terms_with_prefix(field, prefix)
+        else:
+            cand = reader.terms_in_range(field, None, None)
+        terms = [t for t in cand if pat.fullmatch(t)]
         if not terms:
             return MatchNoneSearcher()
         return MultiTermSearcher(reader, terms, field, self.boost, options)
