@@ -104,6 +104,10 @@ class IndexOptions:
     #              and naturally spill-friendly/resumable)
     #   "ray":     ds.groupby(...).map_groups(...) object-store sort
     shuffle: str = "storage"
+    # index the external doc id as a keyword field "_id" (AddIDField,
+    # index/scorch/README.md:39-43): id lookups become posting lookups
+    # instead of a driver-side id map scan
+    index_id_field: bool = False
     analyze_rows: int = 1024  # rows per analyze sub-batch
     merge_fan_in: int = 10
     target_segments_per_shard: int = 1
@@ -126,6 +130,7 @@ class IndexOptions:
             "docvalue_fields": self.docvalue_fields,
             "store_fields": self.store_fields,
             "enable_all_field": self.enable_all_field,
+            "index_id_field": self.index_id_field,
         }
 
     @staticmethod
@@ -148,6 +153,7 @@ class IndexOptions:
             docvalue_fields=list(d.get("docvalue_fields", [])),
             store_fields=list(d.get("store_fields", [])),
             enable_all_field=d.get("enable_all_field", False),
+            index_id_field=d.get("index_id_field", False),
         )
 
 
@@ -486,6 +492,43 @@ class ReadAnalyzeInvert:
                     )
                 )
                 chunk_tables.append(chunk)
+        if opts.index_id_field:
+            # one keyword term per doc: the external id itself
+            n = len(tbl)
+            id_doc_idx = np.arange(n, dtype=np.int64)
+            id_positions = np.zeros(n, dtype=np.int32)
+            id_field_len = np.ones(n, dtype=np.int64)
+            meta_rows["docnum"].extend(docnums.tolist())
+            meta_rows["doc_id"].extend(doc_ids.to_pylist())
+            meta_rows["field"].extend(["_id"] * n)
+            meta_rows["field_len"].extend(id_field_len.tolist())
+            meta_rows["sha256"].extend(shas)
+            bucket_per_tok = docnums >> opts.bucket_bits
+            for b in np.unique(bucket_per_tok):
+                sel = bucket_per_tok == b
+                chunk = invert_batch_encoded(
+                    pc.cast(doc_ids, pa.string()).filter(pa.array(sel)),
+                    id_doc_idx[sel],
+                    id_positions[sel],
+                    docnums,
+                    id_field_len,
+                    keep_positions=False,
+                )
+                if len(chunk) == 0:
+                    continue
+                nrows = len(chunk)
+                shard = shard_of_terms(
+                    np.full(nrows, "_id", dtype=object),
+                    chunk["term"],
+                    opts.num_shards,
+                )
+                chunk_tables.append(
+                    chunk.append_column("field", pa.array(["_id"] * nrows))
+                    .append_column("shard", pa.array(shard, type=pa.int32()))
+                    .append_column(
+                        "bucket", pa.array(np.full(nrows, b), type=pa.int64())
+                    )
+                )
         if opts.enable_all_field and all_terms:
             terms = pa.concat_arrays(
                 [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t

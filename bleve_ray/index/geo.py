@@ -226,3 +226,56 @@ def morton_ranges_for_rect(
         else:
             res.append((a, b))
     return res
+
+
+def decode_geohash(gh: str):
+    """geo/geohash.go DecodeGeoHash: -> (lat, lon) cell centers."""
+    enc = "0123456789bcdefghjkmnpqrstuvwxyz"
+    dec = {c: i for i, c in enumerate(enc)}
+    even = True
+    lat = [-90.0, 90.0]
+    lon = [-180.0, 180.0]
+    for ch in gh:
+        cd = dec[ch]
+        for mask in (16, 8, 4, 2, 1):
+            if even:
+                if cd & mask:
+                    lon[0] = (lon[0] + lon[1]) / 2
+                else:
+                    lon[1] = (lon[0] + lon[1]) / 2
+            else:
+                if cd & mask:
+                    lat[0] = (lat[0] + lat[1]) / 2
+                else:
+                    lat[1] = (lat[0] + lat[1]) / 2
+            even = not even
+    return (lat[0] + lat[1]) / 2, (lon[0] + lon[1]) / 2
+
+
+def point_in_polygon(lon: float, lat: float, coords) -> bool:
+    """pnpoly ray-cast with the reference's vertex tolerance
+    (search_geopolygon.go:86-150): coords = [(lon, lat), ...]."""
+    n = len(coords)
+    if n < 3:
+        return False
+    eps = 1e-6
+
+    def intersects(px, py, ax, ay, bx, by):
+        return (ay > py) != (by > py) and (
+            px < (bx - ax) * (py - ay) / (by - ay) + ax
+        )
+
+    ax, ay = coords[-1]
+    bx, by = coords[0]
+    inside = intersects(lon, lat, ax, ay, bx, by)
+    if abs(coords[0][1] - lat) <= eps and abs(coords[0][0] - lon) <= eps:
+        return True
+    for j in range(1, n):
+        if abs(coords[j][1] - lat) <= eps and abs(coords[j][0] - lon) <= eps:
+            return True
+        if intersects(
+            lon, lat, coords[j - 1][0], coords[j - 1][1],
+            coords[j][0], coords[j][1],
+        ):
+            inside = not inside
+    return inside

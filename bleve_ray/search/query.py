@@ -506,6 +506,11 @@ def parse_query(d: Dict) -> Query:
     if "top_left" in d and "bottom_right" in d:
         # geo bounding box (query.go:255-270 dispatch)
         def _pt(p):
+            if isinstance(p, str):
+                from ..index.geo import decode_geohash
+
+                lat, lon = decode_geohash(p)
+                return lon, lat
             if isinstance(p, dict):
                 return float(p["lon"]), float(p["lat"])
             return float(p[0]), float(p[1])
@@ -514,9 +519,17 @@ def parse_query(d: Dict) -> Query:
         return GeoBoundingBoxQuery(
             tl[0], tl[1], br[0], br[1], field=d.get("field", ""), boost=boost
         )
+    if "polygon_points" in d:
+        return GeoPolygonQuery(
+            d["polygon_points"], field=d.get("field", ""), boost=boost
+        )
     if "location" in d and "distance" in d:
         loc = d["location"]
-        if isinstance(loc, dict):
+        if isinstance(loc, str):
+            from ..index.geo import decode_geohash
+
+            lat, lon = decode_geohash(loc)
+        elif isinstance(loc, dict):
             lon, lat = float(loc["lon"]), float(loc["lat"])
         else:
             lon, lat = float(loc[0]), float(loc[1])
@@ -821,3 +834,43 @@ class CustomFilterQuery(Query):
             return keep
 
         return FilteringSearcher(inner, predicate)
+
+
+@dataclass
+class GeoPolygonQuery(Query):
+    """search_geopolygon.go: polygon bounding-box candidates + pnpoly
+    ray-cast filter (vertex-tolerant) over the geo docvalues."""
+
+    points: Sequence = ()  # [(lon, lat), ...] or [{"lon":..,"lat":..}]
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import numpy as np
+
+        from ..index.geo import point_in_polygon
+
+        field = self.field or mapping.default_field
+        coords = []
+        for p in self.points:
+            if isinstance(p, dict):
+                coords.append((float(p["lon"]), float(p["lat"])))
+            else:
+                coords.append((float(p[0]), float(p[1])))
+        if len(coords) < 3:
+            return MatchNoneSearcher()
+        lons = [c[0] for c in coords]
+        lats = [c[1] for c in coords]
+        rect = (min(lons), min(lats), max(lons), max(lats))
+        inner = _geo_candidate_searcher(
+            reader, field, rect, self.boost, options
+        )
+
+        def poly_ok(docnums):
+            lon, lat = _geo_values(reader, field, docnums)
+            keep = np.zeros(len(docnums), dtype=bool)
+            for i in range(len(docnums)):
+                keep[i] = point_in_polygon(lon[i], lat[i], coords)
+            return keep
+
+        return FilteringSearcher(inner, poly_ok)

@@ -218,9 +218,19 @@ class IndexReader:
 
     def docnums_for_ids(self, doc_ids: List[str]) -> np.ndarray:
         """External ID -> docnum lookup (DocIDSearcher support,
-        search_docid.go).  Lazy full docmeta id map; a large index would
-        instead index _id as a keyword field (index/scorch/README.md:39-43
-        AddIDField) -- [scale note]."""
+        search_docid.go).  When the index was built with index_id_field
+        (AddIDField, index/scorch/README.md:39-43) each id resolves via a
+        row-group-pruned posting lookup on the "_id" keyword field; the
+        lazy full docmeta id map is the fallback for older indexes."""
+        if self.options.get("index_id_field"):
+            parts = []
+            for d in doc_ids:
+                p = self.posting("_id", d)
+                if p is not None:
+                    parts.append(p.docnums)
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            return np.sort(np.concatenate(parts))
         if not hasattr(self, "_id_map"):
             m = {}
             for e in self.manifest.docmeta:

@@ -100,3 +100,43 @@ def test_apply_batch_is_repeatable(base_index):
     assert [h.id for h in r.hits] == ["d1"]
     r = idx.search({"query": {"term": "first", "field": "text"}, "size": 10})
     assert not r.hits
+
+
+def test_index_id_field_lookup(ray_session, tmp_path):
+    """index_id_field=True resolves external ids via '_id' keyword-field
+    posting lookups (AddIDField) instead of the driver id map."""
+    src = str(tmp_path / "idf.parquet")
+    pq.write_table(
+        _mk_table([f"x{i}" for i in range(30)],
+                  [f"text number {i}" for i in range(30)]),
+        src,
+    )
+    d = str(tmp_path / "idfidx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="standard", positions=True)},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+            index_id_field=True,
+        ),
+    )
+    idx = Index.open(d)
+    assert idx.reader.options["index_id_field"] is True
+    r = idx.search({"query": {"ids": ["x3", "x17", "nope"]}, "size": 10})
+    assert sorted(h.id for h in r.hits) == ["x17", "x3"]
+    # no driver-side id map was built
+    assert not hasattr(idx.reader, "_id_map")
+    # text search unaffected by the extra field
+    r = idx.search({"query": {"term": "17", "field": "text"}, "size": 5})
+    assert [h.id for h in r.hits] == ["x17"]
+    # upsert keeps working: DocID resolves to live version after tombstone
+    apply_batch(d, upserts=_mk_table(["x3"], ["rewritten body"]))
+    idx2 = Index.open(d)
+    r = idx2.search({"query": {"ids": ["x3"]}, "size": 10})
+    assert [h.id for h in r.hits] == ["x3"]
+    r = idx2.search({"query": {"term": "rewritten", "field": "text"},
+                     "size": 5})
+    assert [h.id for h in r.hits] == ["x3"]

@@ -132,3 +132,63 @@ def test_geo_distance(geo_index):
     got = {h.id for h in r.hits}
     assert got == want
     assert len(want) > 2
+
+
+def test_geohash_decode():
+    from bleve_ray.index.geo import decode_geohash
+
+    # u4pruydqqvj ~ (57.64911, 10.40744) — canonical geohash example
+    lat, lon = decode_geohash("u4pruydqqvj")
+    assert abs(lat - 57.64911) < 1e-4
+    assert abs(lon - 10.40744) < 1e-4
+
+
+def test_point_in_polygon():
+    from bleve_ray.index.geo import point_in_polygon
+
+    tri = [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0)]
+    assert point_in_polygon(5.0, 3.0, tri)
+    assert not point_in_polygon(0.0, 9.0, tri)
+    assert point_in_polygon(0.0, 0.0, tri)  # vertex tolerance
+    assert not point_in_polygon(5.0, 1.0, [(0, 0), (1, 1)])  # degenerate
+
+
+def test_geo_polygon_query(geo_index):
+    idx, lon, lat = geo_index
+    from bleve_ray.index.geo import point_in_polygon
+
+    poly = [(-60.0, -30.0), (60.0, -30.0), (60.0, 50.0), (-60.0, 50.0)]
+    r = idx.search(
+        {
+            "query": {"polygon_points": poly, "field": "pt"},
+            "size": 1000,
+        }
+    )
+    want = {
+        str(i)
+        for i in range(len(lon))
+        if point_in_polygon(lon[i], lat[i], poly)
+    }
+    assert {h.id for h in r.hits} == want
+    assert len(want) > 5
+
+
+def test_geohash_location_in_distance_query(geo_index):
+    from bleve_ray.index.geo import decode_geohash
+
+    idx, lon, lat = geo_index
+    r1 = idx.search(
+        {
+            "query": {"location": {"lon": 10.407, "lat": 57.649},
+                      "distance": "3000km", "field": "pt"},
+            "size": 1000,
+        }
+    )
+    r2 = idx.search(
+        {
+            "query": {"location": "u4pruyd", "distance": "3000km",
+                      "field": "pt"},
+            "size": 1000,
+        }
+    )
+    assert {h.id for h in r1.hits} == {h.id for h in r2.hits}
