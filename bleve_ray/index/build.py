@@ -765,6 +765,84 @@ def merge_encoded_rows(group: pa.Table) -> pa.Table:
 
 
 
+# posting rows longer than this split into block rows with per-block
+# (min/max docnum, max_tf, max_norm) -- the decode-skippable unit of
+# block-max WAND (north star §7.2-7).  Segments already merge multi-row
+# postings by docnum-range concat, so blocks need no new reader format.
+BLOCK_POSTINGS = 4096
+
+
+def split_long_posting_rows(
+    tbl: pa.Table, block: Optional[int] = None
+) -> pa.Table:
+    """Split posting rows with df > block into per-block rows carrying
+    EXACT per-block bounds.  Only hot terms (Zipf head) pay the
+    decode/re-encode; all other rows pass through untouched."""
+    if block is None:
+        block = BLOCK_POSTINGS  # read at call time so tests can shrink it
+    if len(tbl) == 0:
+        return tbl
+    dfs = np.asarray(tbl["df"], dtype=np.int64)
+    long_idx = np.flatnonzero(dfs > block)
+    if len(long_idx) == 0:
+        return tbl
+    keep_mask = np.ones(len(tbl), dtype=bool)
+    keep_mask[long_idx] = False
+    out_rows = {
+        c: list(tbl[c].filter(pa.array(keep_mask)).to_pylist())
+        for c in tbl.column_names
+    }
+    has_bounds = "max_tf" in tbl.column_names
+    for ri in long_idx.tolist():
+        row = {c: tbl[c][ri].as_py() for c in tbl.column_names}
+        docnums = codec.delta_varint_decode(row["docnums"]).astype(np.int64)
+        tfs = codec.varint_decode(row["tfs"]).astype(np.int64)
+        norms = codec.norms_decode(row["norms"])
+        pos_flat = (
+            codec.positions_decode(row["positions"], tfs)
+            if row["positions"]
+            else None
+        )
+        pos_off = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=pos_off[1:])
+        n = len(docnums)
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            b_tfs = tfs[s:e]
+            out_rows["field"].append(row["field"])
+            out_rows["term"].append(row["term"])
+            out_rows["df"].append(int(e - s))
+            out_rows["docnums"].append(
+                codec.delta_varint_encode(docnums[s:e])
+            )
+            out_rows["tfs"].append(
+                codec.varint_encode(b_tfs.astype(np.uint64))
+            )
+            out_rows["norms"].append(codec.norms_encode(norms[s:e]))
+            out_rows["positions"].append(
+                codec.positions_encode(
+                    pos_flat[pos_off[s] : pos_off[e]], b_tfs
+                )
+                if pos_flat is not None
+                else b""
+            )
+            out_rows["min_docnum"].append(int(docnums[s]))
+            out_rows["max_docnum"].append(int(docnums[e - 1]))
+            if has_bounds:
+                out_rows["max_tf"].append(int(b_tfs.max()))
+                out_rows["max_norm"].append(float(norms[s:e].max()))
+    arrays = {}
+    for c in tbl.column_names:
+        arrays[c] = pa.array(out_rows[c], type=tbl.schema.field(c).type)
+    return pa.table(arrays).sort_by(
+        [
+            ("field", "ascending"),
+            ("term", "ascending"),
+            ("min_docnum", "ascending"),
+        ]
+    )
+
+
 def _pack_chunks(chunks: pa.Table) -> pa.Table:
     """Pack a sub-batch's chunk rows into ONE row per (shard, bucket) with
     the rows serialized as an Arrow IPC blob.
@@ -834,7 +912,9 @@ def build_segment_from_chunk_files(
     for path in paths:
         with open(path, "rb") as f:
             tables.append(ipc.open_stream(pa.py_buffer(f.read())).read_all())
-    seg_tbl = merge_encoded_rows(pa.concat_tables(tables))
+    seg_tbl = split_long_posting_rows(
+        merge_encoded_rows(pa.concat_tables(tables))
+    )
     seg_id = f"p{partition_id:05d}_s{shard:04d}_b{bucket:012x}"
     rel = os.path.join("segments", f"{seg_id}.parquet")
     out = os.path.join(index_dir, rel)
@@ -859,7 +939,9 @@ def make_build_segment_group(index_dir: str, partition_id: int):
     def build_segment_group(group: pa.Table) -> pa.Table:
         shard = group["shard"][0].as_py()
         bucket = group["bucket"][0].as_py()
-        seg_tbl = merge_encoded_rows(_unpack_chunks(group))
+        seg_tbl = split_long_posting_rows(
+            merge_encoded_rows(_unpack_chunks(group))
+        )
         seg_id = f"p{partition_id:05d}_s{shard:04d}_b{bucket:012x}"
         rel = os.path.join("segments", f"{seg_id}.parquet")
         path = os.path.join(index_dir, rel)
@@ -906,7 +988,9 @@ class MergeWorker:
                 pq.read_table(os.path.join(self.index_dir, rel_in))
                 for rel_in in inputs
             ]
-            seg_tbl = merge_encoded_rows(pa.concat_tables(tables))
+            seg_tbl = split_long_posting_rows(
+                merge_encoded_rows(pa.concat_tables(tables))
+            )
             segment_mod.write_segment(path, seg_tbl)
         pf = pq.ParquetFile(path)
         tbl_meta = pq.read_table(path, columns=["df", "min_docnum", "max_docnum"])

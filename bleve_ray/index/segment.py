@@ -166,7 +166,12 @@ class SegmentReader:
     def lookup(
         self, field: str, term: str, want_positions: bool = False
     ) -> Optional[Posting]:
+        """Decoded posting for (field, term); a hot term may span several
+        BLOCK rows (build.split_long_posting_rows) and possibly several
+        row groups -- all are gathered and concatenated in min_docnum
+        order (disjoint ranges, so concat is the merge)."""
         key = (field, term)
+        rows: List[dict] = []
         for rg, (lo, hi) in enumerate(self._rg_bounds):
             if lo <= key <= hi:
                 tbl = self._get_rg(rg)
@@ -174,12 +179,104 @@ class SegmentReader:
                     pc.equal(tbl["field"], field), pc.equal(tbl["term"], term)
                 )
                 hit = tbl.filter(mask)
-                if len(hit) > 0:
-                    return decode_posting(
-                        {c: hit[c][0].as_py() for c in hit.column_names},
-                        want_positions,
+                for i in range(len(hit)):
+                    rows.append(
+                        {c: hit[c][i].as_py() for c in hit.column_names}
                     )
-        return None
+        if not rows:
+            return None
+        if len(rows) == 1:
+            return decode_posting(rows[0], want_positions)
+        rows.sort(key=lambda r: r["min_docnum"])
+        parts = [decode_posting(r, want_positions) for r in rows]
+        bounds = [p for p in parts if p.max_tf is not None]
+        return Posting(
+            docnums=np.concatenate([p.docnums for p in parts]),
+            tfs=np.concatenate([p.tfs for p in parts]),
+            norms=np.concatenate([p.norms for p in parts]),
+            positions_flat=(
+                np.concatenate([p.positions_flat for p in parts])
+                if want_positions
+                and all(p.positions_flat is not None for p in parts)
+                else None
+            ),
+            max_tf=(
+                max(p.max_tf for p in bounds)
+                if len(bounds) == len(parts)
+                else None
+            ),
+            max_norm=(
+                max(p.max_norm for p in bounds)
+                if len(bounds) == len(parts)
+                else None
+            ),
+        )
+
+    def block_meta(self, field: str, term: str) -> List[dict]:
+        """Per-block metadata WITHOUT decoding posting blobs: reads only
+        the small meta columns of candidate row groups (parquet column
+        pruning keeps the binary columns on disk).  Rows are the
+        decode-skippable block-max units."""
+        key = (field, term)
+        out: List[dict] = []
+        for rg, (lo, hi) in enumerate(self._rg_bounds):
+            if lo <= key <= hi:
+                tbl = self._meta_rg(rg)
+                mask = pc.and_(
+                    pc.equal(tbl["field"], field), pc.equal(tbl["term"], term)
+                )
+                hit = tbl.filter(mask)
+                for i in range(len(hit)):
+                    row = {c: hit[c][i].as_py() for c in hit.column_names}
+                    row["_rg"] = rg
+                    out.append(row)
+        out.sort(key=lambda r: r["min_docnum"])
+        return out
+
+    def decode_block(
+        self, field: str, term: str, rg: int, min_docnum: int,
+        want_positions: bool = False,
+    ) -> Optional[Posting]:
+        """Decode exactly one block row identified by (rg, min_docnum)."""
+        tbl = self._get_rg(rg)
+        mask = pc.and_(
+            pc.and_(
+                pc.equal(tbl["field"], field), pc.equal(tbl["term"], term)
+            ),
+            pc.equal(tbl["min_docnum"], min_docnum),
+        )
+        hit = tbl.filter(mask)
+        if len(hit) == 0:
+            return None
+        return decode_posting(
+            {c: hit[c][0].as_py() for c in hit.column_names}, want_positions
+        )
+
+    _META_COLS = ["field", "term", "df", "min_docnum", "max_docnum"]
+
+    def _meta_rg(self, rg: int) -> pa.Table:
+        if not hasattr(self, "_meta_cache"):
+            self._meta_cache: Dict[int, pa.Table] = {}
+        tbl = self._meta_cache.get(rg)
+        if tbl is None:
+            full = self._cache.get(rg)
+            if full is not None:
+                tbl = full.select(
+                    [
+                        c
+                        for c in full.column_names
+                        if c in self._META_COLS + ["max_tf", "max_norm"]
+                    ]
+                )
+            else:
+                cols = [
+                    c
+                    for c in self._pf.schema_arrow.names
+                    if c in self._META_COLS + ["max_tf", "max_norm"]
+                ]
+                tbl = self._pf.read_row_group(rg, columns=cols)
+            self._meta_cache[rg] = tbl
+        return tbl
 
     def iter_terms(self, field: Optional[str] = None) -> Iterator[Tuple[str, str, int]]:
         """Iterate (field, term, df) over the dictionary in sorted order."""

@@ -329,9 +329,14 @@ class Index:
             if isinstance(searcher, DisjunctionSearcher):
                 # block-max/MaxScore top-k pruning: rank-identical top-k,
                 # total_hits becomes a lower bound ("gte")
+                # k inflated by the tombstone count: deleted docs are
+                # filtered AFTER pruning, so each tombstone may occupy a
+                # top-k slot a live doc should get
                 tk = disjunction_topk(
                     searcher,
-                    request.get("size", 10) + request.get("from", 0),
+                    request.get("size", 10)
+                    + request.get("from", 0)
+                    + len(getattr(self.reader, "deleted", ())),
                 )
                 hits = tk.hits
                 if not tk.exact_total:

@@ -67,6 +67,8 @@ class IndexReader:
             "postings_decoded": 0,
             "posting_cache_hits": 0,
             "dictionary_ops": 0,
+            "posting_blocks_decoded": 0,
+            "posting_blocks_skipped": 0,
         }
 
     def filter_deleted(self, docnums: np.ndarray) -> np.ndarray:
@@ -110,6 +112,40 @@ class IndexReader:
             self._posting_cache.pop(next(iter(self._posting_cache)))
         self._posting_cache[ck] = p
         return p
+
+    def posting_meta(self, field: str, term: str):
+        """Block-level metadata for (field, term) WITHOUT decoding blobs
+        (parquet column pruning): list of block dicts with df, docnum
+        range, score bounds and a decode handle -- the data a block-max
+        searcher plans with."""
+        ck = (field, term)
+        if not hasattr(self, "_meta_cache2"):
+            self._meta_cache2: Dict = {}
+        if ck in self._meta_cache2:
+            return self._meta_cache2[ck]
+        blocks = []
+        for entry in self._segments_for(field, term):
+            r = self._reader(entry)
+            for m in r.block_meta(field, term):
+                m["_seg"] = entry.seg_id
+                blocks.append(m)
+        blocks.sort(key=lambda m: m["min_docnum"])
+        if len(self._meta_cache2) < 1024:
+            self._meta_cache2[ck] = blocks
+        return blocks
+
+    def decode_block(
+        self, field: str, term: str, block: dict,
+        want_positions: bool = False,
+    ):
+        """Decode one block row previously returned by posting_meta."""
+        for entry in self._segments_for(field, term):
+            if entry.seg_id == block["_seg"]:
+                return self._reader(entry).decode_block(
+                    field, term, block["_rg"], block["min_docnum"],
+                    want_positions,
+                )
+        return None
 
     def _posting_uncached(
         self, field: str, term: str, want_positions: bool = False

@@ -56,14 +56,32 @@ class Searcher:
 
 
 class TermSearcher(Searcher):
-    """search_term.go equivalent: posting arrays + TermQueryScorer."""
+    """search_term.go equivalent: posting arrays + TermQueryScorer.
+
+    Posting decode is LAZY when the reader exposes block metadata:
+    df and the score bounds come from the meta columns alone, so a
+    block-max caller (disjunction_topk) can plan and skip blocks before
+    any blob is decoded."""
 
     def __init__(self, reader, term: str, field: str, boost: float, options):
         self.reader = reader
         self.term = term
         self.field = field
-        self.posting = reader.posting(field, term, want_positions=options.need_positions)
-        doc_term = self.posting.df if self.posting else 0
+        self._options = options
+        self._posting = None
+        self._decoded = False
+        self.blocks = None
+        if hasattr(reader, "posting_meta"):
+            self.blocks = reader.posting_meta(field, term)
+            doc_term = sum(b["df"] for b in self.blocks)
+            if not self.blocks:
+                self._decoded = True  # nothing to decode
+        else:
+            self._posting = reader.posting(
+                field, term, want_positions=options.need_positions
+            )
+            self._decoded = True
+            doc_term = self._posting.df if self._posting else 0
         if options.scoring_model == "bm25":
             doc_total, avg_len = reader.bm25_metrics(field)
         else:
@@ -73,6 +91,31 @@ class TermSearcher(Searcher):
         )
         self._score_none = getattr(options, "score", "") == "none"
 
+    @property
+    def posting(self):
+        if not self._decoded:
+            self._posting = self.reader.posting(
+                self.field, self.term,
+                want_positions=self._options.need_positions,
+            )
+            self._decoded = True
+        return self._posting
+
+    def max_bounds(self):
+        """(max_tf, max_norm) from block metadata without decoding; None
+        when bounds are unavailable."""
+        if self.blocks is not None and self.blocks:
+            if any(b.get("max_tf") is None for b in self.blocks):
+                return None
+            return (
+                max(b["max_tf"] for b in self.blocks),
+                max(b["max_norm"] for b in self.blocks),
+            )
+        p = self.posting
+        if p is None or p.max_tf is None:
+            return None
+        return (p.max_tf, p.max_norm)
+
     def weight(self) -> float:
         return self.scorer.weight()
 
@@ -80,6 +123,8 @@ class TermSearcher(Searcher):
         self.scorer.set_query_norm(qnorm)
 
     def count(self) -> int:
+        if self.blocks is not None:
+            return sum(b["df"] for b in self.blocks)
         return self.posting.df if self.posting else 0
 
     def search(self) -> SearchHits:
@@ -231,6 +276,54 @@ class _TopKResult:
         self.seen_total = seen_total
 
 
+def _gather_term(
+    c: "TermSearcher",
+    cand_docs: np.ndarray,
+    cand_sum: np.ndarray,
+    cand_cnt: np.ndarray,
+) -> None:
+    """Add c's exact contributions to EXISTING candidates only.  With
+    block metadata available, decode only posting blocks whose
+    [min_docnum, max_docnum] range contains a candidate -- the
+    decode-level skip of block-max WAND (blocks are exact bounds written
+    by build.split_long_posting_rows, so the skip loses nothing)."""
+    ctr = getattr(c.reader, "counters", None)
+    if c.blocks:
+        for b in c.blocks:
+            lo = np.searchsorted(cand_docs, b["min_docnum"], side="left")
+            hi = np.searchsorted(cand_docs, b["max_docnum"], side="right")
+            if lo >= hi:
+                if ctr is not None:
+                    ctr["posting_blocks_skipped"] = (
+                        ctr.get("posting_blocks_skipped", 0) + 1
+                    )
+                continue
+            if ctr is not None:
+                ctr["posting_blocks_decoded"] = (
+                    ctr.get("posting_blocks_decoded", 0) + 1
+                )
+            p = c.reader.decode_block(c.field, c.term, b)
+            if p is None:
+                continue
+            scores = c.scorer.score(p.tfs, p.norms)
+            window = cand_docs[lo:hi]
+            idx = np.searchsorted(p.docnums, window)
+            idx_c = np.minimum(idx, len(p.docnums) - 1)
+            m = p.docnums[idx_c] == window
+            # basic slices are views: writes land in the caller's arrays
+            cand_sum[lo:hi][m] += scores[idx_c[m]]
+            cand_cnt[lo:hi][m] += 1
+        return
+    hits = c.search()
+    if len(hits.docnums) == 0:
+        return
+    idx = np.searchsorted(hits.docnums, cand_docs)
+    idx_c = np.minimum(idx, len(hits.docnums) - 1)
+    m = hits.docnums[idx_c] == cand_docs
+    cand_sum[m] += hits.scores[idx_c[m]]
+    cand_cnt[m] += 1
+
+
 def disjunction_topk(dis: "DisjunctionSearcher", k: int) -> _TopKResult:
     """MaxScore-family top-k pruning over a disjunction of term searchers
     (the block-max WAND role from the north star, at term/segment-block
@@ -246,27 +339,31 @@ def disjunction_topk(dis: "DisjunctionSearcher", k: int) -> _TopKResult:
     top-k doc.  Scores of returned docs are computed exactly; ranking is
     identical to the exhaustive path (asserted in tests).
 
-    Current saving is candidate-set growth (the sorted-union merge), not
-    posting DECODE -- gathered terms still decode fully.  Decode-level
-    skipping needs per-sub-block bounds inside a segment row (finer blocks
-    than the per-term maxima stored today); noted as follow-up."""
+    Savings are two-level: candidate-set growth (the sorted-union merge)
+    AND posting decode -- upper bounds come from block metadata columns
+    alone (posting_meta, no blob decode), and a gather-only term decodes
+    ONLY the ~4096-doc blocks whose docnum range intersects a candidate
+    (build.split_long_posting_rows block rows).  Skipped/decoded block
+    counts surface in reader.stats()."""
     kids = [c for c in dis.children if isinstance(c, TermSearcher)]
     if (
         len(kids) != len(dis.children)
         or dis.min_match > 1
-        or any(
-            c.posting is not None and c.posting.max_tf is None for c in kids
-        )
+        or any(c._score_none for c in kids)
     ):
         return _TopKResult(dis.search(), True, -1)
     infos = []
     for c in kids:
-        if c.posting is None:
+        if c.count() == 0:
             continue
+        mb = c.max_bounds()
+        if mb is None:
+            # bounds unavailable (legacy segment without max_tf/max_norm)
+            return _TopKResult(dis.search(), True, -1)
         ub = float(
             c.scorer.score(
-                np.array([c.posting.max_tf], dtype=np.int64),
-                np.array([c.posting.max_norm], dtype=np.float32),
+                np.array([mb[0]], dtype=np.int64),
+                np.array([mb[1]], dtype=np.float32),
             )[0]
         )
         infos.append((ub, c))
@@ -285,18 +382,13 @@ def disjunction_topk(dis: "DisjunctionSearcher", k: int) -> _TopKResult:
     for i, (ub, c) in enumerate(infos):
         remaining = len(infos) - i
         new_doc_bound = tail[i] * (remaining / n_total)
-        hits = c.search()
         if new_doc_bound < theta:
             pruned = True
-            # gather-only: add contributions to existing candidates
-            if len(hits.docnums) == 0:
-                continue
-            idx = np.searchsorted(hits.docnums, cand_docs)
-            idx_c = np.minimum(idx, len(hits.docnums) - 1)
-            m = hits.docnums[idx_c] == cand_docs
-            cand_sum[m] += hits.scores[idx_c[m]]
-            cand_cnt[m] += 1
+            # gather-only: add contributions to existing candidates,
+            # decoding only blocks whose docnum range holds a candidate
+            _gather_term(c, cand_docs, cand_sum, cand_cnt)
         else:
+            hits = c.search()
             merged = np.unique(np.concatenate((cand_docs, hits.docnums)))
             new_sum = np.zeros(len(merged), dtype=np.float64)
             new_cnt = np.zeros(len(merged), dtype=np.int64)
