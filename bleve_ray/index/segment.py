@@ -334,6 +334,46 @@ class SegmentReader:
             parts.append(tbl.filter(mask).select(["term", "df"]))
         return pa.concat_tables(parts)
 
+    def terms_matching(self, field: str, aut) -> List[Tuple[str, int]]:
+        """(term, df) rows accepted by an automaton (LevAutomaton shape:
+        next_valid + accepts).  Row groups whose [term_min, term_max]
+        interval contains no accepted string are NEVER read -- the
+        parquet-statistics analogue of intersecting the automaton with a
+        vellum FST (search_fuzzy.go candidate walk)."""
+        from bisect import bisect_left
+
+        out: List[Tuple[str, int]] = []
+        for rg, ((fmin, tmin), (fmax, tmax)) in enumerate(self._rg_bounds):
+            if fmax < field or fmin > field:
+                continue
+            lo = tmin if fmin == field else ""
+            nv = aut.next_valid(lo)
+            if nv is None or (fmax == field and nv > tmax):
+                continue  # no accepted term can live in this row group
+            tbl = self._get_rg(rg)
+            ft = tbl.filter(pc.equal(tbl["field"], field))
+            terms = ft["term"].to_pylist()
+            dfs = ft["df"].to_pylist()
+            # seek loop: next_valid + bisect visits O(matches) terms
+            n = len(terms)
+            target = nv
+            while target is not None:
+                pos = bisect_left(terms, target)
+                if pos >= n:
+                    break
+                t = terms[pos]
+                if t == target or aut.accepts(t):
+                    df = dfs[pos]
+                    # block-split hot terms occupy adjacent rows: sum df
+                    while pos + 1 < n and terms[pos + 1] == t:
+                        pos += 1
+                        df += dfs[pos]
+                    out.append((t, df))
+                    target = aut.next_valid(t + "\x00")
+                else:
+                    target = aut.next_valid(t)
+        return out
+
     def dictionary_range(
         self, field: str, lo: str, hi: str, inclusive_hi: bool = False
     ) -> List[Tuple[str, int]]:

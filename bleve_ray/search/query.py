@@ -269,26 +269,33 @@ class FuzzyQuery(Query):
     boost: float = 1.0
 
     def searcher(self, reader, mapping, options):
-        from .levenshtein import within_distance
-
         field = self.field or mapping.default_field
         fuzz = min(self.fuzziness, 2)  # MaxFuzziness (search_fuzzy.go:26)
         prefix = self.term[: self.prefix_length]
-        if prefix:
-            # row-group-pruned prefix slice of the dictionary (the role of
-            # the reference's Levenshtein-automaton FST walk restricted by
-            # prefix_length, search_fuzzy.go:93-120)
-            terms = reader.terms_with_prefix(field, prefix)
+        if hasattr(reader, "terms_matching_automaton"):
+            # Levenshtein automaton intersected with the sorted dictionary
+            # (search/levenshtein.go + vellum FST walk): row groups with no
+            # accepted string in their term interval are never read, and
+            # the in-group seek loop visits O(matches) terms
+            from .lev_automaton import LevAutomaton
+
+            aut = LevAutomaton(self.term, fuzz, prefix=prefix)
+            cands = reader.terms_matching_automaton(field, aut)
         else:
-            terms = reader.terms_in_range(field, None, None)
-        # cheap vectorized length band before the DP: |len(t)-len(q)| <= k
-        tl = len(self.term)
-        cands = [
-            t
-            for t in terms
-            if abs(len(t) - tl) <= fuzz
-            and within_distance(self.term, t, fuzz)
-        ]
+            from .levenshtein import within_distance
+
+            terms = (
+                reader.terms_with_prefix(field, prefix)
+                if prefix
+                else reader.terms_in_range(field, None, None)
+            )
+            tl = len(self.term)
+            cands = [
+                t
+                for t in terms
+                if abs(len(t) - tl) <= fuzz
+                and within_distance(self.term, t, fuzz)
+            ]
         if not cands:
             return MatchNoneSearcher()
         return MultiTermSearcher(reader, cands, field, self.boost, options)

@@ -412,6 +412,19 @@ class IndexReader:
         t = self._terms_tables(field, lo, hi, inclusive_hi)
         return sorted(set(t["term"].to_pylist()))
 
+    def terms_matching_automaton(self, field: str, aut) -> List[str]:
+        """Sorted distinct terms accepted by an automaton, gathered by
+        seek-intersection per segment (FieldDictFuzzy / automaton x FST
+        walk, search_fuzzy.go:93-120).  Every shard is consulted --
+        (field,term) hashing scatters edit-distance neighbours."""
+        self.counters["dictionary_ops"] += 1
+        out = set()
+        for shard_entries in self._by_shard.values():
+            for entry in shard_entries:
+                for t, _ in self._reader(entry).terms_matching(field, aut):
+                    out.add(t)
+        return sorted(out)
+
     def stats(self) -> Dict:
         """Query-side stats surface (index/scorch/stats.go:29-180 role):
         reader counters + segment/rowgroup observability + index-level
