@@ -326,4 +326,24 @@ def _make_lang_packs():
     )
 
 
+def _make_cjk_pack():
+    from .token_filters import cjk_width_filter, make_cjk_bigram_filter
+
+    # cjk: unicode tokenizer + width fold + to_lower + bigram shingles
+    # (reference analysis/lang/cjk/analyzer_cjk.go:27-53)
+    register_analyzer(
+        Analyzer(
+            name="cjk",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                cjk_width_filter,
+                lowercase_filter,
+                make_cjk_bigram_filter(),
+            ],
+            fast_path=False,
+        )
+    )
+
+
 _make_lang_packs()
+_make_cjk_pack()

@@ -272,3 +272,140 @@ def make_compound_filter(
         return out
 
     return compound_filter
+
+
+# --- CJK (analysis/lang/cjk) -------------------------------------------------
+
+DOUBLE = "Double"
+
+# Halfwidth Katakana U+FF65..U+FF9F -> fullwidth equivalents (the public
+# Unicode halfwidth/fullwidth compatibility mapping; reference
+# cjk_width.go kanaNorm role).  The last two entries are the combining
+# voiced (U+3099) / semi-voiced (U+309A) sound marks.
+_KANA_NORM = (
+    "・ヲァィゥェォャュ"
+    "ョッーアイウエオカ"
+    "キクケコサシスセソ"
+    "タチツテトナニヌネ"
+    "ノハヒフヘホマミム"
+    "メモヤユヨラリルレ"
+    "ロワン゙゚"
+)
+
+# Voiced/semi-voiced combination deltas indexed by (kana - U+30A6): adding
+# the dakuten U+FF9E (voiced) or handakuten U+FF9F (semi-voiced) to the
+# preceding fullwidth kana composes it (ウ+゛-> ヴ is +78; カ+゛-> ガ is
+# +1; ハ+゜-> パ is +2).  Same public composition data as cjk_width.go.
+_KANA_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_SEMI_VOICED = [0] * 88
+for _i in (41, 44, 47, 50, 53):  # ハヒフヘホ + handakuten -> パピプペポ
+    _KANA_SEMI_VOICED[_i] = 2
+
+
+def cjk_width_term(term: str) -> str:
+    """Fold fullwidth ASCII variants to ASCII and halfwidth Katakana to
+    fullwidth, composing halfwidth voiced marks (cjk_width.go role)."""
+    out: List[str] = []
+    for ch in term:
+        cp = ord(ch)
+        if 0xFF01 <= cp <= 0xFF5E:
+            out.append(chr(cp - 0xFEE0))
+        elif 0xFF65 <= cp <= 0xFF9F:
+            if cp in (0xFF9E, 0xFF9F) and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    delta = (
+                        _KANA_SEMI_VOICED[prev - 0x30A6]
+                        if cp == 0xFF9F
+                        else _KANA_VOICED[prev - 0x30A6]
+                    )
+                    if delta:
+                        out[-1] = chr(prev + delta)
+                        continue
+            out.append(_KANA_NORM[cp - 0xFF65])
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def cjk_width_filter(tokens: List[Token]) -> List[Token]:
+    for t in tokens:
+        t.term = cjk_width_term(t.term)
+    return tokens
+
+
+def make_cjk_bigram_filter(output_unigram: bool = False):
+    """CJK bigram shingles over adjacent Ideographic runes
+    (cjk_bigram.go semantics): Ideographic tokens explode to runes;
+    byte-adjacent rune pairs emit Double bigrams; an isolated rune (or
+    every rune, with output_unigram) emits a Single unigram; other token
+    types flush the buffer and pass through."""
+    from .tokenizers import IDEOGRAPHIC, SINGLE
+
+    def bigram_filter(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        buf: List[Token] = []  # at most the 2 most recent runes
+        outpos = 1
+
+        def unigram(src: Token, pos: int) -> Token:
+            return Token(src.term, pos, src.start, src.end, SINGLE)
+
+        def flush(pos: int):
+            rv = unigram(buf[0], pos) if len(buf) == 1 else None
+            buf.clear()
+            return rv
+
+        for tok in tokens:
+            if tok.type == IDEOGRAPHIC:
+                sofar = 0
+                for ch in tok.term:
+                    blen = len(ch.encode("utf-8"))
+                    sub = Token(
+                        ch, 0, tok.start + sofar, tok.start + sofar + blen,
+                        IDEOGRAPHIC,
+                    )
+                    sofar += blen
+                    if buf and sub.start != buf[-1].end:
+                        ft = flush(outpos)  # gap: not byte-adjacent
+                        if ft is not None:
+                            outpos += 1
+                            out.append(ft)
+                    buf.append(sub)
+                    if len(buf) > 2:
+                        buf.pop(0)
+                    built_unigram = False
+                    if len(buf) > 1 and output_unigram:
+                        out.append(unigram(buf[0], outpos))
+                        built_unigram = True
+                    if len(buf) == 2:
+                        out.append(
+                            Token(
+                                buf[0].term + buf[1].term, outpos,
+                                buf[0].start, buf[1].end, DOUBLE,
+                            )
+                        )
+                        outpos += 1
+                    if built_unigram:
+                        buf.pop(0)
+            else:
+                ft = flush(outpos)
+                if ft is not None:
+                    out.append(ft)
+                    outpos += 1
+                tok.position = outpos
+                out.append(tok)
+                outpos += 1
+        # trailing rune: lone rune always; the final rune too when
+        # emitting unigrams alongside bigrams
+        if len(buf) == 1:
+            out.append(unigram(buf[0], outpos))
+        elif len(buf) == 2 and output_unigram:
+            out.append(unigram(buf[1], outpos))
+        return out
+
+    return bigram_filter

@@ -119,6 +119,12 @@ ASCII_WORD_RE = re.compile(_A_WORD)
 
 _NUM_RE = re.compile(r"[0-9]")
 _ALPHA_ANY = uregex.compile(r"[\p{wb=ALetter}\p{wb=Hebrew_Letter}]")
+# pure Katakana run (wb=Katakana covers halfwidth forms + prolonged sound
+# mark): the reference segmenter types these segments Ideo, which is what
+# lets the cjk analyzer bigram katakana words.
+_KATAKANA_RUN = uregex.compile(
+    r"^[\p{wb=Katakana}\p{wb=Extend}\p{wb=Format}\p{wb=ZWJ}]+$", uregex.V1
+)
 
 
 def _classify(term: str) -> str:
@@ -126,6 +132,8 @@ def _classify(term: str) -> str:
         return ALPHANUMERIC
     if _NUM_RE.search(term) or uregex.search(r"\p{wb=Numeric}", term):
         return NUMERIC
+    if _KATAKANA_RUN.match(term):
+        return IDEOGRAPHIC
     return ALPHANUMERIC
 
 
