@@ -351,6 +351,80 @@ def _q_geo_distance_docs(sf_dir: str):
     )
 
 
+_CJK_DIGITS = str.maketrans("0123456789", "〇一二三四五六七八九")
+
+
+def _cjk_index(sf_dir: str):
+    """CJK index over a deterministically derived column: CJK-numeral
+    rendering of doc_id*137 (reproduced in the DuckDB oracle via
+    translate()), plus a katakana marker word on every 7th doc so the
+    width-folding path (halfwidth query vs fullwidth indexed text) is
+    exercised end to end (reference analysis/lang/cjk)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + ":cjk:v1").encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/cjkidx_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        dids = t["doc_id"].to_pylist()
+        body = [
+            str(d * 137).translate(_CJK_DIGITS)
+            + (" カタカナ" if d % 7 == 0 else "")
+            for d in dids
+        ]
+        src = f"/tmp/bleve_ray_cache/cjk_src_{key}.parquet"
+        os.makedirs("/tmp/bleve_ray_cache", exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": t["doc_id"], "body_cjk": pa.array(body)}), src
+        )
+        build_index(
+            [src],
+            idx_dir,
+            IndexOptions(
+                fields={"body_cjk": FieldConfig(analyzer="cjk")},
+                doc_id_fields=["doc_id"],
+                num_shards=4,
+                bucket_bits=16,
+            ),
+        )
+    return Index.open(idx_dir)
+
+
+def _q_cjk_phrase_docs(sf_dir: str):
+    """Docs whose CJK body contains the rune phrase 三四五 (bigram phrase
+    三四+四五) OR the katakana word queried in HALFWIDTH form ｶﾀｶﾅ
+    (match after width folding)."""
+    import pyarrow as pa
+
+    idx = _cjk_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "should": [
+                    {"match_phrase": "三四五", "field": "body_cjk"},
+                    {"match": "ｶﾀｶﾅ", "field": "body_cjk"},
+                ],
+                "min_should": 1,
+            },
+            "size": 1_000_000,
+            "score": "none",
+        }
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
 def _events_index(sf_dir: str):
     from bleve_ray.index import FieldConfig, IndexOptions, build_index
     from bleve_ray.index.manifest import load as load_manifest
@@ -1057,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_marks": _q_highlight_marks,
         "shingle_distinct": _q_shingle_distinct,
         "analyzer_es_stats": _q_analyzer_es_stats,
+        "cjk_phrase_docs": _q_cjk_phrase_docs,
         "geo_bbox_docs": _q_geo_bbox_docs,
         "geo_distance_docs": _q_geo_distance_docs,
         "bool_docs": _q_bool_docs,
@@ -1189,6 +1264,13 @@ SELECT count(DISTINCT a.term || ' ' || b.term) AS n_shingles
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
 """,
         "analyzer_es_stats": _sql_analyzer_es_stats(),
+        "cjk_phrase_docs": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE translate(CAST(doc_id * 137 AS VARCHAR),
+                '0123456789', '〇一二三四五六七八九') LIKE '%三四五%'
+   OR doc_id % 7 = 0
+ORDER BY CAST(doc_id AS VARCHAR)
+""",
         "geo_bbox_docs": """
 WITH pts AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
