@@ -431,7 +431,7 @@ def _events_index(sf_dir: str):
     from bleve_ray.search import Index
 
     key = hashlib.sha1(
-        (os.path.abspath(sf_dir) + ":events:v2").encode()
+        (os.path.abspath(sf_dir) + ":events:v3").encode()
     ).hexdigest()[:12]
     idx_dir = f"/tmp/bleve_ray_cache/evidx_{key}"
     man = load_manifest(idx_dir)
@@ -450,7 +450,7 @@ def _events_index(sf_dir: str):
                 doc_id_fields=["event_id"],
                 num_shards=4,
                 bucket_bits=16,
-                docvalue_fields=["event_type"],
+                docvalue_fields=["event_type", "ts"],
             ),
         )
     return Index.open(idx_dir)
@@ -1042,6 +1042,43 @@ def _q_facet_event_type_window(sf_dir: str):
     )
 
 
+def _q_facet_date_weeks(sf_dir: str):
+    """Datetime-range facet (reference facet_builder_datetime.go: buckets
+    are [start, end) instants parsed from date strings) over a numeric-range
+    query match set."""
+    import pyarrow as pa
+
+    idx = _events_index(sf_dir)
+    weeks = [
+        ("w1", "2024-01-01T00:00:00", "2024-01-08T00:00:00"),
+        ("w2", "2024-01-08T00:00:00", "2024-01-15T00:00:00"),
+        ("w3", "2024-01-15T00:00:00", "2024-01-22T00:00:00"),
+        ("w4", "2024-01-22T00:00:00", "2024-01-29T00:00:00"),
+        ("w5", "2024-01-29T00:00:00", "2024-02-05T00:00:00"),
+    ]
+    r = idx.search(
+        {
+            "query": {"min": 10.0, "max": 1000000.0, "field": "value"},
+            "size": 0,
+            "facets": {
+                "weeks": {
+                    "field": "ts",
+                    "date_ranges": [
+                        {"name": n, "start": s, "end": e} for n, s, e in weeks
+                    ],
+                }
+            },
+        }
+    )
+    b = r.facets["weeks"]["date_ranges"]
+    return pa.table(
+        {
+            "name": pa.array([x["name"] for x in b]),
+            "n_events": pa.array([x["count"] for x in b], type=pa.int64()),
+        }
+    )
+
+
 # --- contract functions ----------------------------------------------------
 
 
@@ -1141,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang_filtered": _q_facet_lang_filtered,
         "facet_nchars_ranges": _q_facet_nchars_ranges,
         "facet_event_type_window": _q_facet_event_type_window,
+        "facet_date_weeks": _q_facet_date_weeks,
         "doc_freq_top_terms": _q_doc_freq_top_terms,
         "collection_stats": _q_collection_stats,
         "numeric_range_count": _q_numeric_range_count,
@@ -1339,6 +1377,21 @@ UNION ALL
 SELECT 'mid', count(*) FROM documents WHERE n_chars >= 200 AND n_chars < 400
 UNION ALL
 SELECT 'large', count(*) FROM documents WHERE n_chars >= 400
+""",
+        "facet_date_weeks": """
+WITH m AS (SELECT ts FROM events WHERE value >= 10 AND value < 1000000)
+SELECT name, n_events FROM (
+  SELECT 'w1' AS name, count(*) AS n_events FROM m
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+  UNION ALL SELECT 'w2', count(*) FROM m
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+  UNION ALL SELECT 'w3', count(*) FROM m
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+  UNION ALL SELECT 'w4', count(*) FROM m
+    WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+  UNION ALL SELECT 'w5', count(*) FROM m
+    WHERE ts >= TIMESTAMP '2024-01-29' AND ts < TIMESTAMP '2024-02-05'
+) ORDER BY name
 """,
         "facet_event_type_window": """
 SELECT event_type, count(*) AS n_events FROM events

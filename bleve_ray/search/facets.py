@@ -24,9 +24,65 @@ import pyarrow.compute as pc
 DISTRIBUTED_FACET_THRESHOLD = 200_000
 
 
+def _value_nanos(v) -> float:
+    """Best-effort conversion of a docvalue to epoch nanos (float; NaN on
+    missing/unparseable).  Handles datetime/date objects, numpy datetime64,
+    raw int nanos, and ISO strings."""
+    import datetime as _dt
+
+    if v is None:
+        return np.nan
+    if isinstance(v, (int, np.integer)):
+        return float(v)
+    if isinstance(v, np.datetime64):
+        return float(v.astype("datetime64[ns]").astype(np.int64))
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        delta = v - epoch
+        return float(
+            (delta.days * 86_400 + delta.seconds) * 1_000_000_000
+            + delta.microseconds * 1_000
+        )
+    if isinstance(v, _dt.date):
+        epoch = _dt.date(1970, 1, 1)
+        return float((v - epoch).days * 86_400 * 1_000_000_000)
+    if isinstance(v, str):
+        from ..analysis.datetime_parsers import parse_iso
+
+        n = parse_iso(v)
+        return np.nan if n is None else float(n)
+    return np.nan
+
+
+def _normalize_date_ranges(facet_requests: Dict[str, dict]) -> Dict[str, dict]:
+    """Parse date_ranges start/end strings to nanos bounds once, before
+    (possibly distributed) counting (reference search.go dateTimeRange.
+    ParseDates + facet_builder_datetime.go AddRange).  Range semantics are
+    [start, end) like the reference's start<=t<end check."""
+    from ..analysis.datetime_parsers import datetime_parser_named
+
+    out = {}
+    for name, fr in facet_requests.items():
+        if "date_ranges" not in fr:
+            out[name] = fr
+            continue
+        parse = datetime_parser_named(fr.get("datetime_parser", "iso"))
+        nranges = []
+        for r in fr["date_ranges"]:
+            lo = parse(r["start"]) if r.get("start") is not None else None
+            hi = parse(r["end"]) if r.get("end") is not None else None
+            nranges.append({"name": r.get("name"), "lo": lo, "hi": hi,
+                            "start": r.get("start"), "end": r.get("end")})
+        out[name] = {**fr, "_date_nanos_ranges": nranges}
+    return out
+
+
 def compute_facets(
     reader, docnums: np.ndarray, facet_requests: Dict[str, dict]
 ) -> Dict[str, dict]:
+    facet_requests = _normalize_date_ranges(facet_requests)
     if len(docnums) >= DISTRIBUTED_FACET_THRESHOLD:
         try:
             import ray
@@ -60,6 +116,15 @@ def _partial_counts(fr: dict, values: List) -> dict:
         for r in fr["numeric_ranges"]:
             lo = r.get("min", -np.inf)
             hi = r.get("max", np.inf)
+            counts.append(int(np.count_nonzero((arr >= lo) & (arr < hi))))
+        return {"missing": missing, "n": len(values), "ranges": counts}
+    if "_date_nanos_ranges" in fr:
+        arr = np.array([_value_nanos(v) for v in values], dtype=np.float64)
+        missing = int(np.isnan(arr).sum())
+        counts = []
+        for r in fr["_date_nanos_ranges"]:
+            lo = -np.inf if r["lo"] is None else r["lo"]
+            hi = np.inf if r["hi"] is None else r["hi"]
             counts.append(int(np.count_nonzero((arr >= lo) & (arr < hi))))
         return {"missing": missing, "n": len(values), "ranges": counts}
     try:
@@ -110,6 +175,26 @@ def _finalize_facet(fr: dict, partials: List[dict]) -> dict:
             "missing": missing,
             "other": max(0, total - covered),
             "numeric_ranges": buckets,
+        }
+    if "_date_nanos_ranges" in fr:
+        merged = [0] * len(fr["_date_nanos_ranges"])
+        for p in partials:
+            for i, c in enumerate(p["ranges"]):
+                merged[i] += c
+        buckets = []
+        covered = 0
+        for r, c in zip(fr["_date_nanos_ranges"], merged):
+            covered += c
+            buckets.append(
+                {"name": r["name"], "start": r["start"], "end": r["end"],
+                 "count": c}
+            )
+        return {
+            "field": fr["field"],
+            "total": total,
+            "missing": missing,
+            "other": max(0, total - covered),
+            "date_ranges": buckets,
         }
     counts: Dict[str, int] = {}
     for p in partials:
@@ -189,8 +274,12 @@ def _compute_facets_distributed(
         for name in reqs:
             partial_lists[name].append(
                 {"missing": n_uncovered, "n": n_uncovered,
-                 **({"ranges": [0] * len(reqs[name]["numeric_ranges"])}
-                    if "numeric_ranges" in reqs[name] else {"terms": {}})}
+                 **({"ranges": [0] * len(
+                        reqs[name].get("numeric_ranges")
+                        or reqs[name]["_date_nanos_ranges"])}
+                    if "numeric_ranges" in reqs[name]
+                    or "_date_nanos_ranges" in reqs[name]
+                    else {"terms": {}})}
             )
     return {
         name: _finalize_facet(fr, partial_lists[name])

@@ -199,3 +199,60 @@ def test_max_fragments_request_option(doc_index):
     frags = r.hits[0].fragments["text"]
     assert 1 <= len(frags) <= 2
     assert any("<mark>" in f for f in frags)
+
+
+@pytest.fixture(scope="module")
+def events_dt_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("evdtidx"))
+    build_index(
+        [f"{SF}/events.parquet"],
+        d,
+        IndexOptions(
+            fields={
+                "event_type": FieldConfig(analyzer="keyword", positions=False),
+                "ts": FieldConfig(field_type="datetime", positions=False),
+            },
+            doc_id_fields=["event_id"],
+            num_shards=2,
+            bucket_bits=16,
+            docvalue_fields=["ts", "event_type"],
+        ),
+    )
+    return Index.open(d)
+
+
+def test_datetime_range_facet(events_dt_index):
+    """Reference facet_builder_datetime.go: [start, end) buckets parsed from
+    date strings; counts over the matched set."""
+    ranges = [
+        {"name": "h1", "start": "2024-01-01T00:00:00",
+         "end": "2024-01-16T00:00:00"},
+        {"name": "h2", "start": "2024-01-16T00:00:00",
+         "end": "2024-02-01T00:00:00"},
+        {"name": "open_end", "start": "2024-01-16T00:00:00", "end": None},
+    ]
+    r = events_dt_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {"halves": {"field": "ts", "date_ranges": ranges}},
+        }
+    )
+    f = r.facets["halves"]
+    con = duckdb.connect()
+    (h1, h2, tot) = con.sql(
+        f"""SELECT
+              count(*) FILTER (ts >= TIMESTAMP '2024-01-01'
+                               AND ts < TIMESTAMP '2024-01-16'),
+              count(*) FILTER (ts >= TIMESTAMP '2024-01-16'
+                               AND ts < TIMESTAMP '2024-02-01'),
+              count(*)
+            FROM read_parquet('{SF}/events.parquet')"""
+    ).fetchone()
+    got = {b["name"]: b["count"] for b in f["date_ranges"]}
+    assert got == {"h1": h1, "h2": h2, "open_end": h2}
+    assert f["total"] == tot
+    assert f["missing"] == 0
+    b0 = f["date_ranges"][0]
+    assert b0["start"] == "2024-01-01T00:00:00"
+    assert b0["end"] == "2024-01-16T00:00:00"
