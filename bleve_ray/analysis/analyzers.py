@@ -326,6 +326,43 @@ def _make_lang_packs():
     )
 
 
+def _make_ar_ru_packs():
+    from .lang_extra import arabic_normalize, arabic_stem, russian_stem
+    from .lang_light import make_stem_filter
+    from .stopwords_langs import AR_STOP_WORDS, RU_STOP_WORDS
+    from .token_filters import make_unicodenorm_filter
+
+    # ar: unicode + lower + NFKC + stop + arabic-normalize + arabic-stem
+    # (reference analysis/lang/ar/analyzer_ar.go:30-62 chain order)
+    register_analyzer(
+        Analyzer(
+            name="ar",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_unicodenorm_filter("NFKC"),
+                make_stop_filter(AR_STOP_WORDS),
+                make_stem_filter(arabic_normalize),
+                make_stem_filter(arabic_stem),
+            ],
+            fast_path=False,
+        )
+    )
+    # ru: unicode + lower + stop + snowball stemmer (analyzer_ru.go)
+    register_analyzer(
+        Analyzer(
+            name="ru",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_stop_filter(RU_STOP_WORDS),
+                make_stem_filter(russian_stem),
+            ],
+            fast_path=False,
+        )
+    )
+
+
 def _make_cjk_pack():
     from .token_filters import cjk_width_filter, make_cjk_bigram_filter
 
@@ -346,4 +383,5 @@ def _make_cjk_pack():
 
 
 _make_lang_packs()
+_make_ar_ru_packs()
 _make_cjk_pack()

@@ -177,3 +177,52 @@ tuas tém tínhamos um uma você vocês vos
 """.split()
 )
 
+
+
+# Arabic stop words (Savoy BSD list, the same data the reference embeds in
+# analysis/lang/ar/stop_words_ar.go)
+AR_STOP_WORDS = frozenset(
+    """
+من ومن منها منه في وفي فيها فيه
+و ف ثم او أو ب بها به
+ا أ اى اي أي أى لا ولا
+الا ألا إلا لكن ما وما كما فما
+عن مع اذا إذا ان أن إن انها
+أنها إنها انه أنه إنه بان بأن فان
+فأن وان وأن وإن التى التي الذى الذي
+الذين الى الي إلى إلي على عليها عليه
+اما أما إما ايضا أيضا كل وكل لم
+ولم لن ولن هى هي هو وهى وهي
+وهو فهى فهي فهو انت أنت لك لها
+له هذه هذا تلك ذلك هناك كانت كان
+يكون تكون وكانت وكان غير بعض قد نحو
+بين بينما منذ ضمن حيث الان الآن خلال
+بعد قبل حتى عند عندما لدى جميع
+""".split()
+)
+
+# Russian stop words (snowball stop.txt, reference stop_words_ru.go)
+RU_STOP_WORDS = frozenset(
+    """
+и в во не что он на я
+с со как а то все она так
+его но да ты к у же вы
+за бы по только ее мне было вот
+от меня еще нет о из ему теперь
+когда даже ну вдруг ли если уже или
+ни быть был него до вас нибудь опять
+уж вам сказал ведь там потом себя ничего
+ей может они тут где есть надо ней
+для мы тебя их чем была сам чтоб
+без будто человек чего раз тоже себе под
+жизнь будет ж тогда кто этот говорил того
+потому этого какой совсем ним здесь этом один
+почти мой тем чтобы нее кажется сейчас были
+куда зачем сказать всех никогда сегодня можно при
+наконец два об другой хоть после над больше
+тот через эти нас про всего них какая
+много разве сказала три эту моя впрочем хорошо
+свою этой перед иногда лучше чуть том нельзя
+такой им более всегда конечно всю между
+""".split()
+)
