@@ -363,6 +363,80 @@ def _make_ar_ru_packs():
     )
 
 
+def _make_more_packs():
+    """fa/sv/no/da/hi analyzers (reference analysis/lang/{fa,sv,no,da,hi}
+    chain orders)."""
+    from .char_filters import zero_width_non_joiner_filter
+    from .lang_extra import (
+        arabic_normalize,
+        danish_stem,
+        hindi_normalize,
+        hindi_stem,
+        indic_normalize,
+        norwegian_stem,
+        persian_normalize,
+        swedish_stem,
+    )
+    from .lang_light import make_stem_filter
+    from .stopwords_langs import (
+        DA_STOP_WORDS,
+        FA_STOP_WORDS,
+        HI_STOP_WORDS,
+        NO_STOP_WORDS,
+        SV_STOP_WORDS,
+    )
+
+    # fa: zwnj char filter + unicode + lower + ar-normalize + fa-normalize
+    # + stop (analyzer_fa.go:36-75; no stemmer)
+    register_analyzer(
+        Analyzer(
+            name="fa",
+            tokenizer=UnicodeTokenizer(),
+            char_filters=[zero_width_non_joiner_filter],
+            token_filters=[
+                lowercase_filter,
+                make_stem_filter(arabic_normalize),
+                make_stem_filter(persian_normalize),
+                make_stop_filter(FA_STOP_WORDS),
+            ],
+            fast_path=False,
+        )
+    )
+    for name, stop, stem in (
+        ("sv", SV_STOP_WORDS, swedish_stem),
+        ("no", NO_STOP_WORDS, norwegian_stem),
+        ("da", DA_STOP_WORDS, danish_stem),
+    ):
+        register_analyzer(
+            Analyzer(
+                name=name,
+                tokenizer=UnicodeTokenizer(),
+                token_filters=[
+                    lowercase_filter,
+                    make_stop_filter(stop),
+                    make_stem_filter(stem),
+                ],
+                fast_path=False,
+            )
+        )
+    # hi: unicode + lower + indic-normalize + hindi-normalize + stop + stem
+    # (analyzer_hi.go chain)
+    register_analyzer(
+        Analyzer(
+            name="hi",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_stem_filter(indic_normalize),
+                make_stem_filter(hindi_normalize),
+                make_stop_filter(HI_STOP_WORDS),
+                make_stem_filter(hindi_stem),
+            ],
+            fast_path=False,
+        )
+    )
+
+
 def _make_cjk_pack():
     from .token_filters import cjk_width_filter, make_cjk_bigram_filter
 
@@ -384,4 +458,5 @@ def _make_cjk_pack():
 
 _make_lang_packs()
 _make_ar_ru_packs()
+_make_more_packs()
 _make_cjk_pack()

@@ -226,3 +226,155 @@ RU_STOP_WORDS = frozenset(
 такой им более всегда конечно всю между
 """.split()
 )
+
+
+# Persian stop words (reference stop_words_fa.go; public BSD lists)
+FA_STOP_WORDS = frozenset(
+    """
+انان نداشته سراسر خياه ايشان وي تاكنون بيشتري
+دوم پس ناشي وگو يا داشتند سپس هنگام
+هرگز پنج نشان امسال ديگر گروهي شدند چطور
+ده و دو نخستين ولي چرا چه وسط
+ه كدام قابل يك رفت هفت همچنين در
+هزار بله بلي شايد اما شناسي گرفته دهد
+داشته دانست داشتن خواهيم ميليارد وقتيكه امد خواهد
+جز اورده شده بلكه خدمات شدن برخي نبود
+بسياري جلوگيري حق كردند نوعي بعري نكرده نظير
+نبايد بوده بودن داد اورد هست جايي شود
+دنبال داده بايد سابق هيچ همان انجا كمتر
+كجاست گردد كسي تر مردم تان دادن بودند
+سري جدا ندارند مگر يكديگر دارد دهند بنابراين
+هنگامي سمت جا انچه خود دادند زياد دارند
+اثر بدون بهترين بيشتر البته به براساس بيرون
+كرد بعضي گرفت توي اي ميليون او جريان
+تول بر مانند برابر باشيم مدتي گويند اكنون
+تا تنها جديد چند بي نشده كردن كردم
+گويد كرده كنيم نمي نزد روي قصد فقط
+بالاي ديگران اين ديروز توسط سوم ايم دانند
+سوي استفاده شما كنار داريم ساخته طور امده
+رفته نخست بيست نزديك طي كنيد از انها
+تمامي داشت يكي طريق اش چيست روب نمايد
+گفت چندين چيزي تواند ام ايا با ان
+ايد ترين اينكه ديگري راه هايي بروز همچنان
+پاعين كس حدود مختلف مقابل چيز گيرد ندارد
+ضد همچون سازي شان مورد باره مرسي خويش
+برخوردار چون خارج شش هنوز تحت ضمن هستيم
+گفته فكر بسيار پيش براي روزهاي انكه نخواهد
+بالا كل وقتي كي چنين كه گيري نيست
+است كجا كند نيز يابد بندي حتي توانند
+عقب خواست كنند بين تمام همه ما باشند
+مثل شد اري باشد اره طبق بعد اگر
+صورت غير جاي بيش ريزي اند زيرا چگونه
+بار لطفا مي درباره من ديده همين گذاري
+برداري علت گذاشته هم فوق نه ها شوند
+اباد همواره هر اول خواهند چهار نام امروز
+مان هاي قبل كنم سعي تازه را هستند
+زير جلوي عنوان بود
+""".split()
+)
+
+
+# Swedish (snowball) stop words (reference stop_words_sv.go; public BSD lists)
+SV_STOP_WORDS = frozenset(
+    """
+och det att i en jag hon som
+han på den med var sig för så
+till är men ett om hade de av
+icke mig du henne då sin nu har
+inte hans honom skulle hennes där min man
+ej vid kunde något från ut när efter
+upp vi dem vara vad över än dig
+kan sina här ha mot alla under någon
+eller allt mycket sedan ju denna själv detta
+åt utan varit hur ingen mitt ni bli
+blev oss din dessa några deras blir mina
+samma vilken er sådan vår blivit dess inom
+mellan sådant varför varje vilka ditt vem vilket
+sitta sådana vart dina vars vårt våra ert
+era vilkas
+""".split()
+)
+
+
+# Norwegian (snowball) stop words (reference stop_words_no.go; public BSD lists)
+NO_STOP_WORDS = frozenset(
+    """
+og i jeg det at en et den
+til er som på de med han av
+ikke ikkje der så var meg seg men
+ett har om vi min mitt ha hadde
+hun nå over da ved fra du ut
+sin dem oss opp man kan hans hvor
+eller hva skal selv sjøl her alle vil
+bli ble blei blitt kunne inn når være
+kom noen noe ville dere som deres kun
+ja etter ned skulle denne for deg si
+sine sitt mot å meget hvorfor dette disse
+uten hvordan ingen din ditt blir samme hvilken
+hvilke sånn inni mellom vår hver hvem vors
+hvis både bare enn fordi før mange også
+slik vært være båe begge siden dykk dykkar
+dei deira deires deim di då eg ein
+eit eitt elles honom hjå ho hoe henne
+hennar hennes hoss hossen ikkje ingi inkje korleis
+korso kva kvar kvarhelst kven kvi kvifor me
+medan mi mine mykje no nokon noka nokor
+noko nokre si sia sidan so somt somme
+um upp vere vore verte vort varte vart
+""".split()
+)
+
+
+# Danish (snowball) stop words (reference stop_words_da.go; public BSD lists)
+DA_STOP_WORDS = frozenset(
+    """
+og i jeg det at en den til
+er som på de med han af for
+ikke der var mig sig men et har
+om vi min havde ham hun nu over
+da fra du ud sin dem os op
+man hans hvor eller hvad skal selv her
+alle vil blev kunne ind når være dog
+noget ville jo deres efter ned skulle denne
+end dette mit også under have dig anden
+hende mine alt meget sit sine vor mod
+disse hvis din nogle hos blive mange ad
+bliver hendes været thi jer sådan
+""".split()
+)
+
+
+# Hindi (Lucene list) stop words (reference stop_words_hi.go; public BSD lists)
+HI_STOP_WORDS = frozenset(
+    """
+अंदर अत अपना अपनी अपने अभी आदि आप
+इत्यादि इन इनका इन्हीं इन्हें इन्हों इस इसका
+इसकी इसके इसमें इसी इसे उन उनका उनकी
+उनके उनको उन्हीं उन्हें उन्हों उस उसके उसी
+उसे एक एवं एस ऐसे और कई कर
+करता करते करना करने करें कहते कहा का
+काफ़ी कि कितना किन्हें किन्हों किया किर किस
+किसी किसे की कुछ कुल के को कोई
+कौन कौनसा गया घर जब जहाँ जा जितना
+जिन जिन्हें जिन्हों जिस जिसे जीधर जैसा जैसे
+जो तक तब तरह तिन तिन्हें तिन्हों तिस
+तिसे तो था थी थे दबारा दिया दुसरा
+दूसरे दो द्वारा न नहीं ना निहायत नीचे
+ने पर पर पहले पूरा पे फिर बनी
+बही बहुत बाद बाला बिलकुल भी भीतर मगर
+मानो मे में यदि यह यहाँ यही या
+यिह ये रखें रहा रहे ऱ्वासा लिए लिये
+लेकिन व वर्ग वह वह वहाँ वहीं वाले
+वुह वे वग़ैरह संग सकता सकते सबसे सभी
+साथ साबुत साभ सारा से सो ही हुआ
+हुई हुए है हैं हो होता होती होते
+होना होने अपनि जेसे होति सभि तिंहों इंहों
+दवारा इसि किंहें थि उंहों ओर जिंहें वहिं
+अभि बनि हि उंहिं उंहें हें वगेरह एसे
+रवासा कोन निचे काफि उसि पुरा भितर हे
+बहि वहां कोइ यहां जिंहों तिंहें किसि कइ
+यहि इंहिं जिधर इंहें अदि इतयादि हुइ कोनसा
+इसकि दुसरे जहां अप किंहों उनकि भि वरग
+हुअ जेसा नहिं
+""".split()
+)

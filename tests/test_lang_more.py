@@ -1,0 +1,143 @@
+"""fa/sv/no/da/hi language packs + indic normalizer.
+
+Vectors from reference analysis/lang/{fa,sv,no,da,hi}/analyzer_*_test.go,
+fa/persian_normalize_test.go, hi/{hindi_normalize,hindi_stemmer_filter}
+_test.go and analysis/lang/in/indic_normalize_test.go (expected outputs
+reproduced; implementations original — the Scandinavian stemmers are
+independent implementations of the public Snowball algorithms, the
+Hindi/Indic ones of the public Lucene rules)."""
+
+import pytest
+
+from bleve_ray.analysis.analyzers import analyzer_named
+from bleve_ray.analysis.lang_extra import (
+    danish_stem,
+    hindi_normalize,
+    hindi_stem,
+    indic_normalize,
+    norwegian_stem,
+    persian_normalize,
+    swedish_stem,
+)
+
+FA_ANALYZER = [
+    ("می‌خورد", ["خورد"]),
+    ("خورد", ["خورد"]),
+    ("خواهد خورد", ["خورد"]),
+    ("دارد می‌خورد", ["خورد"]),
+    ("خورده‌است", ["خورده"]),
+    ("می‌خورده‌است", ["خورده"]),
+    ("خورده بوده باشد", ["خورده"]),
+    ("خورده می‌شده بوده باشد", ["خورده"]),
+    ("بخورد", ["بخورد"]),
+    ("مي خورد", ["خورد"]),
+    ("برگ ها", ["برگ"]),
+    ("برگ‌ها", ["برگ"]),
+    ("English test.", ["english", "test"]),
+]
+
+FA_NORM = [
+    ("های", "هاي"),
+    ("هاے", "هاي"),
+    ("کشاندن", "كشاندن"),
+    ("كتابۀ", "كتابه"),
+    ("كتابهٔ", "كتابه"),
+    ("زادہ", "زاده"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,out", FA_ANALYZER)
+def test_fa_analyzer(inp, out):
+    assert analyzer_named("fa").terms(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", FA_NORM)
+def test_persian_normalize(inp, out):
+    assert persian_normalize(inp) == out
+
+
+def test_sv_analyzer():
+    a = analyzer_named("sv")
+    assert a.terms("jaktkarlarne") == ["jaktkarl"]
+    assert a.terms("jaktkarlens") == ["jaktkarl"]
+    assert a.terms("och") == []
+
+
+def test_no_analyzer():
+    a = analyzer_named("no")
+    assert a.terms("havnedistriktene") == ["havnedistrikt"]
+    assert a.terms("havnedistrikter") == ["havnedistrikt"]
+    assert a.terms("det") == []
+
+
+def test_da_analyzer():
+    a = analyzer_named("da")
+    assert a.terms("undersøg") == ["undersøg"]
+    assert a.terms("undersøgelse") == ["undersøg"]
+    assert a.terms("på") == []
+
+
+def test_scandinavian_stemmer_extras():
+    # snowball sample pairs ('heten'/'hetens' are in the step-1 among lists)
+    assert swedish_stem("klokheten") == "klok"
+    assert swedish_stem("skuggorna") == "skugg"
+    assert norwegian_stem("klokhetens") == "klok"
+    assert danish_stem("indtagelse") == "indtag"  # e then els
+    assert danish_stem("undersøgt") == "undersøg"  # gt -> g
+
+
+HI_NORM = [
+    ("अँगरेज़ी", "अंगरेजि"),
+    ("अँग्रेज़ी", "अंगरेजि"),
+    ("अंग्रेजी", "अंगरेजि"),
+    ("क़िताब", "किताब"),
+    ("फ़र्ज़", "फरज"),
+    ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+    ("शार्‍मा", "शारमा"),
+    ("शार्‌मा", "शारमा"),
+    ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+    ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+    ("", ""),
+]
+
+HI_STEM = [
+    ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+    ("गुरु", "गुर"), ("गुरुओं", "गुर"), ("दोस्त", "दोस्त"),
+    ("दोस्तों", "दोस्त"), ("लडकियों", "लडक"), ("किताबें", "किताब"),
+    ("किताबों", "किताब"), ("आध्यापीकाएं", "आध्यापीक"),
+    ("खाना", "खा"), ("खाती", "खा"), ("खा", "खा"),
+    ("कठिनाइयां", "कठिन"), ("कठिन", "कठिन"), ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,out", HI_NORM)
+def test_hindi_normalize(inp, out):
+    assert hindi_normalize(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", HI_STEM)
+def test_hindi_stem(inp, out):
+    assert hindi_stem(inp) == out
+
+
+def test_hi_analyzer():
+    a = analyzer_named("hi")
+    assert a.terms("हिन्दी") == ["हिंद"]
+    assert a.terms("हिंदी") == ["हिंद"]
+
+
+INDIC = [
+    # devanagari: independent vowel + vowel sign compose
+    ("अाॅ", "ऑ"),
+    ("अाॆ", "ऒ"),
+    ("अाे", "ओ"),
+    ("अाै", "औ"),
+    ("अॆ", "ऄ"),  # A + short-E sign -> short A ({0x05,0x46}->0x04)
+    ("अे", "अे"),  # no devanagari rule for A + E sign: unchanged
+]
+
+
+@pytest.mark.parametrize("inp,out", INDIC)
+def test_indic_normalize(inp, out):
+    assert indic_normalize(inp) == out
