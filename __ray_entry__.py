@@ -425,6 +425,39 @@ def _q_cjk_phrase_docs(sf_dir: str):
     )
 
 
+def _q_geo_shape_docs(sf_dir: str):
+    """geo_shape polygon-with-hole over the derived points: diamond outer
+    ring |lon|+|lat| < 60.3 minus a rectangular hole (geo_shape.go request
+    surface adapted to point fields)."""
+    import pyarrow as pa
+
+    idx = _geo_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "geometry": {
+                    "shape": {
+                        "type": "polygon",
+                        "coordinates": [
+                            [[-60.3, 0.0], [0.0, -60.3], [60.3, 0.0],
+                             [0.0, 60.3]],
+                            [[-20.2, -10.1], [20.2, -10.1], [20.2, 10.1],
+                             [-20.2, 10.1]],
+                        ],
+                    },
+                    "relation": "intersects",
+                },
+                "field": "pt",
+            },
+            "size": 1_000_000,
+            "score": "none",
+        }
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
 def _events_index(sf_dir: str):
     from bleve_ray.index import FieldConfig, IndexOptions, build_index
     from bleve_ray.index.manifest import load as load_manifest
@@ -1170,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzer_es_stats": _q_analyzer_es_stats,
         "cjk_phrase_docs": _q_cjk_phrase_docs,
         "geo_bbox_docs": _q_geo_bbox_docs,
+        "geo_shape_docs": _q_geo_shape_docs,
         "geo_distance_docs": _q_geo_distance_docs,
         "bool_docs": _q_bool_docs,
         "ip_cidr_docs": _q_ip_cidr_docs,
@@ -1308,6 +1342,18 @@ WHERE translate(CAST(doc_id * 137 AS VARCHAR),
                 '0123456789', '〇一二三四五六七八九') LIKE '%三四五%'
    OR doc_id % 7 = 0
 ORDER BY CAST(doc_id AS VARCHAR)
+""",
+        "geo_shape_docs": """
+WITH pts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         ((doc_id * 7) % 360) - 180 + 0.5 AS lon,
+         ((doc_id * 3) % 180) - 90 + 0.5 AS lat
+  FROM documents
+)
+SELECT doc_id FROM pts
+WHERE abs(lon) + abs(lat) < 60.3
+  AND NOT (lon > -20.2 AND lon < 20.2 AND lat > -10.1 AND lat < 10.1)
+ORDER BY doc_id
 """,
         "geo_bbox_docs": """
 WITH pts AS (

@@ -15,6 +15,7 @@ search/query/query.go:146-382 JSON dispatch and the query constructors:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Sequence
 
@@ -530,6 +531,14 @@ def parse_query(d: Dict) -> Query:
         return GeoPolygonQuery(
             d["polygon_points"], field=d.get("field", ""), boost=boost
         )
+    if "geometry" in d:
+        geom = d["geometry"]
+        return GeoShapeQuery(
+            shape=geom["shape"],
+            relation=geom.get("relation", "intersects"),
+            field=d.get("field", ""),
+            boost=boost,
+        )
     if "location" in d and "distance" in d:
         loc = d["location"]
         if isinstance(loc, str):
@@ -846,11 +855,13 @@ class CustomFilterQuery(Query):
 @dataclass
 class GeoPolygonQuery(Query):
     """search_geopolygon.go: polygon bounding-box candidates + pnpoly
-    ray-cast filter (vertex-tolerant) over the geo docvalues."""
+    ray-cast filter (vertex-tolerant) over the geo docvalues.  ``holes``
+    (GeoJSON inner rings) exclude contained points — even-odd rule."""
 
     points: Sequence = ()  # [(lon, lat), ...] or [{"lon":..,"lat":..}]
     field: str = ""
     boost: float = 1.0
+    holes: Sequence = ()  # list of rings, each [(lon, lat), ...]
 
     def searcher(self, reader, mapping, options):
         import numpy as np
@@ -858,12 +869,18 @@ class GeoPolygonQuery(Query):
         from ..index.geo import point_in_polygon
 
         field = self.field or mapping.default_field
-        coords = []
-        for p in self.points:
-            if isinstance(p, dict):
-                coords.append((float(p["lon"]), float(p["lat"])))
-            else:
-                coords.append((float(p[0]), float(p[1])))
+
+        def _ring(pts):
+            out = []
+            for p in pts:
+                if isinstance(p, dict):
+                    out.append((float(p["lon"]), float(p["lat"])))
+                else:
+                    out.append((float(p[0]), float(p[1])))
+            return out
+
+        coords = _ring(self.points)
+        hole_rings = [_ring(h) for h in self.holes if len(h) >= 3]
         if len(coords) < 3:
             return MatchNoneSearcher()
         lons = [c[0] for c in coords]
@@ -877,7 +894,153 @@ class GeoPolygonQuery(Query):
             lon, lat = _geo_values(reader, field, docnums)
             keep = np.zeros(len(docnums), dtype=bool)
             for i in range(len(docnums)):
-                keep[i] = point_in_polygon(lon[i], lat[i], coords)
+                ok = point_in_polygon(lon[i], lat[i], coords)
+                if ok:
+                    for h in hole_rings:
+                        if point_in_polygon(lon[i], lat[i], h):
+                            ok = False
+                            break
+                keep[i] = ok
             return keep
 
         return FilteringSearcher(inner, poly_ok)
+
+
+@dataclass
+class GeoShapeQuery(Query):
+    """search/query/geo_shape.go request surface, adapted to geoPOINT
+    fields (the reference's geoshape FIELD type with s2 cell tokens is out
+    of scope — SURVEY §2.14): the query shape is GeoJSON; a point doc
+    matches when it lies inside/on the shape.  For point docs the
+    relations ``intersects`` and ``within`` coincide; ``contains`` only
+    matches point/multipoint shapes equal to the doc point.
+
+    Shapes: point, multipoint, linestring (exact on-segment),
+    multilinestring, polygon (with holes), multipolygon, envelope,
+    circle, geometrycollection."""
+
+    shape: dict = None  # {"type":..., "coordinates":...[, "radius":...]}
+    relation: str = "intersects"
+    field: str = ""
+    boost: float = 1.0
+
+    def _point_query(self, lon: float, lat: float) -> Query:
+        return GeoBoundingBoxQuery(
+            lon, lat, lon, lat, field=self.field, boost=self.boost
+        )
+
+    def _to_query(self, shape: dict) -> Query:
+        typ = shape.get("type", "").lower()
+        co = shape.get("coordinates")
+        rel = self.relation.lower()
+        if rel == "contains":
+            # a point doc contains only a coincident point shape
+            if typ == "point":
+                return self._point_query(float(co[0]), float(co[1]))
+            if typ == "multipoint":
+                pts = {(float(p[0]), float(p[1])) for p in co}
+                if len(pts) == 1:
+                    (lon, lat), = pts
+                    return self._point_query(lon, lat)
+            return MatchNoneQuery()
+        if typ == "point":
+            return self._point_query(float(co[0]), float(co[1]))
+        if typ == "multipoint":
+            return DisjunctionQuery(
+                [self._point_query(float(p[0]), float(p[1])) for p in co],
+                min=1,
+            )
+        if typ == "envelope":
+            # bleve envelope coords: [[topLeft lon,lat],[bottomRight lon,lat]]
+            (x1, y1), (x2, y2) = (
+                (float(co[0][0]), float(co[0][1])),
+                (float(co[1][0]), float(co[1][1])),
+            )
+            return GeoBoundingBoxQuery(
+                min(x1, x2), max(y1, y2), max(x1, x2), min(y1, y2),
+                field=self.field, boost=self.boost,
+            )
+        if typ == "circle":
+            lon, lat = float(co[0]), float(co[1])
+            return GeoDistanceQuery(
+                lon, lat, shape.get("radius", "100m"),
+                field=self.field, boost=self.boost,
+            )
+        if typ == "polygon":
+            return GeoPolygonQuery(
+                co[0], field=self.field, boost=self.boost, holes=co[1:]
+            )
+        if typ == "multipolygon":
+            return DisjunctionQuery(
+                [
+                    GeoPolygonQuery(
+                        poly[0], field=self.field, boost=self.boost,
+                        holes=poly[1:],
+                    )
+                    for poly in co
+                ],
+                min=1,
+            )
+        if typ in ("linestring", "multilinestring"):
+            lines = [co] if typ == "linestring" else co
+            return _GeoLineStringQuery(
+                lines, field=self.field, boost=self.boost
+            )
+        if typ == "geometrycollection":
+            return DisjunctionQuery(
+                [self._to_query(s) for s in shape.get("geometries", [])],
+                min=1,
+            )
+        raise ValueError(f"unsupported geo shape type {typ!r}")
+
+    def searcher(self, reader, mapping, options):
+        field = self.field or mapping.default_field
+        q = dataclasses.replace(self, field=field)._to_query(self.shape)
+        return q.searcher(reader, mapping, options)
+
+
+@dataclass
+class _GeoLineStringQuery(Query):
+    """Point docs exactly on any segment of the line(s) (tolerance 1e-9
+    degrees): bbox candidates + collinearity filter."""
+
+    lines: Sequence = ()
+    field: str = ""
+    boost: float = 1.0
+
+    def searcher(self, reader, mapping, options):
+        import numpy as np
+
+        field = self.field or mapping.default_field
+        segs = []
+        for line in self.lines:
+            pts = [(float(p[0]), float(p[1])) for p in line]
+            segs.extend(zip(pts, pts[1:]))
+        if not segs:
+            return MatchNoneSearcher()
+        xs = [c for s in segs for c in (s[0][0], s[1][0])]
+        ys = [c for s in segs for c in (s[0][1], s[1][1])]
+        rect = (min(xs), min(ys), max(xs), max(ys))
+        inner = _geo_candidate_searcher(
+            reader, field, rect, self.boost, options
+        )
+        eps = 1e-9
+
+        def on_seg(docnums):
+            lon, lat = _geo_values(reader, field, docnums)
+            keep = np.zeros(len(docnums), dtype=bool)
+            for i in range(len(docnums)):
+                px, py = lon[i], lat[i]
+                for (ax, ay), (bx, by) in segs:
+                    if (
+                        min(ax, bx) - eps <= px <= max(ax, bx) + eps
+                        and min(ay, by) - eps <= py <= max(ay, by) + eps
+                        and abs(
+                            (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                        ) <= eps
+                    ):
+                        keep[i] = True
+                        break
+            return keep
+
+        return FilteringSearcher(inner, on_seg)

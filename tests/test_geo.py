@@ -192,3 +192,132 @@ def test_geohash_location_in_distance_query(geo_index):
         }
     )
     assert {h.id for h in r1.hits} == {h.id for h in r2.hits}
+
+
+def _shape_search(idx, shape, relation="intersects"):
+    r = idx.search(
+        {
+            "query": {
+                "geometry": {"shape": shape, "relation": relation},
+                "field": "pt",
+            },
+            "size": 1000,
+            "score": "none",
+        }
+    )
+    return {h.id for h in r.hits}
+
+
+def test_geo_shape_envelope(geo_index):
+    """geo_shape envelope == bounding box (geo_shape.go adapted to point
+    fields)."""
+    idx, lon, lat = geo_index
+    got = _shape_search(
+        idx, {"type": "envelope", "coordinates": [[-30.0, 45.0], [60.0, -20.0]]}
+    )
+    want = {
+        str(i)
+        for i in range(len(lon))
+        if -30 <= lon[i] <= 60 and -20 <= lat[i] <= 45
+    }
+    assert got == want and len(want) > 5
+
+
+def test_geo_shape_polygon_with_hole(geo_index):
+    idx, lon, lat = geo_index
+    outer = [[-60.0, -40.0], [60.0, -40.0], [60.0, 40.0], [-60.0, 40.0]]
+    hole = [[-20.0, -15.0], [20.0, -15.0], [20.0, 15.0], [-20.0, 15.0]]
+    got = _shape_search(
+        idx, {"type": "polygon", "coordinates": [outer, hole]}
+    )
+
+    def inside(i):
+        in_outer = -60 <= lon[i] <= 60 and -40 <= lat[i] <= 40
+        in_hole = -20 < lon[i] < 20 and -15 < lat[i] < 15
+        return in_outer and not in_hole
+
+    want = {str(i) for i in range(len(lon)) if inside(i)}
+    # boundary-exact points are tolerated either way; none exist in this
+    # random fixture (4-decimal coords vs integer edges)
+    assert got == want and len(want) > 5
+
+
+def test_geo_shape_circle(geo_index):
+    idx, lon, lat = geo_index
+    got = _shape_search(
+        idx,
+        {"type": "circle", "coordinates": [0.0, 0.0], "radius": "3000km"},
+    )
+    assert got == {
+        h.id
+        for h in idx.search(
+            {
+                "query": {
+                    "location": {"lon": 0.0, "lat": 0.0},
+                    "distance": "3000km",
+                    "field": "pt",
+                },
+                "size": 1000,
+                "score": "none",
+            }
+        ).hits
+    }
+
+
+def test_geo_shape_multipolygon_and_point(geo_index):
+    idx, lon, lat = geo_index
+    p1 = [[[-170.0, -80.0], [-100.0, -80.0], [-100.0, -20.0], [-170.0, -20.0]]]
+    p2 = [[[100.0, 20.0], [170.0, 20.0], [170.0, 80.0], [100.0, 80.0]]]
+    got = _shape_search(
+        idx, {"type": "multipolygon", "coordinates": [p1, p2]}
+    )
+    want = {
+        str(i)
+        for i in range(len(lon))
+        if (-170 <= lon[i] <= -100 and -80 <= lat[i] <= -20)
+        or (100 <= lon[i] <= 170 and 20 <= lat[i] <= 80)
+    }
+    assert got == want and len(want) > 3
+
+    # exact point shape: equality with a known doc point
+    got = _shape_search(
+        idx, {"type": "point", "coordinates": [float(lon[7]), float(lat[7])]}
+    )
+    assert "7" in got
+
+
+def test_geo_shape_contains_and_linestring(geo_index):
+    idx, lon, lat = geo_index
+    # contains: point doc contains only a coincident point shape
+    got = _shape_search(
+        idx,
+        {"type": "point", "coordinates": [float(lon[3]), float(lat[3])]},
+        relation="contains",
+    )
+    assert "3" in got
+    assert (
+        _shape_search(
+            idx,
+            {
+                "type": "polygon",
+                "coordinates": [
+                    [[-180.0, -90.0], [180.0, -90.0], [180.0, 90.0],
+                     [-180.0, 90.0]]
+                ],
+            },
+            relation="contains",
+        )
+        == set()
+    )
+    # linestring through a doc point matches exactly that point
+    got = _shape_search(
+        idx,
+        {
+            "type": "linestring",
+            "coordinates": [
+                [float(lon[11]), float(lat[11])],
+                [float(lon[11]) + 1.0, float(lat[11])],
+            ],
+        },
+    )
+    assert "11" in got
