@@ -1229,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_verified": _q_near_dup_verified,
         "simhash": dedup.simhash_ds,
         "ann_cosine_topk": ann.ann_cosine_topk_ds,
+        "embedding_near_dup": ann.embedding_near_dup_pairs_ds,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
         # --- generic relational ops ---
@@ -1528,6 +1529,12 @@ FROM pt JOIN documents d USING (doc_id)
 SELECT sha256(text) AS text_sha, count(*) AS n_docs,
        min(doc_id) AS first_doc_id
 FROM documents GROUP BY sha256(text)
+""",
+        "embedding_near_dup": """
+SELECT CAST(a.vec_id AS VARCHAR) AS a, CAST(b.vec_id AS VARCHAR) AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY 1, 2
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

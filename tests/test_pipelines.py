@@ -186,3 +186,27 @@ def test_ann_lsh_topk_shape(ray_session):
     assert a.to_pylist() == b.to_pylist()
     sims = [float(s) for s in a["sim"].to_pylist()]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_dup_matches_sql(ray_session):
+    """Exact block-pair cosine near-dup == DuckDB cross-join oracle."""
+    import duckdb
+
+    from bleve_ray.pipelines.ann import embedding_near_dup_pairs_ds
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_near_dup_pairs_ds(sf, threshold=0.42)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.sql(
+        """SELECT CAST(a.vec_id AS VARCHAR) AS a,
+                  CAST(b.vec_id AS VARCHAR) AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+           ORDER BY 1, 2"""
+    ).arrow()
+    assert got.num_rows == want.num_rows > 0
+    assert got.to_pydict() == want.to_pydict()
