@@ -402,10 +402,14 @@ def _make_more_packs():
             fast_path=False,
         )
     )
+    from .lang_extra import dutch_stem
+    from .stopwords_langs import NL_STOP_WORDS
+
     for name, stop, stem in (
         ("sv", SV_STOP_WORDS, swedish_stem),
         ("no", NO_STOP_WORDS, norwegian_stem),
         ("da", DA_STOP_WORDS, danish_stem),
+        ("nl", NL_STOP_WORDS, dutch_stem),
     ):
         register_analyzer(
             Analyzer(

@@ -605,3 +605,155 @@ def hindi_stem(word: str) -> str:
         if n > ln + 1 and any(word.endswith(s) for s in sufs):
             return word[: n - ln]
     return word
+
+
+# --- Dutch (snowball) -------------------------------------------------------
+
+_NL_VOWELS = set("aeiouyè")
+_NL_ACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_regions(word: str):
+    n = len(word)
+    r1 = n
+    for i in range(n - 1):
+        if word[i].lower() in _NL_VOWELS and word[i + 1].lower() not in _NL_VOWELS:
+            r1 = i + 2
+            break
+    r1_adj = max(r1, 3) if r1 < n else r1
+    r2 = n
+    for i in range(r1, n - 1):
+        if word[i].lower() in _NL_VOWELS and word[i + 1].lower() not in _NL_VOWELS:
+            r2 = i + 2
+            break
+    return r1_adj, r2
+
+
+def _nl_undouble(word: str) -> str:
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def dutch_stem(word: str) -> str:
+    """Public Snowball dutch algorithm (snowballstem.org); the reference
+    wraps the generated Go code (analysis/lang/nl/stemmer_nl.go)."""
+    word = word.translate(_NL_ACCENT)
+    # mark consonantal i/y: initial y, y after vowel, i between vowels
+    chars = list(word)
+    n = len(chars)
+    for i, ch in enumerate(chars):
+        if ch == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif (
+            ch == "i"
+            and 0 < i < n - 1
+            and chars[i - 1] in _NL_VOWELS
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    word = "".join(chars)
+    r1, r2 = _nl_regions(word)
+
+    def in_r1(suf):
+        return word.endswith(suf) and len(word) - len(suf) >= r1
+
+    # step 1 — snowball among: the longest TEXTUALLY matching suffix is
+    # chosen first; if its R1/ending constraint fails, nothing happens
+    # (no fallback to a shorter entry)
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not word.endswith(suf):
+            continue
+        if suf == "heden":
+            if in_r1(suf):
+                word = word[:-5] + "heid"
+        elif suf in ("ene", "en"):
+            k = len(suf)
+            if (
+                in_r1(suf)
+                and len(word) > k
+                and word[-k - 1] not in _NL_VOWELS
+                and not word.endswith("gem" + suf)
+            ):
+                word = _nl_undouble(word[: -k])
+        else:  # se / s
+            k = len(suf)
+            if (
+                in_r1(suf)
+                and len(word) > k
+                and word[-k - 1] not in _NL_VOWELS
+                and word[-k - 1] != "j"
+            ):
+                word = word[: -k]
+        break
+
+    # step 2: final e after non-vowel
+    e_found = False
+    if (
+        word.endswith("e")
+        and len(word) - 1 >= r1
+        and len(word) > 1
+        and word[-2] not in _NL_VOWELS
+    ):
+        e_found = True
+        word = _nl_undouble(word[:-1])
+
+    # step 3a: heid
+    if (
+        word.endswith("heid")
+        and len(word) - 4 >= r2
+        and (len(word) < 5 or word[-5] != "c")
+    ):
+        word = word[:-4]
+        if (
+            word.endswith("en")
+            and len(word) - 2 >= _nl_regions(word)[0]
+            and len(word) > 2
+            and word[-3] not in _NL_VOWELS
+            and not word.endswith("gemen")
+        ):
+            word = _nl_undouble(word[:-2])
+    r1, r2 = _nl_regions(word)
+
+    def in_r2(suf):
+        return word.endswith(suf) and len(word) - len(suf) >= r2
+
+    # step 3b: derivational suffixes (longest relevant first)
+    if in_r2("end") or in_r2("ing"):
+        word = word[:-3]
+        r1, r2 = _nl_regions(word)
+        if in_r2("ig") and (len(word) < 3 or word[-3] != "e"):
+            word = word[:-2]
+        else:
+            word = _nl_undouble(word)
+    elif in_r2("ig") and (len(word) < 3 or word[-3] != "e"):
+        word = word[:-2]
+    elif in_r2("lijk"):
+        word = word[:-4]
+        # repeat step 2
+        r1b, _ = _nl_regions(word)
+        if (
+            word.endswith("e")
+            and len(word) - 1 >= r1b
+            and len(word) > 1
+            and word[-2] not in _NL_VOWELS
+        ):
+            word = _nl_undouble(word[:-1])
+    elif in_r2("baar"):
+        word = word[:-4]
+    elif in_r2("bar") and e_found:
+        word = word[:-3]
+
+    # step 4: undouble vowel — C + vv + C (v in aeou, last C not I)
+    if len(word) >= 4:
+        c1, v1, v2, c2 = word[-4], word[-3], word[-2], word[-1]
+        if (
+            c1 not in _NL_VOWELS
+            and v1 == v2
+            and v1 in "aeou"
+            and c2 not in _NL_VOWELS
+            and c2 != "I"
+        ):
+            word = word[:-2] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")

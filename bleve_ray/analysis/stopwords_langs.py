@@ -378,3 +378,498 @@ HI_STOP_WORDS = frozenset(
 हुअ जेसा नहिं
 """.split()
 )
+
+
+# Dutch stop words (snowball stop.txt, reference stop_words_nl.go)
+NL_STOP_WORDS = frozenset(
+    """
+de en van ik te dat die in
+een hij het niet zijn is was op
+aan met als voor had er maar om
+hem dan zou of wat mijn men dit
+zo door over ze zich bij ook tot
+je mij uit der daar haar naar heb
+hoe heeft hebben deze u want nog zal
+me zij nu ge geen omdat iets worden
+toch al waren veel meer doen toen moet
+ben zonder kan hun dus alles onder ja
+eens hier wie werd altijd doch wordt wezen
+kunnen ons zelf tegen na reeds wil kon
+niets uw iemand geweest andere
+""".split()
+)
+
+
+# Bulgarian stop words (reference stop_words_bg.go; public lists)
+BG_STOP_WORDS = frozenset(
+    """
+а аз ако ала бе без беше би
+бил била били било близо бъдат бъде бяха
+в вас ваш ваша вероятно вече взема ви
+вие винаги все всеки всички всичко всяка във
+въпреки върху г ги главно го д да
+дали до докато докога дори досега доста е
+едва един ето за зад заедно заради засега
+затова защо защото и из или им има
+имат иска й каза как каква какво както
+какъв като кога когато което които кой който
+колко която къде където към ли м ме
+между мен ми мнозина мога могат може моля
+момента му н на над назад най направи
+напред например нас не него нея ни ние
+никой нито но някои някой няма обаче около
+освен особено от отгоре отново още пак по
+повече повечето под поне поради после почти прави
+пред преди през при пък първо с са
+само се сега си скоро след сме според
+сред срещу сте съм със също т тази
+така такива такъв там твой те тези ти
+тн то това тогава този той толкова точно
+трябва тук тъй тя тях у харесва ч
+че често чрез ще щом я
+""".split()
+)
+
+
+# Catalan stop words (reference stop_words_ca.go; public lists)
+CA_STOP_WORDS = frozenset(
+    """
+a abans ací ah així això al als
+aleshores algun alguna algunes alguns alhora allà allí
+allò altra altre altres amb ambdós ambdues apa
+aquell aquella aquelles aquells aquest aquesta aquestes aquests
+aquí baix cada cadascú cadascuna cadascunes cadascuns com
+contra d'un d'una d'unes d'uns dalt de del
+dels des després dins dintre donat doncs durant
+e eh el els em en encara ens
+entre érem eren éreu es és esta està
+estàvem estaven estàveu esteu et etc ets fins
+fora gairebé ha han has havia he hem
+heu hi ho i igual iguals ja l'hi
+la les li li'n llavors m'he ma mal
+malgrat mateix mateixa mateixes mateixos me mentre més
+meu meus meva meves molt molta moltes molts
+mon mons n'he n'hi ne ni no nogensmenys
+només nosaltres nostra nostre nostres o oh oi
+on pas pel pels per però perquè poc
+poca pocs poques potser propi qual quals quan
+quant que què quelcom qui quin quina quines
+quins s'ha s'han sa semblant semblants ses seu
+seus seva seva seves si sobre sobretot sóc
+solament sols son són sons sota sou t'ha
+t'han t'he ta tal també tampoc tan tant
+tanta tantes teu teus teva teves ton tons
+tot tota totes tots un una unes uns
+us va vaig vam van vas veu vosaltres
+vostra vostre vostres
+""".split()
+)
+
+
+# Czech stop words (reference stop_words_cs.go; public lists)
+CS_STOP_WORDS = frozenset(
+    """
+a s k o i u v z
+dnes cz tímto budeš budem byli jseš můj
+svým ta tomto tohle tuto tyto jej zda
+proč máte tato kam tohoto kdo kteří mi
+nám tom tomuto mít nic proto kterou byla
+toho protože asi ho naši napište re což
+tím takže svých její svými jste aj tu
+tedy teto bylo kde ke pravé ji nad
+nejsou či pod téma mezi přes ty pak
+vám ani když však neg jsem tento článku
+články aby jsme před pta jejich byl ještě
+až bez také pouze první vaše která nás
+nový tipy pokud může strana jeho své jiné
+zprávy nové není vás jen podle zde už
+být více bude již než který by které
+co nebo ten tak má při od po
+jsou jak další ale si se ve to
+jako za zpět ze do pro je na
+atd atp jakmile přičemž já on ona ono
+oni ony my vy jí ji mě mne
+jemu tomu těm těmu němu němuž jehož jíž
+jelikož jež jakož načež
+""".split()
+)
+
+
+# Greek stop words (reference stop_words_el.go; public lists)
+EL_STOP_WORDS = frozenset(
+    """
+ο η το οι τα του τησ των
+τον την και κι κ ειμαι εισαι ειναι
+ειμαστε ειστε στο στον στη στην μα αλλα
+απο για προσ με σε ωσ παρα αντι
+κατα μετα θα να δε δεν μη μην
+επι ενω εαν αν τοτε που πωσ ποιοσ
+ποια ποιο ποιοι ποιεσ ποιων ποιουσ αυτοσ αυτη
+αυτο αυτοι αυτων αυτουσ αυτεσ αυτα εκεινοσ εκεινη
+εκεινο εκεινοι εκεινεσ εκεινα εκεινων εκεινουσ οπωσ ομωσ
+ισωσ οσο οτι
+""".split()
+)
+
+
+# Basque stop words (reference stop_words_eu.go; public lists)
+EU_STOP_WORDS = frozenset(
+    """
+al anitz arabera asko baina bat batean batek
+bati batzuei batzuek batzuetan batzuk bera beraiek berau
+berauek bere berori beroriek beste bezala da dago
+dira ditu du dute edo egin ere eta
+eurak ez gainera gu gutxi guzti haiei haiek
+haietan hainbeste hala han handik hango hara hari
+hark hartan hau hauei hauek hauetan hemen hemendik
+hemengo hi hona honek honela honetan honi hor
+hori horiei horiek horietan horko horra horrek horrela
+horretan horri hortik hura izan ni noiz nola
+non nondik nongo nor nora ze zein zen
+zenbait zenbat zer zergatik ziren zituen zu zuek
+zuen zuten
+""".split()
+)
+
+
+# Irish stop words (reference stop_words_ga.go; public lists)
+GA_STOP_WORDS = frozenset(
+    """
+a ach ag agus an aon ar arna
+as b' ba beirt bhúr caoga ceathair ceathrar
+chomh chtó chuig chun cois céad cúig cúigear
+d' daichead dar de deich deichniúr den dhá
+do don dtí dá dár dó faoi faoin
+faoina faoinár fara fiche gach gan go gur
+haon hocht i iad idir in ina ins
+inár is le leis lena lenár m' mar
+mo mé na nach naoi naonúr ná ní
+níor nó nócha ocht ochtar os roimh sa
+seacht seachtar seachtó seasca seisear siad sibh sinn
+sna sé sí tar thar thú triúr trí
+trína trínár tríocha tú um ár é éis
+í ó ón óna ónár
+""".split()
+)
+
+
+# Galician stop words (reference stop_words_gl.go; public lists)
+GL_STOP_WORDS = frozenset(
+    """
+a aínda alí aquel aquela aquelas aqueles aquilo
+aquí ao aos as así á ben cando
+che co coa comigo con connosco contigo convosco
+coas cos cun cuns cunha cunhas da dalgunha
+dalgunhas dalgún dalgúns das de del dela delas
+deles desde deste do dos dun duns dunha
+dunhas e el ela elas eles en era
+eran esa esas ese eses esta estar estaba
+está están este estes estiven estou eu é
+facer foi foron fun había hai iso isto
+la las lle lles lo los mais me
+meu meus min miña miñas moi na nas
+neste nin no non nos nosa nosas noso
+nosos nós nun nunha nuns nunhas o os
+ou ó ós para pero pode pois pola
+polas polo polos por que se senón ser
+seu seus sexa sido sobre súa súas tamén
+tan te ten teñen teño ter teu teus
+ti tido tiña tiven túa túas un unha
+unhas uns vos vosa vosas voso vosos vós
+""".split()
+)
+
+
+# Hungarian stop words (reference stop_words_hu.go; public lists)
+HU_STOP_WORDS = frozenset(
+    """
+a ahogy ahol aki akik akkor alatt által
+általában amely amelyek amelyekben amelyeket amelyet amelynek ami
+amit amolyan amíg amikor át abban ahhoz annak
+arra arról az azok azon azt azzal azért
+aztán azután azonban bár be belül benne cikk
+cikkek cikkeket csak de e eddig egész egy
+egyes egyetlen egyéb egyik egyre ekkor el elég
+ellen elő először előtt első én éppen ebben
+ehhez emilyen ennek erre ez ezt ezek ezen
+ezzel ezért és fel felé hanem hiszen hogy
+hogyan igen így illetve ill. ill ilyen ilyenkor
+ison ismét itt jó jól jobban kell kellett
+keresztül keressünk ki kívül között közül legalább lehet
+lehetett legyen lenne lenni lesz lett maga magát
+majd majd már más másik meg még mellett
+mert mely melyek mi mit míg miért milyen
+mikor minden mindent mindenki mindig mint mintha mivel
+most nagy nagyobb nagyon ne néha nekem neki
+nem néhány nélkül nincs olyan ott össze ő
+ők őket pedig persze rá s saját sem
+semmi sok sokat sokkal számára szemben szerint szinte
+talán tehát teljes tovább továbbá több úgy ugyanis
+új újabb újra után utána utolsó vagy vagyis
+valaki valami valamint való vagyok van vannak volt
+voltam voltak voltunk vissza vele viszont volna
+""".split()
+)
+
+
+# Armenian stop words (reference stop_words_hy.go; public lists)
+HY_STOP_WORDS = frozenset(
+    """
+այդ այլ այն այս դու դուք եմ են
+ենք ես եք է էի էին էինք էիր
+էիք էր ըստ թ ի ին իսկ իր
+կամ համար հետ հետո մենք մեջ մի ն
+նա նաև նրա նրանք որ որը որոնք որպես
+ու ում պիտի վրա և
+""".split()
+)
+
+
+# Indonesian stop words (reference stop_words_id.go; public lists)
+ID_STOP_WORDS = frozenset(
+    """
+ada adanya adalah adapun agak agaknya agar akan
+akankah akhirnya aku akulah amat amatlah anda andalah
+antar diantaranya antara antaranya diantara apa apaan mengapa
+apabila apakah apalagi apatah atau ataukah ataupun bagai
+bagaikan sebagai sebagainya bagaimana bagaimanapun sebagaimana bagaimanakah bagi
+bahkan bahwa bahwasanya sebaliknya banyak sebanyak beberapa seberapa
+begini beginian beginikah beginilah sebegini begitu begitukah begitulah
+begitupun sebegitu belum belumlah sebelum sebelumnya sebenarnya berapa
+berapakah berapalah berapapun betulkah sebetulnya biasa biasanya bila
+bilakah bisa bisakah sebisanya boleh bolehkah bolehlah buat
+bukan bukankah bukanlah bukannya cuma percuma dahulu dalam
+dan dapat dari daripada dekat demi demikian demikianlah
+sedemikian dengan depan di dia dialah dini diri
+dirinya terdiri dong dulu enggak enggaknya entah entahlah
+terhadap terhadapnya hal hampir hanya hanyalah harus haruslah
+harusnya seharusnya hendak hendaklah hendaknya hingga sehingga ia
+ialah ibarat ingin inginkah inginkan ini inikah inilah
+itu itukah itulah jangan jangankan janganlah jika jikalau
+juga justru kala kalau kalaulah kalaupun kalian kami
+kamilah kamu kamulah kan kapan kapankah kapanpun dikarenakan
+karena karenanya ke kecil kemudian kenapa kepada kepadanya
+ketika seketika khususnya kini kinilah kiranya sekiranya kita
+kitalah kok lagi lagian selagi lah lain lainnya
+melainkan selaku lalu melalui terlalu lama lamanya selama
+selama selamanya lebih terlebih bermacam macam semacam maka
+makanya makin malah malahan mampu mampukah mana manakala
+manalagi masih masihkah semasih masing mau maupun semaunya
+memang mereka merekalah meski meskipun semula mungkin mungkinkah
+nah namun nanti nantinya nyaris oleh olehnya seorang
+seseorang pada padanya padahal paling sepanjang pantas sepantasnya
+sepantasnyalah para pasti pastilah per pernah pula pun
+merupakan rupanya serupa saat saatnya sesaat saja sajalah
+saling bersama sama sesama sambil sampai sana sangat
+sangatlah saya sayalah se sebab sebabnya sebuah tersebut
+tersebutlah sedang sedangkan sedikit sedikitnya segala segalanya segera
+sesegera sejak sejenak sekali sekalian sekalipun sesekali sekaligus
+sekarang sekarang sekitar sekitarnya sela selain selalu seluruh
+seluruhnya semakin sementara sempat semua semuanya sendiri sendirinya
+seolah seperti sepertinya sering seringnya serta siapa siapakah
+siapapun disini disinilah sini sinilah sesuatu sesuatunya suatu
+sesudah sesudahnya sudah sudahkah sudahlah supaya tadi tadinya
+tak tanpa setelah telah tentang tentu tentulah tentunya
+tertentu seterusnya tapi tetapi setiap tiap setidaknya tidak
+tidakkah tidaklah toh waduh wah wahai sewaktu walau
+walaupun wong yaitu yakni yang
+""".split()
+)
+
+
+# Romanian stop words (reference stop_words_ro.go; public lists)
+RO_STOP_WORDS = frozenset(
+    """
+acea aceasta această aceea acei aceia acel acela
+acele acelea acest acesta aceste acestea aceşti aceştia
+acolo acum ai aia aibă aici al ăla
+ale alea ălea altceva altcineva am ar are
+aş aşadar asemenea asta ăsta astăzi astea ăstea
+ăştia asupra aţi au avea avem aveţi azi
+bine bucur bună ca că căci când care
+cărei căror cărui cât câte câţi către câtva
+ce cel ceva chiar cînd cine cineva cît
+cîte cîţi cîtva contra cu cum cumva curând
+curînd da dă dacă dar datorită de deci
+deja deoarece departe deşi din dinaintea dintr dintre
+drept după ea ei el ele eram este
+eşti eu face fără fi fie fiecare fii
+fim fiţi iar ieri îi îl îmi împotriva
+în înainte înaintea încât încît încotro între întrucât
+întrucît îţi la lângă le li lîngă lor
+lui mă mâine mea mei mele mereu meu
+mi mine mult multă mulţi ne nicăieri nici
+nimeni nişte noastră noastre noi noştri nostru nu
+ori oricând oricare oricât orice oricînd oricine oricît
+oricum oriunde până pe pentru peste pînă poate
+pot prea prima primul prin printr sa să
+săi sale sau său se şi sînt sîntem
+sînteţi spre sub sunt suntem sunteţi ta tăi
+tale tău te ţi ţie tine toată toate
+tot toţi totuşi tu un una unde undeva
+unei unele uneori unor vă vi voastră voastre
+voi voştri vostru vouă vreo vreun
+""".split()
+)
+
+
+# Turkish stop words (reference stop_words_tr.go; public lists)
+TR_STOP_WORDS = frozenset(
+    """
+acaba altmış altı ama ancak arada aslında ayrıca
+bana bazı belki ben benden beni benim beri
+beş bile bin bir birçok biri birkaç birkez
+birşey birşeyi biz bize bizden bizi bizim böyle
+böylece bu buna bunda bundan bunlar bunları bunların
+bunu bunun burada çok çünkü da daha dahi
+de defa değil diğer diye doksan dokuz dolayı
+dolayısıyla dört edecek eden ederek edilecek ediliyor edilmesi
+ediyor eğer elli en etmesi etti ettiği ettiğini
+gibi göre halen hangi hatta hem henüz hep
+hepsi her herhangi herkesin hiç hiçbir için iki
+ile ilgili ise işte itibaren itibariyle kadar karşın
+katrilyon kendi kendilerine kendini kendisi kendisine kendisini kez
+ki kim kimden kime kimi kimse kırk milyar
+milyon mu mü mı nasıl ne neden nedenle
+nerde nerede nereye niye niçin o olan olarak
+oldu olduğu olduğunu olduklarını olmadı olmadığı olmak olması
+olmayan olmaz olsa olsun olup olur olursa oluyor
+on ona ondan onlar onlardan onları onların onu
+onun otuz oysa öyle pek rağmen sadece sanki
+sekiz seksen sen senden seni senin siz sizden
+sizi sizin şey şeyden şeyi şeyler şöyle şu
+şuna şunda şundan şunları şunu tarafından trilyon tüm
+üç üzere var vardı ve veya ya yani
+yapacak yapılan yapılması yapıyor yapmak yaptı yaptığı yaptığını
+yaptıkları yedi yerine yetmiş yine yirmi yoksa yüz
+zaten
+""".split()
+)
+
+
+# Finnish stop words (reference stop_words_fi.go; public lists)
+FI_STOP_WORDS = frozenset(
+    """
+olla olen olet on olemme olette ovat ole
+oli olisi olisit olisin olisimme olisitte olisivat olit
+olin olimme olitte olivat ollut olleet en et
+ei emme ette eivät minä minun minut minua
+minussa minusta minuun minulla minulta minulle sinä sinun
+sinut sinua sinussa sinusta sinuun sinulla sinulta sinulle
+hän hänen hänet häntä hänessä hänestä häneen hänellä
+häneltä hänelle me meidän meidät meitä meissä meistä
+meihin meillä meiltä meille te teidän teidät teitä
+teissä teistä teihin teillä teiltä teille he heidän
+heidät heitä heissä heistä heihin heillä heiltä heille
+tämä tämän tätä tässä tästä tähän tallä tältä
+tälle tänä täksi tuo tuon tuotä tuossa tuosta
+tuohon tuolla tuolta tuolle tuona tuoksi se sen
+sitä siinä siitä siihen sillä siltä sille sinä
+siksi nämä näiden näitä näissä näistä näihin näillä
+näiltä näille näinä näiksi nuo noiden noita noissa
+noista noihin noilla noilta noille noina noiksi ne
+niiden niitä niissä niistä niihin niillä niiltä niille
+niinä niiksi kuka kenen kenet ketä kenessä kenestä
+keneen kenellä keneltä kenelle kenenä keneksi ketkä keiden
+ketkä keitä keissä keistä keihin keillä keiltä keille
+keinä keiksi mikä minkä minkä mitä missä mistä
+mihin millä miltä mille minä miksi mitkä joka
+jonka jota jossa josta johon jolla jolta jolle
+jona joksi jotka joiden joita joissa joista joihin
+joilla joilta joille joina joiksi että ja jos
+koska kuin mutta niin sekä sillä tai vaan
+vai vaikka kanssa mukaan noin poikki yli kun
+niin nyt itse
+""".split()
+)
+
+
+# Croatian stop words (reference stop_words_hr.go; public lists)
+HR_STOP_WORDS = frozenset(
+    """
+biti jesam budem sam jesi budeš si jesmo
+budemo smo jeste budete ste jesu budu su
+bih bijah bjeh bijaše bi bje bješe bijasmo
+bismo bjesmo bijaste biste bjeste bijahu biste bjeste
+bijahu bi biše bjehu bješe bio bili budimo
+budite bila bilo bile ću ćeš će ćemo
+ćete želim želiš želi želimo želite žele moram
+moraš mora moramo morate moraju trebam trebaš treba
+trebamo trebate trebaju mogu možeš može možemo možete
+za
+""".split()
+)
+
+
+# Sorani stop words (reference stop_words_ckb.go; public lists)
+CKB_STOP_WORDS = frozenset(
+    """
+و کە ی کرد ئەوەی سەر دوو هەروەها
+لەو دەکات چەند هەر ئەو ئەم من ئێمە
+تۆ ئێوە ئەو ئەوان بە پێ بەبێ بەدەم
+بەلای بەپێی بەرلە بەرەوی بەرەوە بەردەم بێ بێجگە
+بۆ دە تێ دەگەڵ دوای جگە لە لێ
+لەبەر لەبەینی لەبابەت لەبارەی لەباتی لەبن لەبرێتی لەدەم
+لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی لەرێ لەرێگا
+لەسەر لەژێر ناو نێوان پاش پێش وەک
+""".split()
+)
+
+
+# Polish stop words (reference stop_words_pl.go; public lists)
+PL_STOP_WORDS = frozenset(
+    """
+a aby ach acz aczkolwiek aj albo ale
+ależ ani aż bardziej bardzo bez bo bowiem
+by byli bym bynajmniej być był była było
+były będzie będą cali cała cały chce choć
+ci ciebie cię co cokolwiek coraz coś czasami
+czasem czemu czy czyli często daleko dla dlaczego
+dlatego do dobrze dokąd dość dr dużo dwa
+dwaj dwie dwoje dzisiaj dziś gdy gdyby gdyż
+gdzie gdziekolwiek gdzieś go godz hab i ich
+ii iii ile im inna inne inny innych
+inż iv ix iż ja jak jakaś jakby
+jaki jakichś jakie jakiś jakiż jakkolwiek jako jakoś
+je jeden jedna jednak jednakże jedno jednym jedynie
+jego jej jemu jest jestem jeszcze jeśli jeżeli
+już ją każdy kiedy kierunku kilka kilku kimś
+kto ktokolwiek ktoś która które którego której który
+których którym którzy ku lat lecz lub ma
+mają mam mamy mało mgr mi miał mimo
+między mnie mną mogą moi moim moja moje
+może możliwe można mu musi my mój na
+nad nam nami nas nasi nasz nasza nasze
+naszego naszych natomiast natychmiast nawet nic nich nie
+niech niego niej niemu nigdy nim nimi nią
+niż no nowe np nr o o.o. obok
+od ok około on ona one oni ono
+oraz oto owszem pan pana pani pl po
+pod podczas pomimo ponad ponieważ powinien powinna powinni
+powinno poza prawie prof przecież przed przede przedtem
+przez przy raz razie roku również sam sama
+się skąd sobie sobą sposób swoje są ta
+tak taka taki takich takie także tam te
+tego tej tel temu ten teraz też to
+tobie tobą toteż totobą trzeba tu tutaj twoi
+twoim twoja twoje twym twój ty tych tylko
+tym tys tzw tę u ul vi vii
+viii vol w wam wami was wasi wasz
+wasza wasze we według wie wiele wielu więc
+więcej wszyscy wszystkich wszystkie wszystkim wszystko wtedy www
+wy właśnie wśród xi xii xiii xiv xv
+z za zapewne zawsze zaś ze zeznowu znowu
+znów został zł żaden żadna żadne żadnych że
+żeby
+""".split()
+)
+
+
+# every stop list by language code — the reference registers a per-language
+# StopTokenFilter for each of these (analysis/lang/*/stop_filter_*.go);
+# compose with make_custom_analyzer for stop-words-only languages.
+def stop_words_for_lang(lang: str) -> frozenset:
+    try:
+        return globals()[f"{lang.upper()}_STOP_WORDS"]
+    except KeyError:
+        raise KeyError(f"no stop-word list for language {lang!r}")

@@ -141,3 +141,57 @@ INDIC = [
 @pytest.mark.parametrize("inp,out", INDIC)
 def test_indic_normalize(inp, out):
     assert indic_normalize(inp) == out
+
+
+def test_nl_analyzer():
+    """Reference analyzer_nl_test.go vectors + snowball behaviors."""
+    from bleve_ray.analysis.lang_extra import dutch_stem
+
+    a = analyzer_named("nl")
+    assert a.terms("lichamelijk") == ["licham"]
+    assert a.terms("lichamelijke") == ["licham"]
+    assert a.terms("van") == []
+    # snowball dutch mechanics
+    assert dutch_stem("boeken") == "boek"          # en after non-vowel
+    assert dutch_stem("appelen") == "appel"
+    assert dutch_stem("bakken") == "bak"           # undouble kk
+    assert dutch_stem("lichamelijkheden") == "licham"  # heden->heid->del
+    assert dutch_stem("heden") == "heden"          # longest match not in R1:
+    # among fails with NO fallback to the shorter 'en' entry
+    assert dutch_stem("aanbiddelijk") == "aanbid"  # lijk + repeat step2
+    assert dutch_stem("loopt") == "loopt"
+    assert dutch_stem("bomen") == "bom"
+
+
+def test_stop_words_only_langs():
+    """Reference parity for the stop-filter-only languages
+    (analysis/lang/{bg,ca,cs,el,eu,ga,gl,hu,hy,id,ro,tr,fi,hr,ckb,pl})."""
+    from bleve_ray.analysis.analyzers import make_custom_analyzer
+    from bleve_ray.analysis.stopwords_langs import stop_words_for_lang
+    from bleve_ray.analysis.token_filters import (
+        lowercase_filter,
+        make_stop_filter,
+    )
+    from bleve_ray.analysis.tokenizers import UnicodeTokenizer
+
+    samples = {  # (stopword, content word)
+        "bg": ("това", "книга"),
+        "cs": ("jsem", "kniha"),
+        "el": ("και", "βιβλιο"),
+        "id": ("yang", "buku"),
+        "tr": ("ve", "kitap"),
+        "pl": ("jest", "miasto"),
+        "fi": ("ja", "kirja"),
+        "ro": ("este", "carte"),
+        "hu": ("hogy", "писмо"),
+    }
+    for lang, (stop, keep) in samples.items():
+        sw = stop_words_for_lang(lang)
+        assert stop in sw, (lang, stop)
+        a = make_custom_analyzer(
+            f"{lang}_stop_test",
+            UnicodeTokenizer(),
+            [lowercase_filter, make_stop_filter(sw)],
+            register=False,
+        )
+        assert a.terms(f"{stop} {keep}") == [keep]
