@@ -153,8 +153,9 @@ def bench_query(index_dir: str, rounds: int = 5) -> dict:
             ("phrase", {"query": {"match_phrase": ph, "field": "content"},
                         "size": 10})
         )
-    # warmup (open segment readers / row-group caches)
-    for _, r in reqs[:10]:
+    # warmup: run every request once untimed (open segment readers,
+    # row-group caches) so the timed rounds measure steady-state latency
+    for _, r in reqs:
         idx.search(r)
     lat = []
     per_kind = {}

@@ -203,11 +203,20 @@ class ConjunctionSearcher(Searcher):
         if not self.children:
             return SearchHits.empty()
         results = [c.search() for c in self.children]
-        docs = results[0].docnums
-        for r in results[1:]:
-            docs = np.intersect1d(docs, r.docnums, assume_unique=True)
+        # intersect smallest-first via searchsorted (docnums are sorted
+        # unique): O(min log max) per step, no concatenate+sort
+        results_by_size = sorted(results, key=lambda r: len(r.docnums))
+        docs = results_by_size[0].docnums
+        for r in results_by_size[1:]:
             if len(docs) == 0:
                 return SearchHits.empty()
+            other = r.docnums
+            if len(other) == 0:
+                return SearchHits.empty()
+            idx = np.minimum(np.searchsorted(other, docs), len(other) - 1)
+            docs = docs[other[idx] == docs]
+        if len(docs) == 0:
+            return SearchHits.empty()
         scores = np.zeros(len(docs), dtype=np.float64)
         for r in results:
             idx = np.searchsorted(r.docnums, docs)
@@ -573,9 +582,26 @@ class PhraseSearcher(Searcher):
             keys.append(rank_rep * _KEY_BASE + (poss - offset + 64))
         if not keys:
             return np.empty(0, dtype=np.int64)
+        if len(keys) == 1:
+            # single-term slot (the common case): ranks are nondecreasing
+            # and per-doc positions are stored sorted, so the keys are
+            # already sorted -- skip the O(n log n) sort
+            return keys[0]
         out = np.concatenate(keys)
         out.sort()
         return out
+
+    @staticmethod
+    def _sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Intersection of two SORTED int64 arrays via searchsorted on the
+        larger side -- O(min log max), no re-sort (vs np.intersect1d's
+        concatenate+sort)."""
+        if len(a) > len(b):
+            a, b = b, a
+        if len(b) == 0:
+            return a[:0]
+        idx = np.minimum(np.searchsorted(b, a), len(b) - 1)
+        return a[b[idx] == a]
 
     def search(self) -> SearchHits:
         hits = self.must.search()
@@ -587,7 +613,7 @@ class PhraseSearcher(Searcher):
             nxt = self._slot_keys(
                 self.slots[s], hits.docnums, self.offsets[s] - base
             )
-            ok = np.intersect1d(ok, nxt, assume_unique=False)
+            ok = self._sorted_intersect(ok, nxt)
             if len(ok) == 0:
                 return SearchHits.empty()
         match_ranks = np.unique(ok // _KEY_BASE)
