@@ -441,6 +441,28 @@ def _make_more_packs():
     )
 
 
+def _make_ckb_pack():
+    from .lang_extra import sorani_normalize, sorani_stem
+    from .lang_light import make_stem_filter
+    from .stopwords_langs import CKB_STOP_WORDS
+
+    # ckb: unicode + sorani-normalize + lower + stop + sorani-stem
+    # (reference analysis/lang/ckb/analyzer_ckb.go chain order)
+    register_analyzer(
+        Analyzer(
+            name="ckb",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                make_stem_filter(sorani_normalize),
+                lowercase_filter,
+                make_stop_filter(CKB_STOP_WORDS),
+                make_stem_filter(sorani_stem),
+            ],
+            fast_path=False,
+        )
+    )
+
+
 def _make_cjk_pack():
     from .token_filters import cjk_width_filter, make_cjk_bigram_filter
 
@@ -463,4 +485,5 @@ def _make_cjk_pack():
 _make_lang_packs()
 _make_ar_ru_packs()
 _make_more_packs()
+_make_ckb_pack()
 _make_cjk_pack()

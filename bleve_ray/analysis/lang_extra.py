@@ -757,3 +757,99 @@ def dutch_stem(word: str) -> str:
             word = word[:-2] + word[-1]
 
     return word.replace("I", "i").replace("Y", "y")
+
+
+# --- Sorani Kurdish (ckb) ---------------------------------------------------
+
+import unicodedata as _ud
+
+_CKB_HARAKAT = set("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(term: str) -> str:
+    """sorani_normalize.go:70-110: yeh/kaf folds, heh+zwnj -> ae, final
+    heh -> ae, teh marbuta -> ae, heh doachashmee -> heh, initial reh ->
+    rreh, drop tatweel/harakat/format chars."""
+    out: List[str] = []
+    n = len(term)
+    for i, ch in enumerate(term):
+        if ch in ("ي", "ى"):
+            out.append("ی")
+        elif ch == "ك":
+            out.append("ک")
+        elif ch == "‌":  # zwnj: heh before it becomes ae
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+        elif ch == "ه":
+            out.append("ە" if i == n - 1 else "ه")
+        elif ch == "ة":
+            out.append("ە")
+        elif ch == "ھ":
+            out.append("ه")
+        elif ch == "ر":
+            out.append("ڕ" if not out else "ر")
+        elif ch == "ڒ":
+            out.append("ڕ")
+        elif ch in _CKB_HARAKAT:
+            continue
+        elif _ud.category(ch) == "Cf":
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def sorani_stem(word: str) -> str:
+    """sorani_stemmer_filter.go:45-122 (Lucene SoraniStemmer rules):
+    postposition, possessive pronoun, then the ezafe/definite/plural
+    chain; each guarded by a minimum remaining length."""
+    n = len(word)
+    # postposition
+    if n > 5 and word.endswith("دا"):
+        word = word[:-2]
+    elif n > 4 and word.endswith("نا"):
+        word = word[:-1]
+    elif n > 6 and word.endswith("ەوە"):
+        word = word[:-3]
+    n = len(word)
+    # possessive pronoun
+    if n > 6 and (
+        word.endswith("مان") or word.endswith("یان") or word.endswith("تان")
+    ):
+        word = word[:-3]
+        n = len(word)
+    if n > 6 and word.endswith("ێکی"):
+        return word[:-3]
+    if n > 7 and word.endswith("یەکی"):
+        return word[:-4]
+    if n > 5 and word.endswith("ێک"):
+        return word[:-2]
+    if n > 6 and word.endswith("یەک"):
+        return word[:-3]
+    if n > 6 and word.endswith("ەکە"):
+        return word[:-3]
+    if n > 5 and word.endswith("کە"):
+        return word[:-2]
+    if n > 7 and word.endswith("ەکان"):
+        return word[:-4]
+    if n > 6 and word.endswith("کان"):
+        return word[:-3]
+    if n > 7 and word.endswith("یانی"):
+        return word[:-4]
+    if n > 6 and word.endswith("انی"):
+        return word[:-3]
+    if n > 6 and word.endswith("یان"):
+        return word[:-3]
+    if n > 5 and word.endswith("ان"):
+        return word[:-2]
+    if n > 7 and word.endswith("یانە"):
+        return word[:-4]
+    if n > 6 and word.endswith("انە"):
+        return word[:-3]
+    if n > 5 and (word.endswith("ایە") or word.endswith("ەیە")):
+        return word[:-2]
+    if n > 4 and word.endswith("ە"):
+        return word[:-1]
+    if n > 4 and word.endswith("ی"):
+        return word[:-1]
+    return word

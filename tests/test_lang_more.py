@@ -195,3 +195,69 @@ def test_stop_words_only_langs():
             register=False,
         )
         assert a.terms(f"{stop} {keep}") == [keep]
+
+
+CKB_NORM = [
+    ("ي", "ی"), ("ى", "ی"), ("ی", "ی"), ("ك", "ک"), ("ک", "ک"),
+    ("ه‌", "ە"), ("ه‌ک", "ەک"), ("ھ", "ه"), ("ة", "ە"),
+    ("ههه", "ههە"), ("ڒ", "ڕ"), ("ررر", "ڕرر"),
+    ("ـ", ""), ("ً", ""), ("‌", ""), ("", ""),
+]
+
+CKB_STEM = [  # sorani_stemmer_filter_test.go: normalize + stem
+    ("پیاوێک", "پیاو"), ("دەرگایەک", "دەرگا"), ("پیاوەكە", "پیاو"),
+    ("دەرگاكە", "دەرگا"), ("کتاویە", "کتاوی"), ("دەرگایە", "دەرگا"),
+    ("پیاوان", "پیاو"), ("دەرگایان", "دەرگا"), ("پیاوەکان", "پیاو"),
+    ("دەرگاکان", "دەرگا"), ("پیاوانە", "پیاو"), ("دەرگایانە", "دەرگا"),
+    ("هۆتیلی", "هۆتیل"), ("هۆتیلێکی", "هۆتیل"), ("هۆتیلانی", "هۆتیل"),
+    ("دوورەوە", "دوور"), ("نیوەشەودا", "نیوەشەو"), ("سۆرانا", "سۆران"),
+    ("پارەمان", "پارە"), ("پارەتان", "پارە"), ("پارەیان", "پارە"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,out", CKB_NORM)
+def test_sorani_normalize(inp, out):
+    from bleve_ray.analysis.lang_extra import sorani_normalize
+
+    assert sorani_normalize(inp) == out
+
+
+@pytest.mark.parametrize("inp,out", CKB_STEM)
+def test_sorani_stem(inp, out):
+    from bleve_ray.analysis.lang_extra import sorani_normalize, sorani_stem
+
+    assert sorani_stem(sorani_normalize(inp)) == out
+
+
+def test_ckb_analyzer():
+    a = analyzer_named("ckb")
+    assert a.terms("ئەم پیاوە") == ["پیاو"]
+    assert a.terms("پیاوە") == ["پیاو"]
+    assert a.terms("پیاو") == ["پیاو"]
+
+
+def test_ga_elision():
+    """Irish elision articles d/m/b (reference elision_ga.go:
+    b'fhearr -> fhearr)."""
+    from bleve_ray.analysis.analyzers import make_custom_analyzer
+    from bleve_ray.analysis.stopwords_langs import GA_STOP_WORDS
+    from bleve_ray.analysis.token_filters import (
+        lowercase_filter,
+        make_elision_filter,
+        make_stop_filter,
+    )
+    from bleve_ray.analysis.tokenizers import UnicodeTokenizer
+
+    a = make_custom_analyzer(
+        "ga_test",
+        UnicodeTokenizer(),
+        [
+            lowercase_filter,
+            make_elision_filter(frozenset({"d", "m", "b"})),
+            make_stop_filter(GA_STOP_WORDS),
+        ],
+        register=False,
+    )
+    assert a.terms("b'fhearr") == ["fhearr"]
+    assert a.terms("agus") == []  # stop word
