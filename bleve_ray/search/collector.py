@@ -48,6 +48,7 @@ class Hit:
     docnum: int
     fields: Optional[Dict] = None
     fragments: Optional[Dict] = None
+    expl: Optional[Dict] = None  # explanation tree ("explain": true)
 
 
 @dataclass
@@ -74,6 +75,8 @@ class SearchResult:
                 hd["fields"] = h.fields
             if h.fragments is not None:
                 hd["fragments"] = h.fragments
+            if h.expl is not None:
+                hd["explanation"] = h.expl
             d["hits"].append(hd)
         if self.facets is not None:
             d["facets"] = self.facets
@@ -377,6 +380,12 @@ class Index:
         if request.get("search_after") or request.get("search_before"):
             result.total_hits = pre_cursor_total
         result.total_relation = total_relation
+        if request.get("explain"):
+            # reference options.Explain: attach a per-hit explanation tree
+            # (computed post-hoc for the returned page only -- rank and
+            # scores are unchanged)
+            for h in result.hits:
+                h.expl = searcher.explain(int(h.docnum), h.id)
         if request.get("facets"):
             from .facets import compute_facets
 

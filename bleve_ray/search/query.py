@@ -622,6 +622,9 @@ class FilteringSearcher(Searcher):
 
         return SearchHits(hits.docnums[keep], hits.scores[keep])
 
+    def explain(self, docnum: int, doc_id: str = ""):
+        return self.inner.explain(docnum, doc_id)
+
 
 def _geo_values(reader, field, docnums):
     """lon/lat arrays for docnums from the geo field's docvalues (struct

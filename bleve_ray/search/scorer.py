@@ -108,3 +108,121 @@ class ConstantScorer:
         if self.query_weight != 1.0:
             score = score * self.query_weight
         return score
+
+
+# --- explanations (scorer_term.go:102-146,159-245; "explain": true) --------
+
+
+def _f(x: float) -> str:
+    """Go %f = fixed six decimals."""
+    return f"{float(x):.6f}"
+
+
+class Explanation(dict):
+    """Explanation tree node; plain dict so it JSON-serializes directly
+    (reference search.Explanation: value/message/children)."""
+
+    def __init__(self, value, message, children=None):
+        super().__init__(value=float(value), message=message)
+        if children:
+            self["children"] = list(children)
+
+
+def _idf_explanation(scorer) -> Explanation:
+    return Explanation(
+        scorer.idf,
+        f"idf(docFreq={scorer.doc_term}, maxDocs={scorer.doc_total})",
+    )
+
+
+def _query_weight_explanation(scorer) -> Explanation:
+    return Explanation(
+        scorer.query_weight,
+        f"queryWeight({scorer.field}:{scorer.term}^{_f(scorer.boost)}),"
+        " product of:",
+        [
+            Explanation(scorer.boost, "boost"),
+            Explanation(scorer.query_norm, "queryNorm"),
+            _idf_explanation(scorer),
+        ],
+    )
+
+
+def term_explanation(scorer, freq: int, norm: float, doc_id: str):
+    """Per-hit explanation tree for one term scorer, mirroring the
+    reference's message formats and nesting."""
+    tf = math.sqrt(float(freq))
+    if scorer.avg_doc_length > 0:
+        norm64 = float(norm)
+        field_length = 1.0 / (norm64 * norm64)
+        field_norm = 1 - BM25_B + (BM25_B * field_length / scorer.avg_doc_length)
+        score = (
+            scorer.idf * (tf * BM25_K1) / (tf + BM25_K1 * field_norm)
+        )
+        children = [
+            Explanation(
+                tf, f"tf(termFreq({scorer.field}:{scorer.term})={freq}"
+            ),
+            Explanation(
+                BM25_K1 / (tf + BM25_K1 * field_norm),
+                f"saturation(term:{scorer.term}), k1={_f(BM25_K1)}/"
+                f"(tf={_f(tf)} + k1*fieldNorm={_f(field_norm)}))",
+                [
+                    Explanation(
+                        field_norm,
+                        f"fieldNorm(field={scorer.field}), b={_f(BM25_B)},"
+                        f" fieldLength={_f(field_length)},"
+                        f" avgFieldLength={_f(scorer.avg_doc_length)})",
+                    )
+                ],
+            ),
+            _idf_explanation(scorer),
+        ]
+        model = "bm25"
+    else:
+        score = tf * float(norm) * scorer.idf
+        children = [
+            Explanation(
+                tf, f"tf(termFreq({scorer.field}:{scorer.term})={freq}"
+            ),
+            Explanation(
+                norm, f"fieldNorm(field={scorer.field}, doc={doc_id})"
+            ),
+            _idf_explanation(scorer),
+        ]
+        model = "tfidf"
+    expl = Explanation(
+        score,
+        f"fieldWeight({scorer.field}:{scorer.term} in {doc_id}),"
+        f" as per {model} model, product of:",
+        children,
+    )
+    if scorer.query_weight != 1.0:
+        expl = Explanation(
+            score * scorer.query_weight,
+            f"weight({scorer.field}:{scorer.term}^{_f(scorer.boost)}"
+            f" in {doc_id}), product of:",
+            [_query_weight_explanation(scorer), expl],
+        )
+    return expl
+
+
+def constant_explanation(scorer, doc_id: str):
+    expl = Explanation(scorer.constant, "ConstantScore()")
+    if scorer.query_weight != 1.0:
+        expl = Explanation(
+            scorer.constant * scorer.query_weight,
+            f"weight(^{_f(scorer.boost)}), product of:",
+            [
+                Explanation(
+                    scorer.query_weight,
+                    f"ConstantScore()^{_f(scorer.boost)}, product of:",
+                    [
+                        Explanation(scorer.boost, "boost"),
+                        Explanation(scorer.query_norm, "queryNorm"),
+                    ],
+                ),
+                expl,
+            ],
+        )
+    return expl

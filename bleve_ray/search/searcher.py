@@ -54,6 +54,12 @@ class Searcher:
         """Upper-bound match count (reader.Count equivalent)."""
         raise NotImplementedError
 
+    def explain(self, docnum: int, doc_id: str = ""):
+        """Per-hit explanation tree ("explain": true request option,
+        reference search.Explanation); None when this searcher cannot
+        explain the doc."""
+        return None
+
 
 class TermSearcher(Searcher):
     """search_term.go equivalent: posting arrays + TermQueryScorer.
@@ -127,6 +133,19 @@ class TermSearcher(Searcher):
             return sum(b["df"] for b in self.blocks)
         return self.posting.df if self.posting else 0
 
+    def explain(self, docnum: int, doc_id: str = ""):
+        from .scorer import term_explanation
+
+        p = self.posting
+        if p is None or len(p.docnums) == 0:
+            return None
+        i = int(np.searchsorted(p.docnums, docnum))
+        if i >= len(p.docnums) or p.docnums[i] != docnum:
+            return None
+        return term_explanation(
+            self.scorer, int(p.tfs[i]), float(p.norms[i]), doc_id
+        )
+
     def search(self) -> SearchHits:
         if self.posting is None:
             return SearchHits.empty()
@@ -172,6 +191,11 @@ class MatchAllSearcher(Searcher):
         docnums = self.reader.all_docnums()
         score = self.scorer.score_value()
         return SearchHits(docnums, np.full(len(docnums), score, dtype=np.float64))
+
+    def explain(self, docnum: int, doc_id: str = ""):
+        from .scorer import constant_explanation
+
+        return constant_explanation(self.scorer, doc_id)
 
 
 class ConjunctionSearcher(Searcher):
@@ -223,6 +247,17 @@ class ConjunctionSearcher(Searcher):
             scores += r.scores[idx]
         return SearchHits(docs, scores)
 
+    def explain(self, docnum: int, doc_id: str = ""):
+        from .scorer import Explanation
+
+        kids = [c.explain(docnum, doc_id) for c in self.children]
+        kids = [k for k in kids if k is not None]
+        if not kids:
+            return None
+        return Explanation(
+            sum(k["value"] for k in kids), "sum of:", kids
+        )
+
 
 class DisjunctionSearcher(Searcher):
     """search_disjunction_{slice,heap}.go: union, score = sum x coord, with
@@ -250,6 +285,22 @@ class DisjunctionSearcher(Searcher):
 
     def count(self) -> int:
         return sum(c.count() for c in self.children)
+
+    def explain(self, docnum: int, doc_id: str = ""):
+        from .scorer import Explanation
+
+        kids = [c.explain(docnum, doc_id) for c in self.children]
+        kids = [k for k in kids if k is not None]
+        if len(kids) < max(1, self.min_match):
+            return None
+        total = len(self.children)
+        raw = Explanation(sum(k["value"] for k in kids), "sum of:", kids)
+        coord = len(kids) / float(total)
+        return Explanation(
+            raw["value"] * coord,
+            "product of:",
+            [raw, Explanation(coord, f"coord({len(kids)}/{total})")],
+        )
 
     def search(self) -> SearchHits:
         results = [c.search() for c in self.children]
@@ -472,6 +523,23 @@ class BooleanSearcher(Searcher):
             return self.should.count()
         return 0
 
+    def explain(self, docnum: int, doc_id: str = ""):
+        from .scorer import Explanation
+
+        kids = []
+        if self.must is not None:
+            m = self.must.explain(docnum, doc_id)
+            if m is None:
+                return None
+            kids.append(m)
+        if self.should is not None:
+            sh = self.should.explain(docnum, doc_id)
+            if sh is not None:
+                kids.append(sh)
+        if not kids:
+            return None
+        return Explanation(sum(k["value"] for k in kids), "sum of:", kids)
+
     def search(self) -> SearchHits:
         must_hits = self.must.search() if self.must is not None else None
         should_hits = self.should.search() if self.should is not None else None
@@ -547,6 +615,9 @@ class PhraseSearcher(Searcher):
 
     def count(self) -> int:
         return self.must.count()
+
+    def explain(self, docnum: int, doc_id: str = ""):
+        return self.must.explain(docnum, doc_id)
 
     def _slot_keys(
         self, terms: List[str], cand_docs: np.ndarray, offset: int

@@ -273,3 +273,47 @@ def test_custom_score_and_filter_queries(ray_session, tiny_corpus_dir,
     r2 = idx.search({"query": q2, "size": 500})
     assert all(h.id[-1] in "6789" for h in r2.hits)
     assert r2.total_hits == sum(1 for h in base.hits if h.id[-1] in "6789")
+
+
+def test_explain_trees(idx):
+    """"explain": true attaches reference-shaped explanation trees whose
+    root value equals the hit score (scorer_term.go:159-245 messages)."""
+    for q in [
+        {"term": "func", "field": "content"},
+        {"match": "func return", "field": "content"},
+        {"match": "func return", "field": "content", "operator": "and"},
+        {"match_phrase": "return nil", "field": "content"},
+        {
+            "must": [{"term": "func", "field": "content"}],
+            "must_not": [{"term": "zzz_absent", "field": "content"}],
+        },
+    ]:
+        r = idx.search({"query": q, "size": 3, "explain": True})
+        assert r.hits, q
+        for h in r.hits:
+            assert h.expl is not None
+            assert abs(h.expl["value"] - h.score) < 1e-9
+    # message fidelity for a bare term (no queryWeight wrapper)
+    r = idx.search(
+        {"query": {"term": "func", "field": "content"}, "size": 1,
+         "explain": True}
+    )
+    e = r.hits[0].expl
+    assert e["message"].startswith("fieldWeight(content:func in ")
+    assert ", as per bm25 model, product of:" in e["message"]
+    msgs = [c["message"] for c in e["children"]]
+    assert any(m.startswith("tf(termFreq(content:func)=") for m in msgs)
+    assert any(m.startswith("saturation(term:func)") for m in msgs)
+    assert any(m.startswith("idf(docFreq=") for m in msgs)
+    # disjunction: product of [sum of:, coord(m/n)]
+    r = idx.search(
+        {"query": {"match": "func return", "field": "content"}, "size": 1,
+         "explain": True}
+    )
+    e = r.hits[0].expl
+    assert e["message"] == "product of:"
+    assert e["children"][0]["message"] == "sum of:"
+    assert e["children"][1]["message"].startswith("coord(")
+    # serialized form carries the tree
+    d = r.to_dict()
+    assert "explanation" in d["hits"][0]
