@@ -49,6 +49,7 @@ class Hit:
     fields: Optional[Dict] = None
     fragments: Optional[Dict] = None
     expl: Optional[Dict] = None  # explanation tree ("explain": true)
+    locations: Optional[Dict] = None  # {field:{term:[{pos,start,end}]}}
 
 
 @dataclass
@@ -77,6 +78,8 @@ class SearchResult:
                 hd["fragments"] = h.fragments
             if h.expl is not None:
                 hd["explanation"] = h.expl
+            if h.locations is not None:
+                hd["locations"] = h.locations
             d["hits"].append(hd)
         if self.facets is not None:
             d["facets"] = self.facets
@@ -386,6 +389,9 @@ class Index:
             # scores are unchanged)
             for h in result.hits:
                 h.expl = searcher.explain(int(h.docnum), h.id)
+        if request.get("includeLocations"):
+            for h in result.hits:
+                h.locations = searcher.locations(int(h.docnum))
         if request.get("facets"):
             from .facets import compute_facets
 

@@ -145,6 +145,20 @@ def _partial_counts(fr: dict, values: List) -> dict:
                 missing += 1
             else:
                 counts[str(v)] = counts.get(str(v), 0) + 1
+    pref = fr.get("term_prefix")
+    pat = fr.get("term_pattern")
+    if pref or pat:
+        # facet_builder_terms.go UpdateVisitor: total counts EVERY visited
+        # value; only matching terms enter the counts map
+        import re as _re
+
+        rx = _re.compile(pat) if pat else None
+        counts = {
+            t: c
+            for t, c in counts.items()
+            if (not pref or t.startswith(pref))
+            and (rx is None or rx.search(t))
+        }
     return {"missing": missing, "n": len(values), "terms": counts}
 
 

@@ -625,6 +625,9 @@ class FilteringSearcher(Searcher):
     def explain(self, docnum: int, doc_id: str = ""):
         return self.inner.explain(docnum, doc_id)
 
+    def locations(self, docnum: int):
+        return self.inner.locations(docnum)
+
 
 def _geo_values(reader, field, docnums):
     """lon/lat arrays for docnums from the geo field's docvalues (struct

@@ -38,6 +38,20 @@ class SearchHits:
         )
 
 
+
+
+def _merge_locations(dicts):
+    out = {}
+    for d in dicts:
+        if not d:
+            continue
+        for f, terms in d.items():
+            tgt = out.setdefault(f, {})
+            for t, locs in terms.items():
+                tgt.setdefault(t, []).extend(locs)
+    return out or None
+
+
 class Searcher:
     """Base: weight()/set_query_norm() mirror search.Searcher."""
 
@@ -58,6 +72,13 @@ class Searcher:
         """Per-hit explanation tree ("explain": true request option,
         reference search.Explanation); None when this searcher cannot
         explain the doc."""
+        return None
+
+    def locations(self, docnum: int):
+        """Per-hit term locations ("includeLocations": true).  Shape:
+        {field: {term: [{"pos": p, "start": 0, "end": 0}]}}; byte offsets
+        are 0 because the index stores positions only (positions=True in
+        FieldConfig), not term-vector byte offsets."""
         return None
 
 
@@ -145,6 +166,23 @@ class TermSearcher(Searcher):
         return term_explanation(
             self.scorer, int(p.tfs[i]), float(p.norms[i]), doc_id
         )
+
+    def locations(self, docnum: int):
+        p = self.reader.posting(self.field, self.term, want_positions=True)
+        if p is None or p.positions_flat is None or len(p.docnums) == 0:
+            return None
+        i = int(np.searchsorted(p.docnums, docnum))
+        if i >= len(p.docnums) or p.docnums[i] != docnum:
+            return None
+        start = int(p.tfs[:i].sum())
+        poss = p.positions_flat[start : start + int(p.tfs[i])]
+        return {
+            self.field: {
+                self.term: [
+                    {"pos": int(x), "start": 0, "end": 0} for x in poss
+                ]
+            }
+        }
 
     def search(self) -> SearchHits:
         if self.posting is None:
@@ -258,6 +296,9 @@ class ConjunctionSearcher(Searcher):
             sum(k["value"] for k in kids), "sum of:", kids
         )
 
+    def locations(self, docnum: int):
+        return _merge_locations(c.locations(docnum) for c in self.children)
+
 
 class DisjunctionSearcher(Searcher):
     """search_disjunction_{slice,heap}.go: union, score = sum x coord, with
@@ -301,6 +342,9 @@ class DisjunctionSearcher(Searcher):
             "product of:",
             [raw, Explanation(coord, f"coord({len(kids)}/{total})")],
         )
+
+    def locations(self, docnum: int):
+        return _merge_locations(c.locations(docnum) for c in self.children)
 
     def search(self) -> SearchHits:
         results = [c.search() for c in self.children]
@@ -540,6 +584,14 @@ class BooleanSearcher(Searcher):
             return None
         return Explanation(sum(k["value"] for k in kids), "sum of:", kids)
 
+    def locations(self, docnum: int):
+        out = []
+        if self.must is not None:
+            out.append(self.must.locations(docnum))
+        if self.should is not None:
+            out.append(self.should.locations(docnum))
+        return _merge_locations(out)
+
     def search(self) -> SearchHits:
         must_hits = self.must.search() if self.must is not None else None
         should_hits = self.should.search() if self.should is not None else None
@@ -618,6 +670,9 @@ class PhraseSearcher(Searcher):
 
     def explain(self, docnum: int, doc_id: str = ""):
         return self.must.explain(docnum, doc_id)
+
+    def locations(self, docnum: int):
+        return self.must.locations(docnum)
 
     def _slot_keys(
         self, terms: List[str], cand_docs: np.ndarray, offset: int

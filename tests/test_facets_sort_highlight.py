@@ -256,3 +256,49 @@ def test_datetime_range_facet(events_dt_index):
     b0 = f["date_ranges"][0]
     assert b0["start"] == "2024-01-01T00:00:00"
     assert b0["end"] == "2024-01-16T00:00:00"
+
+
+def test_terms_facet_prefix_and_pattern_filters(doc_index):
+    """FacetRequest.TermPrefix / TermPattern (search.go:174-190,
+    facet_builder_terms.go UpdateVisitor): only matching terms counted;
+    total still counts every visited value."""
+    r = doc_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {
+                "langs_e": {"field": "lang", "size": 10, "term_prefix": "e"},
+                "langs_rx": {"field": "lang", "size": 10,
+                             "term_pattern": "^(en|es)$"},
+            },
+        }
+    )
+    fe = r.facets["langs_e"]
+    assert all(t["term"].startswith("e") for t in fe["terms"])
+    assert fe["total"] == 500  # unfiltered visit count
+    frx = r.facets["langs_rx"]
+    assert {t["term"] for t in frx["terms"]} <= {"en", "es"}
+    assert frx["other"] == frx["total"] - sum(
+        t["count"] for t in frx["terms"]
+    )
+
+
+def test_include_locations(doc_index):
+    """includeLocations: per-hit {field:{term:[{pos,...}]}} (positions
+    only; the index stores no byte offsets)."""
+    r = doc_index.search(
+        {
+            "query": {"match": "vector window", "field": "text"},
+            "size": 3,
+            "includeLocations": True,
+        }
+    )
+    assert r.hits
+    for h in r.hits:
+        assert h.locations and "text" in h.locations
+        terms = h.locations["text"]
+        assert set(terms) <= {"vector", "window"}
+        for locs in terms.values():
+            assert all(loc["pos"] >= 1 for loc in locs)
+    d = r.to_dict()
+    assert "locations" in d["hits"][0]
