@@ -72,6 +72,9 @@ class Manifest:
     # parquet sidecar; readers consult it, rollback restores the prior set
     deleted_path: Optional[str] = None
     deleted_count: int = 0
+    # SetInternal/GetInternal KV (reference index.go SetInternal: app
+    # metadata stored transactionally with the index)
+    internal: Dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = {
@@ -84,6 +87,7 @@ class Manifest:
             "merge_done": self.merge_done,
             "deleted_path": self.deleted_path,
             "deleted_count": self.deleted_count,
+            "internal": self.internal,
         }
         return json.dumps(d, indent=1, sort_keys=True)
 
@@ -100,6 +104,7 @@ class Manifest:
             merge_done=d.get("merge_done", False),
             deleted_path=d.get("deleted_path"),
             deleted_count=d.get("deleted_count", 0),
+            internal=d.get("internal", {}),
         )
 
     def completed_partition_ids(self) -> set:

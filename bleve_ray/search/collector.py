@@ -238,6 +238,61 @@ class Index:
     def open(index_dir: str) -> "Index":
         return Index(index_dir)
 
+    # --- Index interface parity (reference index.go Index) --------------
+
+    def doc_count(self) -> int:
+        return self.reader.doc_count()
+
+    def fields(self):
+        """Indexed field names (index.go Fields())."""
+        return sorted(self.reader.options["fields"])
+
+    def document(self, doc_id: str):
+        """Stored/docvalue field values for one external id (index.go
+        Document(); None when the id is unknown).  Returns
+        {"id": ..., "fields": {field: value}} over the columns the index
+        persisted (docvalue_fields + store_fields)."""
+        import numpy as np
+
+        dn = self.reader.docnums_for_ids([doc_id])
+        if len(dn) == 0:
+            return None
+        cols = sorted(
+            set(self.reader.options.get("docvalue_fields", []))
+            | set(self.reader.options.get("store_fields", []))
+        )
+        dv = (
+            self.reader.docvalues_for(np.asarray(dn[:1], dtype=np.int64), cols)
+            if cols
+            else {}
+        )
+        return {
+            "id": doc_id,
+            "fields": {f: dv[f][0] for f in cols if f in dv},
+        }
+
+    def get_internal(self, key: str):
+        """index.go GetInternal: app-metadata KV stored in the manifest."""
+        from ..index import manifest as manifest_mod
+
+        man = manifest_mod.load(self.reader.index_dir)
+        return man.internal.get(key) if man else None
+
+    def set_internal(self, key: str, value: str) -> None:
+        """index.go SetInternal: epoch-committed (rollback restores)."""
+        from ..index import manifest as manifest_mod
+
+        man = manifest_mod.load(self.reader.index_dir)
+        man.internal[key] = value
+        manifest_mod.commit(self.reader.index_dir, man)
+
+    def delete_internal(self, key: str) -> None:
+        from ..index import manifest as manifest_mod
+
+        man = manifest_mod.load(self.reader.index_dir)
+        man.internal.pop(key, None)
+        manifest_mod.commit(self.reader.index_dir, man)
+
     def _search_hybrid(self, request: dict) -> SearchResult:
         """Hybrid FTS + KNN search (search_knn.go + rescorer.go):
         request["knn"] = [{"field", "vector", "k", "boost"?}, ...];

@@ -317,3 +317,41 @@ def test_explain_trees(idx):
     # serialized form carries the tree
     d = r.to_dict()
     assert "explanation" in d["hits"][0]
+
+
+def test_index_interface_parity(ray_session, tiny_corpus_dir, tmp_path_factory):
+    """index.go Index interface: DocCount/Fields/Document/Get-SetInternal."""
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+
+    d = str(tmp_path_factory.mktemp("ifaceidx"))
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{tiny_corpus_dir}/*.parquet"))
+    build_index(
+        files,
+        d,
+        IndexOptions(
+            num_shards=2,
+            bucket_bits=6,
+            docvalue_fields=["lang"],
+            store_fields=["content"],
+        ),
+    )
+    idx = Index.open(d)
+    assert idx.doc_count() > 0
+    assert "content" in idx.fields()
+    some_id = idx.search(
+        {"query": {"term": "func", "field": "content"}, "size": 1}
+    ).hits[0].id
+    doc = idx.document(some_id)
+    assert doc["id"] == some_id
+    assert "content" in doc["fields"] and doc["fields"]["content"]
+    assert idx.document("no_such_id_xyz") is None
+    # internal KV is epoch-committed and survives reopen
+    epoch0 = load_manifest(d).epoch
+    idx.set_internal("mapping_checksum", "abc123")
+    assert Index.open(d).get_internal("mapping_checksum") == "abc123"
+    assert load_manifest(d).epoch == epoch0 + 1
+    idx.delete_internal("mapping_checksum")
+    assert Index.open(d).get_internal("mapping_checksum") is None
