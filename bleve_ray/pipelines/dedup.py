@@ -22,6 +22,7 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
@@ -41,20 +42,123 @@ def _tokens(text: str) -> List[str]:
     return [t.lower() for t in TOKEN_RE.findall(text or "")]
 
 
-def _shingle_hashes(toks: List[str], k: int = SHINGLE_K) -> np.ndarray:
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-            )
-            for s in joined
-        ],
-        dtype=np.uint64,
+# ---- vectorized shingle hashing -------------------------------------------
+# blake2b once per UNIQUE token (worker-cached); shingle hash = uint64
+# polynomial (FNV-prime base) over the k token hashes, computed as one
+# vectorized rolling window across a batch's whole token stream.  Stable
+# across processes (hashlib-seeded), collision quality equivalent to
+# hashing the joined shingle string.
+
+_TOKEN_HASH_CACHE: dict = {}
+_POLY_C = np.uint64(0x100000001B3)  # FNV-64 prime
+
+
+def _pow_k(k: int) -> np.ndarray:
+    out = np.empty(k, dtype=np.uint64)
+    v = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k - 1, -1, -1):
+            out[j] = v
+            v = v * _POLY_C
+    return out
+
+
+def _token_hash(term: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(term)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(term.encode(), digest_size=8).digest(), "little"
+        )
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:
+            _TOKEN_HASH_CACHE[term] = h
+    return h
+
+
+def _token_hashes_for(flat: "pa.Array") -> np.ndarray:
+    """uint64 hash per token position; one blake2b per unique token."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    dic = denc.dictionary.to_pylist()
+    dvals = np.empty(len(dic), dtype=np.uint64)
+    for i, term in enumerate(dic):
+        dvals[i] = _token_hash(term)
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return dvals[idx]
+
+
+def batch_shingle_hashes(
+    flat, offs: np.ndarray, k: int = SHINGLE_K, combine_short: bool = True
+):
+    """Vectorized k-token rolling shingle hashes for a whole batch.
+
+    flat/offs are from text_stats.flat_tokens_arrow.  Returns
+    (sh_flat uint64, sh_offs int64 of len n_docs+1).  combine_short=True
+    gives docs with 0 < len < k ONE shingle over all their tokens
+    (minhash semantics); False gives them none (fingerprint semantics).
+    """
+    h = _token_hashes_for(flat)
+    n = len(offs) - 1
+    counts = offs[1:] - offs[:-1]
+    long_mask = counts >= k
+    short_mask = (
+        (counts > 0) & (counts < k)
+        if combine_short
+        else np.zeros(n, dtype=bool)
     )
+    sh_counts = np.where(
+        long_mask, np.maximum(counts - k + 1, 0), short_mask.astype(np.int64)
+    ).astype(np.int64)
+    sh_offs = np.concatenate(([0], np.cumsum(sh_counts)))
+    out = np.empty(int(sh_offs[-1]), dtype=np.uint64)
+    if len(h) >= k and long_mask.any():
+        powk = _pow_k(k)
+        nroll = len(h) - k + 1
+        with np.errstate(over="ignore"):
+            roll = h[:nroll] * powk[0]
+            for j in range(1, k):
+                roll = roll + h[j : nroll + j] * powk[j]
+        m = sh_counts[long_mask]
+        src_starts = offs[:-1][long_mask]
+        dst_starts = sh_offs[:-1][long_mask]
+        within = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)))[:-1], m
+        )
+        out[np.repeat(dst_starts, m) + within] = roll[
+            np.repeat(src_starts, m) + within
+        ]
+    for d in np.nonzero(short_mask)[0]:
+        v = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for x in h[offs[d] : offs[d + 1]]:
+                v = v * _POLY_C + x
+        out[sh_offs[d]] = v
+    return out, sh_offs
+
+
+def _shingle_hashes(toks: List[str], k: int = SHINGLE_K) -> np.ndarray:
+    """Per-doc shingle hashes (same scheme as batch_shingle_hashes; used by
+    the distributed near-dup verify stage which works doc-at-a-time)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter(
+        (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    if len(h) < k:
+        v = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for x in h:
+                v = v * _POLY_C + x
+        return np.array([v], dtype=np.uint64)
+    powk = _pow_k(k)
+    nroll = len(h) - k + 1
+    with np.errstate(over="ignore"):
+        roll = h[:nroll] * powk[0]
+        for j in range(1, k):
+            roll = roll + h[j : nroll + j] * powk[j]
+    return roll
 
 
 def minhash_signature(toks: List[str]) -> np.ndarray:
@@ -99,23 +203,46 @@ def exact_dedup_ds(sf_dir: str):
 
 
 def minhash_batch(batch: pa.Table) -> pa.Table:
-    """doc -> BANDS rows of (band, band_hash, doc_id)."""
-    texts = batch["text"].to_pylist()
-    doc_ids = batch["doc_id"].to_pylist()
-    out_band, out_hash, out_doc = [], [], []
-    for doc_id, t in zip(doc_ids, texts):
-        sig = minhash_signature(_tokens(t))
-        for b in range(BANDS):
-            seg = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            h = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
-            out_band.append(b)
-            out_hash.append(h)
-            out_doc.append(doc_id)
+    """doc -> BANDS rows of (band, band_hash, doc_id).  Fully vectorized:
+    one Arrow tokenize pass, rolling shingle hashes over the batch token
+    stream, minimum.reduceat per doc (perm-chunked to bound memory), and a
+    vectorized uint64 mix for the band hash (groupby key only)."""
+    from bleve_ray.pipelines.text_stats import flat_tokens_arrow
+
+    flat, offs = flat_tokens_arrow(batch["text"])
+    sh_flat, sh_offs = batch_shingle_hashes(flat, offs)
+    n = len(offs) - 1
+    sh_counts = sh_offs[1:] - sh_offs[:-1]
+    sigs = np.full(
+        (n, NUM_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64
+    )
+    if sh_offs[-1] > 0:
+        nz = sh_counts > 0
+        starts = sh_offs[:-1][nz]
+        CH = 8  # perms per chunk: bounds the (n_shingles x CH) temp
+        for p0 in range(0, NUM_PERMS, CH):
+            with np.errstate(over="ignore"):
+                vals = (
+                    sh_flat[:, None] * _PERM_A[None, p0 : p0 + CH]
+                    + _PERM_B[None, p0 : p0 + CH]
+                )
+            sigs[nz, p0 : p0 + CH] = np.minimum.reduceat(vals, starts, axis=0)
+    bands = sigs.reshape(n, BANDS, ROWS_PER_BAND)
+    bh = np.zeros((n, BANDS), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(ROWS_PER_BAND):
+            bh = (bh ^ bands[:, :, r]) * np.uint64(0x9E3779B97F4A7C15)
+            bh ^= bh >> np.uint64(29)
+    doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
     return pa.table(
         {
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band": pa.array(
+                np.tile(np.arange(BANDS, dtype=np.int32), n)
+            ),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, BANDS)),
         }
     )
 
@@ -165,7 +292,9 @@ def minhash_pairs_ds(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    bands = ds.map_batches(minhash_batch, batch_format="pyarrow")
+    bands = ds.map_batches(
+        minhash_batch, batch_format="pyarrow", batch_size=2048
+    )
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
@@ -202,18 +331,27 @@ def _term_bits(term: str) -> np.ndarray:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        toks = _tokens(t)
-        if not toks:
-            out.append("0" * 16)
-            continue
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        mat = np.stack([_term_bits(str(term)) for term in uniq])
-        acc = (mat * counts[:, None]).sum(axis=0)
-        sim = int((_POW2[acc > 0]).sum())
-        out.append(f"{sim:016x}")
+    """Batch-vectorized, value-identical to the per-doc formulation:
+    per-unique-term ±1 bit rows (worker-cached blake2b), gathered per
+    occurrence and segment-summed per doc with one add.reduceat."""
+    from bleve_ray.pipelines.text_stats import flat_tokens_arrow
+
+    flat, offs = flat_tokens_arrow(batch["text"])
+    n = len(offs) - 1
+    counts = (offs[1:] - offs[:-1]).astype(np.int64)
+    sims = np.zeros(n, dtype=np.uint64)
+    if len(flat) > 0:
+        h = _token_hashes_for(flat)
+        # bit-sliced: per bit j, per-doc hit count via cumsum-diff; the
+        # signed accumulator acc_j = 2*hits_j - ntok, so bit set <=> acc>0
+        hits = np.empty((n, 64), dtype=np.int64)
+        for j in range(64):
+            b = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(b)))
+            hits[:, j] = cs[offs[1:]] - cs[offs[:-1]]
+        pos = (2 * hits) > counts[:, None]
+        sims = (pos * _POW2[None, :]).sum(axis=1, dtype=np.uint64)
+    out = [f"{int(s):016x}" for s in sims]
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out)})
 
 
@@ -223,7 +361,9 @@ def simhash_ds(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        simhash_batch, batch_format="pyarrow", batch_size=2048
+    )
 
 
 _PAIR_BUCKETS = 256  # keyed buckets keep shuffle group counts low

@@ -38,17 +38,46 @@ def _tokens(text: str) -> List[str]:
     return [t.lower() for t in TOKEN_RE.findall(text or "")]
 
 
+def flat_tokens_arrow(col):
+    """Vectorized batch tokenization: (lowered flat token array, per-doc
+    offsets into it).  Semantics identical to per-doc
+    `[t.lower() for t in TOKEN_RE.findall(text)]` (tokens are ASCII
+    alphanumeric runs, so ascii_lower == str.lower).  Returns
+    (flat: pa.Array of strings, offsets: np.ndarray int64 of len n+1)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    splits = pc.split_pattern_regex(col, pattern="[^A-Za-z0-9]+")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = pc.list_flatten(splits)
+    loffs = np.asarray(splits.offsets).astype(np.int64)
+    ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    cs = np.concatenate(([0], np.cumsum(ne)))
+    doc_offs = cs[loffs]  # offsets into the empty-filtered flat array
+    flat_ne = flat.filter(pa.array(ne))
+    return pc.ascii_lower(flat_ne), doc_offs
+
+
+def _segment_sums(values: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-document sums of a flat per-token array (cumsum-diff; robust to
+    empty segments, unlike np.add.reduceat)."""
+    cs = np.concatenate((np.zeros(1, dtype=np.float64), np.cumsum(values)))
+    return cs[offs[1:]] - cs[offs[:-1]]
+
+
+def _fmt6(arr: np.ndarray) -> pa.Array:
+    return pa.array(np.char.mod("%.6f", arr.astype(np.float64)))
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    counts = np.fromiter(
-        (len(TOKEN_RE.findall(t or "")) for t in texts),
-        dtype=np.int64,
-        count=len(texts),
+    counts = pc.count_substring_regex(
+        pc.fill_null(batch["text"], ""), pattern="[A-Za-z0-9]+"
     )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "token_count": pa.array(counts),
+            "token_count": pc.cast(counts, pa.int64()),
         }
     )
 
@@ -56,58 +85,61 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Per-doc quality stats: token count, alpha char ratio, stop-word
     ratio, mean token length.  All ratios rounded via %.6f formatting for
-    oracle comparability."""
-    texts = batch["text"].to_pylist()
-    stop = set(QUALITY_STOPWORDS)
-    n = len(texts)
-    tok_counts = np.zeros(n, dtype=np.int64)
-    stop_ratio = np.zeros(n, dtype=np.float64)
-    mean_len = np.zeros(n, dtype=np.float64)
-    alpha_ratio = np.zeros(n, dtype=np.float64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = _tokens(t)
-        tok_counts[i] = len(toks)
-        if toks:
-            stop_ratio[i] = sum(1 for x in toks if x in stop) / len(toks)
-            mean_len[i] = sum(len(x) for x in toks) / len(toks)
-        if t:
-            alpha = sum(1 for ch in t if ch.isalpha() and ch.isascii())
-            alpha_ratio[i] = alpha / len(t)
+    oracle comparability.  Fully vectorized (Arrow split/flatten +
+    cumsum-diff segment sums)."""
+    text = pc.fill_null(batch["text"], "")
+    flat, offs = flat_tokens_arrow(text)
+    tok_counts = (offs[1:] - offs[:-1]).astype(np.int64)
+    safe = np.maximum(tok_counts, 1).astype(np.float64)
+    is_stop = pc.is_in(
+        flat, value_set=pa.array(QUALITY_STOPWORDS)
+    ).to_numpy(zero_copy_only=False)
+    stop_ratio = _segment_sums(is_stop, offs) / safe
+    tok_lens = pc.utf8_length(flat).to_numpy()
+    mean_len = _segment_sums(tok_lens, offs) / safe
+    n_alpha = pc.count_substring_regex(text, pattern="[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    alpha_ratio = n_alpha / np.maximum(text_len, 1)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "token_count": pa.array(tok_counts),
-            "stop_ratio": pa.array([f"{x:.6f}" for x in stop_ratio]),
-            "mean_token_len": pa.array([f"{x:.6f}" for x in mean_len]),
-            "alpha_ratio": pa.array([f"{x:.6f}" for x in alpha_ratio]),
+            "stop_ratio": _fmt6(stop_ratio),
+            "mean_token_len": _fmt6(mean_len),
+            "alpha_ratio": _fmt6(alpha_ratio),
         }
     )
 
 
+# stable iteration order for the argmax tie rule (first lang wins ties)
+_LANG_ORDER = list(LANG_MARKERS.keys())
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Heuristic language ID: argmax of per-language function-word hit
-    rates; 'und' (undetermined) when nothing matches."""
-    texts = batch["text"].to_pylist()
-    markers = {k: set(v) for k, v in LANG_MARKERS.items()}
-    preds = []
-    scores = []
-    for t in texts:
-        toks = _tokens(t)
-        best, best_score = "und", 0.0
-        if toks:
-            tokset = toks
-            for lang, mk in markers.items():
-                s = sum(1 for x in tokset if x in mk) / len(toks)
-                if s > best_score:
-                    best, best_score = lang, s
-        preds.append(best)
-        scores.append(f"{best_score:.6f}")
+    rates; 'und' (undetermined) when nothing matches.  One vectorized
+    is_in + segment-sum per language; ties keep the earlier language."""
+    flat, offs = flat_tokens_arrow(batch["text"])
+    tok_counts = (offs[1:] - offs[:-1]).astype(np.float64)
+    safe = np.maximum(tok_counts, 1.0)
+    scores = np.zeros((len(tok_counts), len(_LANG_ORDER)))
+    for j, lang in enumerate(_LANG_ORDER):
+        hits = pc.is_in(
+            flat, value_set=pa.array(LANG_MARKERS[lang])
+        ).to_numpy(zero_copy_only=False)
+        scores[:, j] = _segment_sums(hits, offs) / safe
+    best_j = np.argmax(scores, axis=1)  # first max wins, like the loop
+    best = scores[np.arange(len(best_j)), best_j]
+    preds = np.where(
+        best > 0, np.array(_LANG_ORDER, dtype=object)[best_j], "und"
+    )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "lang_pred": pa.array(preds),
-            "lang_score": pa.array(scores),
+            "lang_pred": pa.array(preds.tolist()),
+            "lang_score": _fmt6(np.where(best > 0, best, 0.0)),
         }
     )
 
@@ -116,38 +148,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: winnowing over a rolling (Rabin-Karp-style)
     hash of token 4-grams -- the standard document-fingerprinting scheme
     (Schleimer et al., 'Winnowing: Local Algorithms for Document
-    Fingerprinting').  Deterministic via blake2b token hashes."""
+    Fingerprinting').  Deterministic: blake2b per *unique* token
+    (worker-cached) + a vectorized uint64 polynomial across each batch's
+    whole token stream; one blake2b digest per doc over the winnowed set."""
+    from bleve_ray.pipelines.dedup import batch_shingle_hashes
+
     K = 4  # shingle size (tokens)
     W = 5  # winnowing window
-    texts = batch["text"].to_pylist()
+    flat, offs = flat_tokens_arrow(batch["text"])
+    # combine=False: docs with < K tokens fingerprint as "" (no shingle)
+    sh_flat, sh_offs = batch_shingle_hashes(flat, offs, k=K, combine_short=False)
     fps = []
-    for t in texts:
-        toks = _tokens(t)
-        if len(toks) < K:
+    for d in range(len(sh_offs) - 1):
+        hashes = sh_flat[sh_offs[d] : sh_offs[d + 1]]
+        if len(hashes) == 0:
             fps.append("")
             continue
-        hashes = np.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + K]).encode(), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                for i in range(len(toks) - K + 1)
-            ],
-            dtype=np.uint64,
-        )
         if len(hashes) <= W:
-            sel = {int(hashes.min())}
+            sel = np.array([hashes.min()], dtype=np.uint64)
         else:
             view = np.lib.stride_tricks.sliding_window_view(hashes, W)
-            sel = set(view.min(axis=1).tolist())
-        digest = hashlib.blake2b(
-            np.sort(np.fromiter(sel, dtype=np.uint64)).tobytes(),
-            digest_size=16,
-        ).hexdigest()
-        fps.append(digest)
+            sel = np.unique(view.min(axis=1))
+        fps.append(
+            hashlib.blake2b(np.sort(sel).tobytes(), digest_size=16).hexdigest()
+        )
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)}
     )
@@ -186,7 +210,9 @@ def fingerprint_ds(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow", batch_size=2048
+    )
 
 
 def windowed_events_ds(sf_dir: str, window: str = "day"):

@@ -210,3 +210,83 @@ def test_embedding_near_dup_matches_sql(ray_session):
     ).arrow()
     assert got.num_rows == want.num_rows > 0
     assert got.to_pydict() == want.to_pydict()
+
+
+def test_vectorized_batch_kernels_match_per_row_semantics():
+    """The batch-vectorized text/dedup kernels must match the per-row
+    reference formulations exactly (no Ray needed: pure batch fns)."""
+    import re
+
+    from bleve_ray.pipelines import dedup
+    from bleve_ray.pipelines import text_stats as ts
+
+    TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+    texts = [
+        "The quick brown fox and the lazy dog",
+        "",
+        None,
+        "a",
+        "  ,,;; ",
+        "der die und das ist nicht ein",
+        "le la les et des une est",
+        "éàü über straße",  # non-ASCII: tokens are the ASCII runs only
+        "The THE the tHe",
+        "word " * 50,
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+    def toks(t):
+        return [x.lower() for x in TOKEN_RE.findall(t or "")]
+
+    # token_count
+    got = ts.token_count_batch(batch)["token_count"].to_pylist()
+    assert got == [len(toks(t)) for t in texts]
+
+    # quality ratios (exact %.6f string equality)
+    q = ts.quality_batch(batch)
+    stop = set(ts.QUALITY_STOPWORDS)
+    for i, t in enumerate(texts):
+        tk = toks(t)
+        sr = sum(1 for x in tk if x in stop) / len(tk) if tk else 0.0
+        assert q["stop_ratio"][i].as_py() == f"{sr:.6f}"
+
+    # langid argmax + tie rule
+    li = ts.langid_batch(batch)
+    markers = {k: set(v) for k, v in ts.LANG_MARKERS.items()}
+    for i, t in enumerate(texts):
+        tk = toks(t)
+        best, bs = "und", 0.0
+        for lang, mk in markers.items():
+            s = sum(1 for x in tk if x in mk) / len(tk) if tk else 0.0
+            if s > bs:
+                best, bs = lang, s
+        assert li["lang_pred"][i].as_py() == best
+
+    # simhash: bit-sliced batch form == per-doc +-1 accumulator form
+    sh = dedup.simhash_batch(batch)["simhash"].to_pylist()
+    for i, t in enumerate(texts):
+        tk = toks(t)
+        if not tk:
+            exp = "0" * 16
+        else:
+            uniq, counts = np.unique(
+                np.array(tk, dtype=object), return_counts=True
+            )
+            mat = np.stack([dedup._term_bits(str(x)) for x in uniq])
+            acc = (mat * counts[:, None]).sum(axis=0)
+            exp = f"{int((dedup._POW2[acc > 0]).sum()):016x}"
+        assert sh[i] == exp
+
+    # batch shingle hashes == per-doc rolling shingles (order-insensitive)
+    from bleve_ray.pipelines.text_stats import flat_tokens_arrow
+
+    flat, offs = flat_tokens_arrow(batch["text"])
+    sf, so = dedup.batch_shingle_hashes(flat, offs)
+    for i, t in enumerate(texts):
+        per = dedup._shingle_hashes(toks(t))
+        assert np.array_equal(np.sort(per), np.sort(sf[so[i] : so[i + 1]]))
