@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -293,6 +293,57 @@ class Index:
         man.internal.pop(key, None)
         manifest_mod.commit(self.reader.index_dir, man)
 
+    def _fill_location_offsets(self, hits) -> None:
+        """Fill byte start/end offsets into hit locations by re-analyzing
+        the STORED field text of the returned page only.
+
+        The index stores positions, not term vectors; offsets are
+        recomputed lazily per hit (cost is O(top-k field text), never
+        O(corpus)), matching the reference's Location.Start/End byte
+        offsets (search/search.go Location) for analyzers whose filters
+        preserve tokenizer positions.  Fields that are unstored, non-text,
+        or position-rewriting (shingle/ngram chains) keep offset 0."""
+        from ..analysis.analyzers import analyzer_named
+
+        fields = sorted(
+            {f for h in hits if h.locations for f in h.locations}
+        )
+        if not fields:
+            return
+        docnums = np.array([h.docnum for h in hits], dtype=np.int64)
+        try:
+            dv = self.reader.docvalues_for(docnums, fields)
+        except Exception:
+            return
+        span_cache: Dict[Tuple[str, int], Dict[int, Tuple[int, int]]] = {}
+        for j, h in enumerate(hits):
+            if not h.locations:
+                continue
+            for f, terms in h.locations.items():
+                text = dv.get(f, [None] * len(hits))[j]
+                if not isinstance(text, str) or not text:
+                    continue
+                key = (f, j)
+                spans = span_cache.get(key)
+                if spans is None:
+                    try:
+                        # full filter chain: positions AND spans survive
+                        # token-splitting filters (camelCase sub-spans)
+                        ana = analyzer_named(self.mapping.analyzer_for(f))
+                        spans = {}
+                        for tok in ana.analyze(text):
+                            spans.setdefault(
+                                tok.position, (tok.start, tok.end)
+                            )
+                    except Exception:
+                        spans = {}
+                    span_cache[key] = spans
+                for locs in terms.values():
+                    for loc in locs:
+                        se = spans.get(loc.get("pos"))
+                        if se is not None:
+                            loc["start"], loc["end"] = se
+
     def _search_hybrid(self, request: dict) -> SearchResult:
         """Hybrid FTS + KNN search (search_knn.go + rescorer.go):
         request["knn"] = [{"field", "vector", "k", "boost"?}, ...];
@@ -447,6 +498,7 @@ class Index:
         if request.get("includeLocations"):
             for h in result.hits:
                 h.locations = searcher.locations(int(h.docnum))
+            self._fill_location_offsets(result.hits)
         if request.get("facets"):
             from .facets import compute_facets
 

@@ -76,9 +76,11 @@ class Searcher:
 
     def locations(self, docnum: int):
         """Per-hit term locations ("includeLocations": true).  Shape:
-        {field: {term: [{"pos": p, "start": 0, "end": 0}]}}; byte offsets
-        are 0 because the index stores positions only (positions=True in
-        FieldConfig), not term-vector byte offsets."""
+        {field: {term: [{"pos": p, "start": 0, "end": 0}]}}.  The index
+        stores positions only (positions=True in FieldConfig), not term
+        vectors; byte start/end are filled in afterwards by the collector
+        (Index._fill_location_offsets) by re-analyzing the stored field
+        text of the returned page."""
         return None
 
 

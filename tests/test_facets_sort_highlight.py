@@ -284,13 +284,15 @@ def test_terms_facet_prefix_and_pattern_filters(doc_index):
 
 
 def test_include_locations(doc_index):
-    """includeLocations: per-hit {field:{term:[{pos,...}]}} (positions
-    only; the index stores no byte offsets)."""
+    """includeLocations: per-hit {field:{term:[{pos,start,end}]}}; byte
+    offsets are recomputed from the stored text of the returned page
+    (the index stores positions, not term vectors)."""
     r = doc_index.search(
         {
             "query": {"match": "vector window", "field": "text"},
             "size": 3,
             "includeLocations": True,
+            "fields": ["text"],
         }
     )
     assert r.hits
@@ -298,7 +300,13 @@ def test_include_locations(doc_index):
         assert h.locations and "text" in h.locations
         terms = h.locations["text"]
         assert set(terms) <= {"vector", "window"}
-        for locs in terms.values():
-            assert all(loc["pos"] >= 1 for loc in locs)
+        raw = h.fields["text"].encode("utf-8")
+        for term, locs in terms.items():
+            for loc in locs:
+                assert loc["pos"] >= 1
+                # offsets point at the surface form of the term
+                assert loc["end"] > loc["start"]
+                surface = raw[loc["start"] : loc["end"]].decode("utf-8")
+                assert surface.lower() == term
     d = r.to_dict()
     assert "locations" in d["hits"][0]
