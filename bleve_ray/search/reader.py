@@ -81,9 +81,17 @@ class IndexReader:
 
     # --- postings ---------------------------------------------------------
 
+    def field_live(self, field: str) -> bool:
+        """False once a mapping update deleted the field
+        (index/update.py); segments may still hold its postings but the
+        live mapping no longer serves them."""
+        return field not in self.options.get("dropped_fields", ())
+
     def _segments_for(self, field: str, term: str) -> list:
         import hashlib
 
+        if not self.field_live(field):
+            return []
         h = hashlib.sha1(f"{field}\x1f{term}".encode()).digest()
         shard = int.from_bytes(h[:4], "little") % self.num_shards
         return self._by_shard.get(shard, [])
@@ -333,6 +341,8 @@ class IndexReader:
         out_np: Dict[str, np.ndarray] = {
             f: np.full(n, None, dtype=object) for f in fields
         }
+        # mapping-update drops: deleted fields keep their None column
+        fields = [f for f in fields if self.field_live(f)]
         files = self._dv_files()
         if not files or n == 0:
             return {f: v.tolist() for f, v in out_np.items()}
@@ -370,13 +380,14 @@ class IndexReader:
 
         self.counters["dictionary_ops"] += 1
         parts = []
-        for shard_entries in self._by_shard.values():
-            for entry in shard_entries:
-                parts.append(
-                    self._reader(entry).terms_table(
-                        field, lo, hi, inclusive_hi
+        if self.field_live(field):
+            for shard_entries in self._by_shard.values():
+                for entry in shard_entries:
+                    parts.append(
+                        self._reader(entry).terms_table(
+                            field, lo, hi, inclusive_hi
+                        )
                     )
-                )
         if not parts:
             return pa.table(
                 {"term": pa.array([], type=pa.string()),

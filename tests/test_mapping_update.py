@@ -1,0 +1,155 @@
+"""Live mapping-update validation (index_update.go semantics): legal
+drops narrow the served mapping in a new manifest epoch; everything else
+is rejected."""
+
+import copy
+
+import pytest
+
+from bleve_ray.index import (
+    FieldConfig,
+    IndexOptions,
+    MappingUpdateError,
+    apply_mapping_update,
+    build_index,
+    deleted_fields,
+)
+from bleve_ray.index import manifest as manifest_mod
+from bleve_ray.search import Index
+
+SF = "/root/testdata/sf0.001"
+
+
+def _opts(**kw):
+    base = dict(
+        fields={
+            "text": FieldConfig(analyzer="ascii_alnum_lower", positions=True),
+            "source": FieldConfig(analyzer="keyword"),
+        },
+        doc_id_fields=["doc_id"],
+        num_shards=2,
+        bucket_bits=16,
+        docvalue_fields=["lang", "n_chars"],
+        store_fields=["text"],
+    )
+    base.update(kw)
+    return IndexOptions(**base)
+
+
+@pytest.fixture(scope="module")
+def upd_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("updidx"))
+    build_index([f"{SF}/documents.parquet"], d, _opts())
+    return d
+
+
+def test_illegal_updates_rejected(upd_index):
+    ori = _opts()
+    # new field
+    upd = _opts()
+    upd.fields["extra"] = FieldConfig()
+    with pytest.raises(MappingUpdateError, match="matching field not found"):
+        deleted_fields(ori, upd)
+    # analyzer change
+    upd = _opts()
+    upd.fields["text"] = FieldConfig(analyzer="en", positions=True)
+    with pytest.raises(MappingUpdateError, match="analyzer cannot be updated"):
+        deleted_fields(ori, upd)
+    # positions toggle (term-vectors role)
+    upd = _opts()
+    upd.fields["text"] = FieldConfig(
+        analyzer="ascii_alnum_lower", positions=False
+    )
+    with pytest.raises(
+        MappingUpdateError, match="includeTermVectors cannot be changed"
+    ):
+        deleted_fields(ori, upd)
+    # type change
+    upd = _opts()
+    upd.fields["source"] = FieldConfig(field_type="numeric")
+    with pytest.raises(MappingUpdateError, match="field type cannot"):
+        deleted_fields(ori, upd)
+    # widening store
+    upd = _opts(store_fields=["text", "lang"])
+    with pytest.raises(
+        MappingUpdateError, match="store cannot be changed from false to true"
+    ):
+        deleted_fields(ori, upd)
+    # widening docvalues
+    upd = _opts(docvalue_fields=["lang", "n_chars", "source"])
+    with pytest.raises(
+        MappingUpdateError,
+        match="docvalues cannot be changed from false to true",
+    ):
+        deleted_fields(ori, upd)
+    # shard topology
+    upd = _opts(num_shards=4)
+    with pytest.raises(MappingUpdateError, match="num_shards"):
+        deleted_fields(ori, upd)
+    # deleting a field that feeds _all
+    ori_all = _opts(enable_all_field=True)
+    upd = _opts(enable_all_field=True)
+    del upd.fields["source"]
+    with pytest.raises(MappingUpdateError, match="_all"):
+        deleted_fields(ori_all, upd)
+
+
+def test_legal_drop_narrows_serving_and_rolls_back(upd_index):
+    ix = Index.open(upd_index)
+    before = ix.search(
+        {"query": {"term": "en", "field": "source"}, "size": 1}
+    )
+    # source:keyword indexes whole source strings; find one real term
+    dict_before = ix.reader.dictionary("source")
+    assert dict_before
+    term = dict_before[0][0]
+    hits_before = ix.search(
+        {"query": {"term": term, "field": "source"}, "size": 5}
+    )
+    assert hits_before.total_hits > 0
+    epoch_before = manifest_mod.load(upd_index).epoch
+
+    upd = _opts()
+    del upd.fields["source"]
+    info = apply_mapping_update(upd_index, upd)
+    assert info["source"].deleted
+
+    ix2 = Index.open(upd_index)
+    assert manifest_mod.load(upd_index).epoch == epoch_before + 1
+    # dropped field serves nothing, in any query kind
+    assert (
+        ix2.search(
+            {"query": {"term": term, "field": "source"}, "size": 5}
+        ).total_hits
+        == 0
+    )
+    assert ix2.reader.dictionary("source") == []
+    assert ix2.reader.terms_with_prefix("source", term[:1]) == []
+    # other fields unaffected
+    assert (
+        ix2.search(
+            {"query": {"match": "the data", "field": "text"}, "size": 1}
+        ).total_hits
+        > 0
+    )
+    # rollback restores the field
+    manifest_mod.rollback(upd_index, epoch_before)
+    ix3 = Index.open(upd_index)
+    assert (
+        ix3.search(
+            {"query": {"term": term, "field": "source"}, "size": 5}
+        ).total_hits
+        == hits_before.total_hits
+    )
+
+
+def test_docvalue_store_narrowing_reported():
+    ori = _opts()
+    upd = _opts(docvalue_fields=["lang"])  # drop n_chars docvalues
+    info = deleted_fields(ori, upd)
+    assert info == {"n_chars": __import__(
+        "bleve_ray.index.update", fromlist=["UpdateFieldInfo"]
+    ).UpdateFieldInfo(docvalues=True)}
+    upd2 = _opts(store_fields=[])  # stop storing text
+    info2 = deleted_fields(ori, upd2)
+    assert info2["text"].store and not info2["text"].deleted
