@@ -293,6 +293,42 @@ class Index:
         man.internal.pop(key, None)
         manifest_mod.commit(self.reader.index_dir, man)
 
+    def _validate_request(self, request: dict) -> None:
+        """SearchRequest.Validate equivalent (search.go:324-355 +
+        validatePagination): reject contradictory paging options up front."""
+        if request.get("search_after") is not None and request.get(
+            "search_before"
+        ) is not None:
+            raise ValueError(
+                "cannot use search after and search before together"
+            )
+        for key in ("search_after", "search_before"):
+            if request.get(key) is not None and request.get("from", 0) != 0:
+                raise ValueError(
+                    f"cannot use {key.replace('_', ' ')} with from !=0"
+                )
+        if request.get("size", 10) < 0 or request.get("from", 0) < 0:
+            raise ValueError("size and from must be non-negative")
+        if request.get("score") in ("rrf", "rsf") and (
+            request.get("search_after") is not None
+            or request.get("search_before") is not None
+        ):
+            raise ValueError(
+                "cannot use search after or search before with score fusion"
+            )
+
+    def _expand_fields(self, want_fields):
+        """The special field "*" returns every retrievable field
+        (search.go:53 'A special field named "*"'): here the stored +
+        docvalue columns of the live mapping."""
+        if "*" not in (want_fields or []):
+            return want_fields or []
+        opts = self.reader.options
+        return sorted(
+            set(opts.get("store_fields", []))
+            | set(opts.get("docvalue_fields", []))
+        )
+
     def _fill_location_offsets(self, hits) -> None:
         """Fill byte start/end offsets into hit locations by re-analyzing
         the STORED field text of the returned page only.
@@ -403,7 +439,7 @@ class Index:
         if mode in ("rrf", "rsf") and len(result.hits) > window:
             result.hits = result.hits[:window]
         result.took_ms = (_t.perf_counter() - t0) * 1e3
-        want_fields = request.get("fields") or []
+        want_fields = self._expand_fields(request.get("fields"))
         if want_fields and result.hits:
             dn = np.array([h.docnum for h in result.hits], dtype=np.int64)
             dv = self.reader.docvalues_for(dn, sorted(set(want_fields)))
@@ -418,7 +454,8 @@ class Index:
          "facets": {name: {"field": f, "size": N} |
                     {"field": f, "numeric_ranges": [...]}},
          "highlight": {"fields": [...], "style": "html"|"ansi"},
-         "fields": ["stored", ...]}"""
+         "fields": ["stored", ...]}  ("*" = every retrievable field)"""
+        self._validate_request(request)
         if request.get("knn"):
             return self._search_hybrid(request)
         q = request["query"]
@@ -505,7 +542,7 @@ class Index:
             result.facets = compute_facets(
                 self.reader, hits.docnums, request["facets"]
             )
-        want_fields = request.get("fields") or []
+        want_fields = self._expand_fields(request.get("fields"))
         hl = request.get("highlight")
         if (want_fields or hl) and result.hits:
             docnums = np.array([h.docnum for h in result.hits], dtype=np.int64)

@@ -355,3 +355,67 @@ def test_index_interface_parity(ray_session, tiny_corpus_dir, tmp_path_factory):
     assert load_manifest(d).epoch == epoch0 + 1
     idx.delete_internal("mapping_checksum")
     assert Index.open(d).get_internal("mapping_checksum") is None
+
+
+def test_request_validation_rejections(idx):
+    """SearchRequest.Validate equivalent (search.go:324-355)."""
+    with pytest.raises(ValueError, match="together"):
+        idx.search(
+            {
+                "query": {"match_all": {}},
+                "search_after": [1.0, "a"],
+                "search_before": [2.0, "b"],
+            }
+        )
+    with pytest.raises(ValueError, match="from !=0"):
+        idx.search(
+            {
+                "query": {"match_all": {}},
+                "search_after": [1.0, "a"],
+                "from": 5,
+            }
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        idx.search({"query": {"match_all": {}}, "size": -1})
+    with pytest.raises(ValueError, match="score fusion"):
+        idx.search(
+            {
+                "query": {"match_all": {}},
+                "score": "rrf",
+                "search_after": [1.0, "a"],
+            }
+        )
+
+
+def test_star_returns_all_retrievable_fields(doc_index_for_star):
+    r = doc_index_for_star.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 1,
+            "fields": ["*"],
+        }
+    )
+    assert r.hits
+    got = set(r.hits[0].fields)
+    assert {"text", "lang", "source", "n_chars"} <= got
+
+
+@pytest.fixture(scope="module")
+def doc_index_for_star(ray_session, tmp_path_factory):
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    d = str(tmp_path_factory.mktemp("staridx"))
+    build_index(
+        ["/root/testdata/sf0.001/documents.parquet"],
+        d,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="ascii_alnum_lower")},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=16,
+            docvalue_fields=["lang", "source", "n_chars"],
+            store_fields=["text"],
+        ),
+    )
+    return Index.open(d)
