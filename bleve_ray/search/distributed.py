@@ -206,6 +206,8 @@ class IndexAlias:
     def search(self, request: dict) -> SearchResult:
         import time as _t
 
+        if request.get("knn"):
+            return self._search_knn(request)
         t0 = _t.perf_counter()
         size = request.get("size", 10)
         from_ = request.get("from", 0)
@@ -233,6 +235,114 @@ class IndexAlias:
                 request["facets"], [r.facets for r in results if r.facets]
             )
         return out
+
+    def _search_knn(self, request: dict) -> SearchResult:
+        """Alias hybrid search with KNN PRESEARCH (pre_search.go /
+        index_alias_impl.go preSearchRequired for KNN): phase 1 gathers
+        each member's per-clause KNN candidates and keeps the GLOBAL
+        top-k; phase 2 runs the FTS query on every member; fusion (rrf /
+        rsf / additive merge) then happens ONCE at the alias level over
+        globally-merged rankings keyed by external doc id -- per-member
+        fusion would fuse against member-local ranks and diverge."""
+        import time as _t
+
+        import numpy as np
+
+        from .collector import Hit
+        from .fusion import (
+            DEFAULT_RANK_CONSTANT,
+            default_knn_merge,
+            knn_topk,
+            reciprocal_rank_fusion,
+            relative_score_fusion,
+        )
+
+        t0 = _t.perf_counter()
+        size = request.get("size", 10)
+        from_ = request.get("from", 0)
+        params = request.get("params") or {}
+        window = max(int(params.get("score_window_size", from_ + size) or 1), size)
+
+        # phase 2 prerequisites first: member FTS results (also give us
+        # the Hit objects for the returned page)
+        fts_req = {
+            k: v
+            for k, v in request.items()
+            if k not in ("knn", "score", "params")
+        }
+        fts_req["size"] = window
+        fts_req["from"] = 0
+        results = [idx.search(fts_req) for idx in self.indexes]
+        by_id: Dict[str, Hit] = {}
+        fts_pairs = []
+        for r in results:
+            for h in r.hits:
+                by_id.setdefault(h.id, h)
+                fts_pairs.append((h.id, h.score))
+        fts_pairs.sort(key=lambda x: (-x[1], x[0]))
+        sources = [
+            (
+                [i for i, _ in fts_pairs],
+                np.array([s for _, s in fts_pairs], dtype=np.float64),
+            )
+        ]
+        weights = [1.0]
+
+        # phase 1 (presearch): global top-k per KNN clause across members
+        for kr in request["knn"]:
+            k = int(kr.get("k", 10))
+            cands = []  # (sim, id, member_idx, docnum)
+            for mi, idx in enumerate(self.indexes):
+                try:
+                    nums, sims = knn_topk(
+                        idx.reader, kr["field"], kr["vector"], k
+                    )
+                except Exception:
+                    continue
+                keep = idx.reader.filter_deleted(nums)
+                nums, sims = nums[keep], sims[keep]
+                ids = idx.reader.doc_ids_for(nums)
+                cands.extend(
+                    (float(s), i, mi, int(dn))
+                    for s, i, dn in zip(sims, ids, nums)
+                )
+            cands.sort(key=lambda c: (-c[0], c[1]))
+            cands = cands[:k]
+            for s, i, mi, dn in cands:
+                by_id.setdefault(i, Hit(id=i, score=0.0, docnum=dn))
+            sources.append(
+                (
+                    [c[1] for c in cands],
+                    np.array([c[0] for c in cands], dtype=np.float64),
+                )
+            )
+            weights.append(float(kr.get("boost", 1.0)))
+
+        mode = request.get("score", "")
+        if mode == "rrf":
+            fused = reciprocal_rank_fusion(
+                sources,
+                weights,
+                int(params.get("score_rank_constant", DEFAULT_RANK_CONSTANT)),
+                window,
+            )
+        elif mode == "rsf":
+            fused = relative_score_fusion(sources, weights, window)
+        else:
+            fused = default_knn_merge(sources, weights)
+
+        ordered = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+        page = ordered[from_ : from_ + size]
+        hits = []
+        for i, s in page:
+            h = by_id[i]
+            hits.append(Hit(id=i, score=float(s), docnum=h.docnum))
+        return SearchResult(
+            total_hits=len(fused),
+            max_score=max(fused.values(), default=0.0),
+            hits=hits,
+            took_ms=(_t.perf_counter() - t0) * 1e3,
+        )
 
 
 def _merge_facet_results(requests: dict, facet_sets: List[dict]) -> dict:

@@ -176,3 +176,115 @@ def test_fusion_primitives_reference_vectors():
     assert rsf[11] == pytest.approx(0.5)
     assert rsf[12] == pytest.approx(0.0 + 1.0)  # fts min + knn max
     assert rsf[13] == pytest.approx(0.0)
+
+
+@pytest.fixture(scope="module")
+def alias_setup(ray_session, tmp_path_factory, vec_index):
+    """The SAME 40-doc corpus split across two member indexes + the
+    whole-corpus index for parity."""
+    whole, vecs = vec_index
+    d = tmp_path_factory.mktemp("aliasvec")
+    rng = np.random.default_rng(11)
+    n = 40
+    texts = []
+    for i in range(n):
+        words = ["alpha", "beta", "gamma", "delta"]
+        texts.append(" ".join(words[: (i % 4) + 1]) + f" doc{i}")
+    members = []
+    for part, (lo, hi) in enumerate([(0, 20), (20, 40)]):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), type=pa.int64()),
+                "text": pa.array(texts[lo:hi]),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs[lo:hi]],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        src = str(d / f"docs{part}.parquet")
+        pq.write_table(tbl, src)
+        idx_dir = str(d / f"idx{part}")
+        build_index(
+            [src],
+            idx_dir,
+            IndexOptions(
+                fields={
+                    "text": FieldConfig(analyzer="standard", positions=True)
+                },
+                doc_id_fields=["doc_id"],
+                num_shards=2,
+                bucket_bits=6,
+                docvalue_fields=["embedding"],
+            ),
+        )
+        members.append(Index.open(idx_dir))
+    from bleve_ray.search.distributed import IndexAlias
+
+    return IndexAlias(members), whole, vecs
+
+
+def test_alias_knn_presearch_matches_whole_index(alias_setup):
+    """Alias KNN presearch: global top-k across members == the
+    whole-corpus index's result, for pure KNN and for RRF hybrid
+    (pre_search.go role: candidates are merged globally BEFORE fusion)."""
+    alias, whole, vecs = alias_setup
+    q = vecs[7] + 0.01
+
+    # pure KNN (match_none keeps the FTS source empty)
+    req = {
+        "query": {"match_none": {}},
+        "knn": [{"field": "embedding", "vector": q.tolist(), "k": 10}],
+        "size": 10,
+    }
+    ra = alias.search(req)
+    rw = whole.search(req)
+    assert [h.id for h in ra.hits] == [h.id for h in rw.hits]
+    assert np.allclose(
+        [h.score for h in ra.hits], [h.score for h in rw.hits]
+    )
+
+    # hybrid with RRF fusion: fused ONCE at the alias level over the
+    # globally-merged FTS ranking and the globally-merged KNN top-k.
+    # (Member BM25 stats are member-local -- reference behavior without
+    # global-scoring presearch -- so we reconstruct the expectation from
+    # the members' own responses, not from the whole-corpus index.)
+    req2 = {
+        "query": {"match": "alpha beta", "field": "text"},
+        "knn": [{"field": "embedding", "vector": q.tolist(), "k": 10}],
+        "score": "rrf",
+        "size": 10,
+    }
+    ra2 = alias.search(req2)
+
+    from bleve_ray.search.fusion import (
+        DEFAULT_RANK_CONSTANT,
+        reciprocal_rank_fusion,
+    )
+
+    fts_pairs = []
+    for m in alias.indexes:
+        r = m.search(
+            {"query": req2["query"], "size": 10, "from": 0}
+        )
+        fts_pairs.extend((h.id, h.score) for h in r.hits)
+    fts_pairs.sort(key=lambda x: (-x[1], x[0]))
+    # global knn top-10 by brute force over the union corpus
+    order, sims = _brute_knn(vecs, q, 10)
+    expected = reciprocal_rank_fusion(
+        [
+            (
+                [i for i, _ in fts_pairs],
+                np.array([s for _, s in fts_pairs]),
+            ),
+            ([str(i) for i in order], sims[order]),
+        ],
+        [1.0, 1.0],
+        DEFAULT_RANK_CONSTANT,
+        10,
+    )
+    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [h.id for h in ra2.hits] == [i for i, _ in want]
+    assert np.allclose(
+        [h.score for h in ra2.hits], [s for _, s in want]
+    )
