@@ -403,7 +403,11 @@ class Index:
         q = request.get("query", {"match_none": {}})
         query = parse_query(q) if isinstance(q, dict) else q
         options = SearchOptions(
-            scoring_model=self.mapping.scoring_model, score=""
+            scoring_model=self.mapping.scoring_model,
+            score="",
+            bm25_stats=(request.get("pre_search_data") or {}).get(
+                "bm25_stats"
+            ),
         )
         fts = query.searcher(self.reader, self.mapping, options).search()
         fkeep = self.reader.filter_deleted(fts.docnums)
@@ -463,6 +467,9 @@ class Index:
         options = SearchOptions(
             scoring_model=self.mapping.scoring_model,
             score=request.get("score", ""),
+            bm25_stats=(request.get("pre_search_data") or {}).get(
+                "bm25_stats"
+            ),
         )
         searcher = query.searcher(self.reader, self.mapping, options)
         total_relation = "eq"

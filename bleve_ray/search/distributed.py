@@ -215,6 +215,10 @@ class IndexAlias:
         # every member must return enough rows to fill the global window
         sub_req["size"] = from_ + size
         sub_req["from"] = 0
+        if request.get("search_type") == "global_scoring":
+            sub_req["pre_search_data"] = {
+                "bm25_stats": self._bm25_presearch()
+            }
         results = [idx.search(sub_req) for idx in self.indexes]
         merged = []
         for ri, r in enumerate(results):
@@ -235,6 +239,25 @@ class IndexAlias:
                 request["facets"], [r.facets for r in results if r.facets]
             )
         return out
+
+    def _bm25_presearch(self) -> dict:
+        """Global-scoring presearch (pre_search.go
+        bm25PreSearchResultProcessor + SearchTypeKey=GlobalScoring,
+        index_alias_impl.go:650-668): sum DocCount and per-field
+        cardinality across members so phase-2 searchers score with
+        alias-wide docTotal/avgDocLength.  Term df stays member-local,
+        exactly like the reference (search_term.go:145 reader.Count())."""
+        stats = {"doc_count": 0, "field_cardinality": {}}
+        for idx in self.indexes:
+            r = idx.reader
+            stats["doc_count"] += int(r.doc_count())
+            for f in r.options.get("fields", {}):
+                if not r.field_live(f):
+                    continue
+                stats["field_cardinality"][f] = stats[
+                    "field_cardinality"
+                ].get(f, 0) + int(r.field_cardinality(f))
+        return stats
 
     def _search_knn(self, request: dict) -> SearchResult:
         """Alias hybrid search with KNN PRESEARCH (pre_search.go /
@@ -272,6 +295,10 @@ class IndexAlias:
         }
         fts_req["size"] = window
         fts_req["from"] = 0
+        if request.get("search_type") == "global_scoring":
+            fts_req["pre_search_data"] = {
+                "bm25_stats": self._bm25_presearch()
+            }
         results = [idx.search(fts_req) for idx in self.indexes]
         by_id: Dict[str, Hit] = {}
         fts_pairs = []

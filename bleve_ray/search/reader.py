@@ -34,6 +34,11 @@ class SearchOptions:
     # "none" = the unadorned fast path (scorch optimize.go:26-47): skip
     # freq/norm scoring entirely; set ops + counts only
     score: str = ""
+    # alias global-scoring presearch stats (search.BM25Stats,
+    # search_term.go:89-106): when set, docTotal/avgDocLength come from
+    # here instead of the local index; term df stays local like the
+    # reference.  {"doc_count": int, "field_cardinality": {field: int}}
+    bm25_stats: Optional[dict] = None
 
     def with_positions(self) -> "SearchOptions":
         return replace(self, need_positions=True)

@@ -112,7 +112,22 @@ class TermSearcher(Searcher):
             self._decoded = True
             doc_term = self._posting.df if self._posting else 0
         if options.scoring_model == "bm25":
-            doc_total, avg_len = reader.bm25_metrics(field)
+            stats = getattr(options, "bm25_stats", None)
+            if stats:
+                # bm25ScoreMetrics with ctx BM25Stats (search_term.go:101-106)
+                import math as _math
+
+                doc_total = int(stats["doc_count"])
+                card = stats["field_cardinality"].get(field)
+                if card is None:
+                    raise KeyError(
+                        f"field stat for bm25 not present {field}"
+                    )
+                avg_len = (
+                    _math.ceil(card / doc_total) if doc_total else 0.0
+                )
+            else:
+                doc_total, avg_len = reader.bm25_metrics(field)
         else:
             doc_total, avg_len = reader.doc_count(), 0.0
         self.scorer = TermQueryScorer(

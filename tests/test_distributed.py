@@ -101,3 +101,74 @@ def test_index_alias_merges_heterogeneous(ray_session, tmp_path):
     page2 = alias.search({"query": {"term": "shared", "field": "text"},
                           "size": 2, "from": 2})
     assert [(h.id, h.score) for h in page2.hits] == want[2:4]
+
+
+def test_alias_global_scoring_matches_single_partition(
+    ray_session, tmp_path_factory
+):
+    """search_type=global_scoring (ctx SearchTypeKey=GlobalScoring,
+    index_test.go TestBM25GlobalScoring): an alias over a doc-partitioned
+    corpus scores EXACTLY like the single whole-corpus index when the
+    scored term's docs all live in one member (term df is member-local in
+    the reference too); without the flag, member-local docCount/avgdl
+    give different scores."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search.distributed import IndexAlias
+
+    d = tmp_path_factory.mktemp("galias")
+    # needle docs all in part 0; part 1 skews avgdl with longer docs
+    part0 = [f"needle in doc {i} plus filler words here" for i in range(8)]
+    part1 = [
+        "just a lot of other much longer filler text " * 3 + f"tail {i}"
+        for i in range(12)
+    ]
+
+    def write(rows, name, base):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    range(base, base + len(rows)), type=pa.int64()
+                ),
+                "text": pa.array(rows),
+            }
+        )
+        p = str(d / name)
+        pq.write_table(tbl, p)
+        return p
+
+    opts = dict(
+        fields={"text": FieldConfig(analyzer="standard", positions=True)},
+        doc_id_fields=["doc_id"],
+        num_shards=2,
+        bucket_bits=6,
+    )
+    f0 = write(part0, "p0.parquet", 0)
+    f1 = write(part1, "p1.parquet", 100)
+    whole_dir = str(d / "whole")
+    build_index([f0, f1], whole_dir, IndexOptions(**opts))
+    m0_dir = str(d / "m0")
+    build_index([f0], m0_dir, IndexOptions(**opts))
+    m1_dir = str(d / "m1")
+    build_index([f1], m1_dir, IndexOptions(**opts))
+
+    whole = Index.open(whole_dir)
+    alias = IndexAlias([Index.open(m0_dir), Index.open(m1_dir)])
+    req = {"query": {"term": "needle", "field": "text"}, "size": 8}
+
+    rw = whole.search(req)
+    r_local = alias.search(req)
+    r_global = alias.search(dict(req, search_type="global_scoring"))
+
+    assert rw.hits and len(rw.hits) == 8
+    # without presearch: member-local stats -> different scores
+    assert any(
+        abs(a.score - b.score) > 1e-9
+        for a, b in zip(r_local.hits, rw.hits)
+    )
+    # with global scoring: identical ranking AND identical scores
+    assert [h.id for h in r_global.hits] == [h.id for h in rw.hits]
+    for a, b in zip(r_global.hits, rw.hits):
+        assert abs(a.score - b.score) < 1e-12, (a, b)
