@@ -1221,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_nchars": _q_sort_by_nchars,
         # --- training-data pipelines ---
         "token_count": text_stats.token_count_ds,
+        "bpe_token_count": text_stats.bpe_token_count_ds,
         "quality_score": text_stats.quality_ds,
         "langid": text_stats.langid_ds,
         "doc_fingerprint": text_stats.fingerprint_ds,
@@ -1502,6 +1503,15 @@ WITH toks AS (
 )
 SELECT d.doc_id, count(t.term) AS token_count
 FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+""",
+        # identical RE2 pattern to text_stats.BPE_TOKEN_PATTERN (both
+        # DuckDB and Arrow use RE2 leftmost-first matching)
+        "bpe_token_count": """
+SELECT doc_id,
+  len(regexp_extract_all(coalesce(text, ''),
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+  AS bpe_tokens
+FROM documents
 """,
         "quality_score": f"""
 WITH toks AS (

@@ -82,6 +82,39 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# BPE-style pre-tokenizer pattern (GPT-2 pre-tokenization shape, public
+# knowledge; lookahead-free so Python re, Arrow RE2 and DuckDB RE2 agree
+# on leftmost-first matching): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token counting (the LLM-pipeline estimator: how many
+    subword-ish units a tokenizer would see).  One vectorized RE2 count
+    per batch; the DuckDB oracle runs the identical pattern."""
+    counts = pc.count_substring_regex(
+        pc.fill_null(batch["text"], ""), pattern=BPE_TOKEN_PATTERN
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "bpe_tokens": pc.cast(counts, pa.int64()),
+        }
+    )
+
+
+def bpe_token_count_ds(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Per-doc quality stats: token count, alpha char ratio, stop-word
     ratio, mean token length.  All ratios rounded via %.6f formatting for

@@ -290,3 +290,32 @@ def test_vectorized_batch_kernels_match_per_row_semantics():
     for i, t in enumerate(texts):
         per = dedup._shingle_hashes(toks(t))
         assert np.array_equal(np.sort(per), np.sort(sf[so[i] : so[i + 1]]))
+
+
+def test_bpe_token_count_matches_python_re(ray_session):
+    """BPE-ish pre-tokenizer counts: Arrow RE2 kernel == Python re
+    findall of the same pattern over sf0.001 documents."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from bleve_ray.pipelines.text_stats import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_count_ds,
+    )
+
+    got = (
+        bpe_token_count_ds(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tab = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    exp = [
+        len(re.findall(BPE_TOKEN_PATTERN, t or ""))
+        for t in tab["text"].to_pylist()
+    ]
+    assert got["bpe_tokens"].tolist() == exp
+    assert got["doc_id"].tolist() == tab["doc_id"].to_pylist()
