@@ -441,6 +441,22 @@ class MatchNoneQuery(Query):
         return MatchNoneSearcher()
 
 
+# registered JSON parsers for app-defined wrapper queries
+# (query.go CustomScoreQueryParser / CustomFilterQueryParser hooks)
+CUSTOM_SCORE_QUERY_PARSER = None
+CUSTOM_FILTER_QUERY_PARSER = None
+
+
+def register_custom_query_parsers(score=None, filter=None) -> None:
+    """Register app callbacks mapping {"custom_score"/"custom_filter": ...}
+    JSON onto CustomScoreQuery/CustomFilterQuery instances."""
+    global CUSTOM_SCORE_QUERY_PARSER, CUSTOM_FILTER_QUERY_PARSER
+    if score is not None:
+        CUSTOM_SCORE_QUERY_PARSER = score
+    if filter is not None:
+        CUSTOM_FILTER_QUERY_PARSER = filter
+
+
 def parse_query(d: Dict) -> Query:
     """JSON-dict -> Query (dispatch mirrors query.go:146-382)."""
     boost = d.get("boost", 1.0)
@@ -587,6 +603,16 @@ def parse_query(d: Dict) -> Query:
         return BoolFieldQuery(d["bool"], field=d.get("field", ""), boost=boost)
     if "cidr" in d:
         return IPRangeQuery(d["cidr"], field=d.get("field", ""), boost=boost)
+    if "custom_filter" in d:
+        # pluggable parser hook (query.go:311-317): apps register how
+        # their custom-filter JSON maps onto a CustomFilterQuery
+        if CUSTOM_FILTER_QUERY_PARSER is None:
+            raise ValueError("custom filter query parser is not registered")
+        return CUSTOM_FILTER_QUERY_PARSER(d)
+    if "custom_score" in d:
+        if CUSTOM_SCORE_QUERY_PARSER is None:
+            raise ValueError("custom score query parser is not registered")
+        return CUSTOM_SCORE_QUERY_PARSER(d)
     if "match_all" in d:
         return MatchAllQuery(boost=boost)
     if "match_none" in d:

@@ -419,3 +419,48 @@ def doc_index_for_star(ray_session, tmp_path_factory):
         ),
     )
     return Index.open(d)
+
+
+def test_custom_query_parser_registration(idx):
+    """JSON dispatch for custom_score/custom_filter goes through the
+    registered parser hooks (query.go:311-324); unregistered -> error."""
+    import bleve_ray.search.query as q
+
+    old_s, old_f = q.CUSTOM_SCORE_QUERY_PARSER, q.CUSTOM_FILTER_QUERY_PARSER
+    q.CUSTOM_SCORE_QUERY_PARSER = None
+    q.CUSTOM_FILTER_QUERY_PARSER = None
+    try:
+        with pytest.raises(ValueError, match="custom score query parser"):
+            q.parse_query({"custom_score": {"base": 2.0}})
+        with pytest.raises(ValueError, match="custom filter query parser"):
+            q.parse_query({"custom_filter": {}})
+
+        def parse_score(d):
+            spec = d["custom_score"]
+            return q.CustomScoreQuery(
+                q.parse_query(spec["query"]),
+                lambda doc_id, score, fields: score * spec["mult"],
+            )
+
+        q.register_custom_query_parsers(score=parse_score)
+        r = idx.search(
+            {
+                "query": {
+                    "custom_score": {
+                        "query": {"term": "func", "field": "content"},
+                        "mult": 3.0,
+                    }
+                },
+                "size": 3,
+            }
+        )
+        base = idx.search(
+            {"query": {"term": "func", "field": "content"}, "size": 3}
+        )
+        assert r.hits and all(
+            abs(a.score - 3.0 * b.score) < 1e-9
+            for a, b in zip(r.hits, base.hits)
+        )
+    finally:
+        q.CUSTOM_SCORE_QUERY_PARSER = old_s
+        q.CUSTOM_FILTER_QUERY_PARSER = old_f
