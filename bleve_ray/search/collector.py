@@ -220,6 +220,9 @@ def _apply_search_after(reader, hits: SearchHits, after) -> SearchHits:
     return SearchHits(hits.docnums[lt], hits.scores[lt])
 
 
+_SYNONYMS_INTERNAL_KEY = "_synonym_definitions"
+
+
 class Index:
     """Open a built index for searching (index_impl.go Search equivalent)."""
 
@@ -233,6 +236,49 @@ class Index:
             },
             scoring_model=opts.get("scoring_model", "bm25"),
         )
+        if mapping is None:
+            self._load_persisted_synonyms()
+
+    def _load_persisted_synonyms(self) -> None:
+        """Synonym sources persist WITH the index (reference
+        index.go:358-390 indexes SynonymDefinitions into the index; here
+        the thesaurus lives in the manifest's internal KV) and re-apply on
+        every open."""
+        import json as _json
+
+        raw = self.reader.manifest.internal.get(_SYNONYMS_INTERNAL_KEY)
+        if not raw:
+            return
+        try:
+            payload = _json.loads(raw)
+        except ValueError:
+            return
+        analyzer = None
+        if payload.get("analyzer"):
+            from ..analysis.analyzers import analyzer_named
+
+            analyzer = analyzer_named(payload["analyzer"])
+        self.mapping.set_synonyms(payload.get("definitions", []), analyzer)
+
+    def define_synonyms(
+        self, definitions, analyzer_name: str = ""
+    ) -> None:
+        """Persist synonym definitions into the index (epoch-committed
+        internal KV) and apply them to the live mapping immediately."""
+        import json as _json
+
+        self.set_internal(
+            _SYNONYMS_INTERNAL_KEY,
+            _json.dumps(
+                {"definitions": list(definitions), "analyzer": analyzer_name}
+            ),
+        )
+        analyzer = None
+        if analyzer_name:
+            from ..analysis.analyzers import analyzer_named
+
+            analyzer = analyzer_named(analyzer_name)
+        self.mapping.set_synonyms(definitions, analyzer)
 
     @staticmethod
     def open(index_dir: str) -> "Index":

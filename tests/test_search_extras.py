@@ -464,3 +464,40 @@ def test_custom_query_parser_registration(idx):
     finally:
         q.CUSTOM_SCORE_QUERY_PARSER = old_s
         q.CUSTOM_FILTER_QUERY_PARSER = old_f
+
+
+def test_synonyms_persist_with_index(ray_session, tiny_corpus_dir, tmp_path):
+    """define_synonyms stores the definitions in the index (internal KV,
+    reference indexes SynonymDefinitions so they persist, index.go:358-390)
+    and a FRESH open re-applies them automatically."""
+    import os as _os
+
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    d = str(tmp_path / "synpersist")
+    files = sorted(
+        _os.path.join(tiny_corpus_dir, f)
+        for f in _os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(d)
+    plain_total = idx.search(
+        {"query": {"term": "func", "field": "content"}, "size": 0}
+    ).total_hits
+    idx.define_synonyms([{"synonyms": ["func", "lambda"]}])
+    with_syn = idx.search(
+        {"query": {"term": "func", "field": "content"}, "size": 0}
+    ).total_hits
+    assert with_syn >= plain_total
+
+    # fresh open: thesaurus restored from the index itself
+    idx2 = Index.open(d)
+    assert idx2.mapping.synonyms is not None
+    assert idx2.mapping.synonyms.synonyms_of("func") == ["lambda"]
+    assert (
+        idx2.search(
+            {"query": {"term": "func", "field": "content"}, "size": 0}
+        ).total_hits
+        == with_syn
+    )
