@@ -547,6 +547,21 @@ def _q_collection_stats(sf_dir: str):
     )
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Image resize stage over the deterministic fake media table
+    (sf_dir-independent synthetic input; rows-only driver check)."""
+    from bleve_ray.pipelines.multimodal import resize_images_ds
+
+    return resize_images_ds(out_h=16, out_w=16)
+
+
+def _q_multimodal_frames(sf_dir: str):
+    """Uniform frame-sampling stage (one row per sampled frame)."""
+    from bleve_ray.pipelines.multimodal import sample_frames_ds
+
+    return sample_frames_ds(n_frames=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     """Materialize to a typed table: group-wise pair emission can produce
     empty blocks whose schema is empty, which breaks naive concatenation."""
@@ -1233,6 +1248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": ann.embedding_near_dup_pairs_ds,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
+        # --- multimodal plumbing (deterministic fake decode; the Ray
+        # actor-pool wiring, resize gather and uniform frame sampling are
+        # real -- codec libs absent in this container) ---
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         # --- generic relational ops ---
         "events_windowed": _q_events_windowed,
         "lineitem_agg": _q_lineitem_agg,

@@ -69,6 +69,138 @@ class DeterministicFakeDecoder:
         )
 
 
+def _fake_decode_array(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake image decode: seeded (h, w) float32 array from
+    the payload content hash (stands in for PIL/cv2 decode; everything
+    downstream of it is real math)."""
+    hsh = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(hsh, "little"))
+    return rng.standard_normal((h, w)).astype(np.float32)
+
+
+class FakeDecodeResizeStage:
+    """Actor-pool stage: image payload -> decoded (fake) -> RESIZED pixels.
+
+    The resize itself is real, vectorized nearest-neighbor index sampling
+    (np.linspace row/col gather) -- only the byte decode is the
+    deterministic stub.  Non-image rows pass through untouched upstream
+    (filter before this stage); output is a fixed-shape flattened
+    list<float32> plus the output dims, the layout a training-data
+    pipeline shards into tensors."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32):
+        self.out_h, self.out_w = out_h, out_w
+        # real codecs / accelerators would be opened here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        out = []
+        for payload, meta in zip(
+            batch["payload"].to_pylist(), batch["meta_json"].to_pylist()
+        ):
+            m = json.loads(meta or "{}")
+            h, w = int(m.get("h", 64)), int(m.get("w", 64))
+            arr = _fake_decode_array(payload, h, w)
+            rows = np.linspace(0, h - 1, self.out_h).round().astype(np.int64)
+            cols = np.linspace(0, w - 1, self.out_w).round().astype(np.int64)
+            out.append(arr[rows][:, cols].reshape(-1))
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "pixels": pa.array(
+                    [o.tolist() for o in out], type=pa.list_(pa.float32())
+                ),
+                "h": pa.array([self.out_h] * len(out), type=pa.int32()),
+                "w": pa.array([self.out_w] * len(out), type=pa.int32()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video payload -> N uniformly sampled frames, one
+    OUTPUT ROW PER FRAME (the flat_map layout frame-level training data
+    needs).  Uniform sampling indices (np.linspace over the source frame
+    count) are real; the per-frame feature is the deterministic fake
+    decode.  Source frame count derives from the payload size, like a
+    container header read."""
+
+    def __init__(self, n_frames: int = 4, feature_dim: int = 16):
+        self.n_frames = n_frames
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nsrc, feats = [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            payload = payload or b""
+            n_src = max(1, len(payload) // 16)
+            take = np.unique(
+                np.linspace(0, n_src - 1, min(self.n_frames, n_src))
+                .round()
+                .astype(np.int64)
+            )
+            for fi in take:
+                seed = hashlib.blake2b(
+                    payload + int(fi).to_bytes(4, "little"), digest_size=8
+                ).digest()
+                rng = np.random.default_rng(int.from_bytes(seed, "little"))
+                ids.append(item_id)
+                fidx.append(int(fi))
+                nsrc.append(n_src)
+                feats.append(
+                    rng.standard_normal(self.feature_dim).astype(np.float32)
+                )
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int32()),
+                "n_src_frames": pa.array(nsrc, type=pa.int32()),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def resize_images_ds(table: Optional[pa.Table] = None, out_h: int = 32,
+                     out_w: int = 32):
+    """Filter to image rows -> actor-pool resize (small batches: payloads
+    are large binaries)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    table = table if table is not None else make_fake_media_table()
+    table = table.filter(pc.equal(table["media_type"], "image"))
+    ds = ray.data.from_arrow(table)
+    return ds.map_batches(
+        FakeDecodeResizeStage,
+        fn_constructor_args=(out_h, out_w),
+        batch_size=16,
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+
+
+def sample_frames_ds(table: Optional[pa.Table] = None, n_frames: int = 4):
+    """Filter to video rows -> actor-pool frame sampling (row-expanding
+    stage: one output row per sampled frame)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    table = table if table is not None else make_fake_media_table()
+    table = table.filter(pc.equal(table["media_type"], "video"))
+    ds = ray.data.from_arrow(table)
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(n_frames,),
+        batch_size=16,
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+
+
 def make_fake_media_table(n: int = 32, seed: int = 1) -> pa.Table:
     rng = np.random.default_rng(seed)
     payloads = [rng.bytes(64 + int(rng.integers(0, 64))) for _ in range(n)]

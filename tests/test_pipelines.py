@@ -319,3 +319,49 @@ def test_bpe_token_count_matches_python_re(ray_session):
     ]
     assert got["bpe_tokens"].tolist() == exp
     assert got["doc_id"].tolist() == tab["doc_id"].to_pylist()
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Resize (nearest-neighbor index gather) and frame sampling
+    (uniform linspace indices, one output row per frame) as actor-pool
+    stages over the opaque media table."""
+    from bleve_ray.pipelines.multimodal import (
+        make_fake_media_table,
+        resize_images_ds,
+        sample_frames_ds,
+    )
+
+    tab = make_fake_media_table(n=24, seed=5)
+    r = resize_images_ds(tab, out_h=8, out_w=8).to_pandas()
+    n_images = sum(1 for t in tab["media_type"].to_pylist() if t == "image")
+    assert len(r) == n_images
+    assert all(len(p) == 64 for p in r["pixels"])
+    assert (r["h"] == 8).all() and (r["w"] == 8).all()
+    # deterministic: same input -> same pixels
+    r2 = resize_images_ds(tab, out_h=8, out_w=8).to_pandas()
+    a = r.sort_values("item_id").reset_index(drop=True)
+    b = r2.sort_values("item_id").reset_index(drop=True)
+    assert all(
+        np.allclose(x, y) for x, y in zip(a["pixels"], b["pixels"])
+    )
+
+    f = sample_frames_ds(tab, n_frames=3).to_pandas()
+    vids = {
+        i: len(p)
+        for i, t, p in zip(
+            tab["item_id"].to_pylist(),
+            tab["media_type"].to_pylist(),
+            tab["payload"].to_pylist(),
+        )
+        if t == "video"
+    }
+    assert set(f["item_id"]) == set(vids)
+    for item_id, grp in f.groupby("item_id"):
+        n_src = max(1, vids[item_id] // 16)
+        assert len(grp) == min(3, n_src)
+        assert (grp["n_src_frames"] == n_src).all()
+        # uniform: first frame 0, last frame n_src-1 when >1 sampled
+        idxs = sorted(grp["frame_idx"])
+        assert idxs[0] == 0
+        if len(idxs) > 1:
+            assert idxs[-1] == n_src - 1
