@@ -122,25 +122,63 @@ def collect_topn(
 
 
 def _collect_sorted(
-    reader, hits: SearchHits, size: int, from_: int, sort: List[str], t0
+    reader, hits: SearchHits, size: int, from_: int, sort: List, t0
 ) -> SearchResult:
-    """Custom sort order (search/sort.go SortOrder): keys are '_score',
-    '_id' or a docvalue field name, '-' prefix = descending; missing
-    values sort last (missing-last default)."""
+    """Custom sort order (search/sort.go SortOrder): string keys are
+    '_score', '_id' or a docvalue field name with '-' prefix for
+    descending; OBJECT entries mirror ParseSearchSortObj
+    (sort.go:53-110): {"by": "id"|"score"|"field"|"geo_distance",
+    "desc": bool, "field": ..., "location": ..., "unit": ...}.  Missing
+    values sort last."""
     n = len(hits.docnums)
+    # normalize entries -> (name, desc, precomputed values or None)
+    entries = []
+    for s in sort:
+        if isinstance(s, dict):
+            by = s.get("by")
+            desc = bool(s.get("desc", False))
+            if by == "id":
+                entries.append(("_id", desc, None))
+            elif by == "score":
+                entries.append(("_score", desc, None))
+            elif by == "field":
+                entries.append((s["field"], desc, None))
+            elif by == "geo_distance":
+                # SortGeoDistance (sort.go:700-760): haversine from the
+                # query location to each hit's geo docvalue, in `unit`
+                from ..index.geo import haversin_km, parse_distance_km
+                from .query import _geo_values
+
+                loc = s.get("location")
+                if isinstance(loc, dict):
+                    lon, lat = float(loc["lon"]), float(loc["lat"])
+                else:
+                    lon, lat = float(loc[0]), float(loc[1])
+                glon, glat = _geo_values(
+                    reader, s["field"], hits.docnums
+                )
+                dist = haversin_km(lon, lat, glon, glat)
+                unit = s.get("unit")
+                if unit:
+                    dist = dist / parse_distance_km("1" + unit)
+                entries.append(("_computed", desc, dist))
+            else:
+                raise ValueError(f"search sort must specify by: {s!r}")
+        else:
+            entries.append((s.lstrip("-"), s.startswith("-"), None))
     field_keys = [
-        s.lstrip("-") for s in sort if s.lstrip("-") not in ("_score", "_id")
+        name
+        for name, _, pre in entries
+        if pre is None and name not in ("_score", "_id")
     ]
     dv = reader.docvalues_for(hits.docnums, field_keys) if field_keys else {}
     ids = None
-    if any(s.lstrip("-") == "_id" for s in sort):
+    if any(name == "_id" for name, _, _ in entries):
         ids = reader.doc_ids_for(hits.docnums)
 
     def key_for(i: int):
         parts = []
-        for s in sort:
-            desc = s.startswith("-")
-            name = s.lstrip("-")
+        for name, desc, pre in entries:
             if name == "_score":
                 v = hits.scores[i]
                 parts.append(-v if desc else v)
@@ -148,8 +186,12 @@ def _collect_sorted(
                 iv = ids[i]
                 parts.append(_RevStr(iv) if desc else iv)
             else:
-                v = dv[name][i]
-                missing = v is None
+                if pre is not None:
+                    v = float(pre[i])
+                    missing = v != v  # NaN = no geo point stored
+                else:
+                    v = dv[name][i]
+                    missing = v is None
                 if desc:
                     parts.append((missing, _Rev(v) if not missing else None))
                 else:

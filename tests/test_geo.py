@@ -321,3 +321,81 @@ def test_geo_shape_contains_and_linestring(geo_index):
         },
     )
     assert "11" in got
+
+
+def test_sort_by_geo_distance(geo_index):
+    """Object-form sort entry {"by": "geo_distance"} (sort.go
+    ParseSearchSortObj + SortGeoDistance): hits ordered by haversine
+    distance from the given location; desc reverses."""
+    from bleve_ray.index.geo import haversin_km
+
+    idx, lon, lat = geo_index
+    qlon, qlat = 2.35, 48.86
+    r = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 20,
+            "sort": [
+                {
+                    "by": "geo_distance",
+                    "field": "pt",
+                    "location": {"lon": qlon, "lat": qlat},
+                    "unit": "km",
+                }
+            ],
+        }
+    )
+    assert len(r.hits) == 20
+    dists = np.array(
+        [haversin_km(qlon, qlat, lon[int(h.id)], lat[int(h.id)]) for h in r.hits]
+    )
+    assert (np.diff(dists) >= -1e-9).all()
+    # the nearest returned doc is the true global nearest
+    all_d = haversin_km(qlon, qlat, lon, lat)
+    assert int(r.hits[0].id) == int(np.argmin(all_d))
+
+    r_desc = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 5,
+            "sort": [
+                {
+                    "by": "geo_distance",
+                    "field": "pt",
+                    "location": [qlon, qlat],
+                    "desc": True,
+                }
+            ],
+        }
+    )
+    d_desc = np.array(
+        [
+            haversin_km(qlon, qlat, lon[int(h.id)], lat[int(h.id)])
+            for h in r_desc.hits
+        ]
+    )
+    assert (np.diff(d_desc) <= 1e-9).all()
+    assert int(r_desc.hits[0].id) == int(np.argmax(all_d))
+
+
+def test_sort_object_forms_match_string_forms(geo_index):
+    idx, _, _ = geo_index
+    a = idx.search(
+        {"query": {"match_all": {}}, "size": 10, "sort": [{"by": "id"}]}
+    )
+    b = idx.search(
+        {"query": {"match_all": {}}, "size": 10, "sort": ["_id"]}
+    )
+    assert [h.id for h in a.hits] == [h.id for h in b.hits]
+    c = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 10,
+            "sort": [{"by": "id", "desc": True}],
+        }
+    )
+    assert [h.id for h in c.hits] == [
+        h.id for h in idx.search(
+            {"query": {"match_all": {}}, "size": 10, "sort": ["-_id"]}
+        ).hits
+    ]
