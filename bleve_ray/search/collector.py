@@ -131,18 +131,26 @@ def _collect_sorted(
     "desc": bool, "field": ..., "location": ..., "unit": ...}.  Missing
     values sort last."""
     n = len(hits.docnums)
-    # normalize entries -> (name, desc, precomputed values or None)
+    # normalize entries -> (name, desc, precomputed values, missing_first)
     entries = []
     for s in sort:
         if isinstance(s, dict):
             by = s.get("by")
             desc = bool(s.get("desc", False))
+            missing_first = False
+            if "missing" in s:
+                # SortFieldMissing (sort.go:135-143,370-378)
+                if s["missing"] not in ("first", "last"):
+                    raise ValueError(
+                        f"unknown sort field missing: {s['missing']}"
+                    )
+                missing_first = s["missing"] == "first"
             if by == "id":
-                entries.append(("_id", desc, None))
+                entries.append(("_id", desc, None, False))
             elif by == "score":
-                entries.append(("_score", desc, None))
+                entries.append(("_score", desc, None, False))
             elif by == "field":
-                entries.append((s["field"], desc, None))
+                entries.append((s["field"], desc, None, missing_first))
             elif by == "geo_distance":
                 # SortGeoDistance (sort.go:700-760): haversine from the
                 # query location to each hit's geo docvalue, in `unit`
@@ -161,24 +169,24 @@ def _collect_sorted(
                 unit = s.get("unit")
                 if unit:
                     dist = dist / parse_distance_km("1" + unit)
-                entries.append(("_computed", desc, dist))
+                entries.append(("_computed", desc, dist, missing_first))
             else:
                 raise ValueError(f"search sort must specify by: {s!r}")
         else:
-            entries.append((s.lstrip("-"), s.startswith("-"), None))
+            entries.append((s.lstrip("-"), s.startswith("-"), None, False))
     field_keys = [
         name
-        for name, _, pre in entries
+        for name, _, pre, _ in entries
         if pre is None and name not in ("_score", "_id")
     ]
     dv = reader.docvalues_for(hits.docnums, field_keys) if field_keys else {}
     ids = None
-    if any(name == "_id" for name, _, _ in entries):
+    if any(name == "_id" for name, _, _, _ in entries):
         ids = reader.doc_ids_for(hits.docnums)
 
     def key_for(i: int):
         parts = []
-        for name, desc, pre in entries:
+        for name, desc, pre, missing_first in entries:
             if name == "_score":
                 v = hits.scores[i]
                 parts.append(-v if desc else v)
@@ -192,10 +200,11 @@ def _collect_sorted(
                 else:
                     v = dv[name][i]
                     missing = v is None
+                rank = not missing if missing_first else missing
                 if desc:
-                    parts.append((missing, _Rev(v) if not missing else None))
+                    parts.append((rank, _Rev(v) if not missing else None))
                 else:
-                    parts.append((missing, v))
+                    parts.append((rank, v if not missing else None))
         return tuple(parts)
 
     order = sorted(range(n), key=key_for)

@@ -68,6 +68,10 @@ class MatchQuery(Query):
     operator: str = "or"
     analyzer: str = ""
     boost: float = 1.0
+    # match.go:150-170: per-analyzed-term fuzzy expansion; 0 = exact,
+    # "auto" = length thresholds
+    fuzziness: object = 0
+    prefix_length: int = 0
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
@@ -78,7 +82,18 @@ class MatchQuery(Query):
         if not tokens:
             return MatchNoneSearcher()
         th = getattr(mapping, "synonyms", None)
-        if th is not None:
+        if self.fuzziness not in (0, "0", None):
+            tqs = [
+                FuzzyQuery(
+                    t.term,
+                    field=field,
+                    fuzziness=self.fuzziness,
+                    prefix_length=self.prefix_length,
+                    boost=self.boost,
+                ).searcher(reader, mapping, options)
+                for t in tokens
+            ]
+        elif th is not None:
             from .synonyms import synonym_term_searcher
 
             tqs = [
@@ -259,19 +274,44 @@ def _parse_dt_nanos(s) -> int:
     return (whole_us + delta.microseconds) * 1000
 
 
+def resolve_fuzziness(fuzz, term: str) -> int:
+    """Validated edit distance.  "auto" follows GetAutoFuzziness
+    (search_fuzzy.go:115-123): byte length > 5 -> 2, > 2 -> 1, else 0;
+    numeric values are capped like the reference's query validation
+    (query.go:725-730)."""
+    if fuzz == "auto":
+        n = len(term.encode("utf-8"))
+        if n > 5:
+            return 2
+        if n > 2:
+            return 1
+        return 0
+    f = int(fuzz)
+    if f > 2:
+        raise ValueError("fuzziness exceeds max (2)")
+    if f < 0:
+        raise ValueError("invalid fuzziness, negative")
+    return f
+
+
 @dataclass
 class FuzzyQuery(Query):
-    """search_fuzzy.go: Levenshtein (<=2) expansion over the dictionary."""
+    """search_fuzzy.go: Levenshtein (<=2) expansion over the dictionary;
+    fuzziness may be "auto" (term-length thresholds)."""
 
     term: str
     field: str = ""
-    fuzziness: int = 1
+    fuzziness: object = 1
     prefix_length: int = 0
     boost: float = 1.0
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
-        fuzz = min(self.fuzziness, 2)  # MaxFuzziness (search_fuzzy.go:26)
+        fuzz = resolve_fuzziness(self.fuzziness, self.term)
+        if fuzz == 0:
+            # empty candidate expansion degenerates to the exact term
+            # (search_fuzzy.go:100-108)
+            return TermSearcher(reader, self.term, field, self.boost, options)
         prefix = self.term[: self.prefix_length]
         if hasattr(reader, "terms_matching_automaton"):
             # Levenshtein automaton intersected with the sorted dictionary
@@ -467,6 +507,8 @@ def parse_query(d: Dict) -> Query:
             operator=d.get("operator", "or"),
             analyzer=d.get("analyzer", ""),
             boost=boost,
+            fuzziness=d.get("fuzziness", 0),
+            prefix_length=d.get("prefix_length", 0),
         )
     if "match_phrase" in d:
         return MatchPhraseQuery(

@@ -232,3 +232,61 @@ def test_reader_stats_surface(ray_session, tiny_corpus_dir, tmp_path):
     assert s1["posting_cache_hits"] >= 1
     assert s1["postings_decoded"] >= 1
     assert s1["segments_open"] >= 1
+
+
+def test_fuzziness_auto_and_validation(ray_session, tiny_corpus_dir,
+                                       tmp_path):
+    """"auto" fuzziness follows GetAutoFuzziness length thresholds
+    (search_fuzzy.go:115-123); out-of-range fuzziness errors like the
+    reference query validation (query.go:725-730); match queries accept
+    per-term fuzziness (match.go:150-170)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bleve_ray.index import IndexOptions, build_index
+    from bleve_ray.search import Index
+    from bleve_ray.search.query import resolve_fuzziness
+
+    assert resolve_fuzziness("auto", "ab") == 0
+    assert resolve_fuzziness("auto", "abc") == 1
+    assert resolve_fuzziness("auto", "abcdef") == 2
+    with _pytest.raises(ValueError, match="exceeds max"):
+        resolve_fuzziness(3, "x")
+    with _pytest.raises(ValueError, match="negative"):
+        resolve_fuzziness(-1, "x")
+
+    d = str(tmp_path / "fzidx")
+    files = sorted(
+        _os.path.join(tiny_corpus_dir, f)
+        for f in _os.listdir(tiny_corpus_dir)
+    )
+    build_index(files, d, IndexOptions(num_shards=2, bucket_bits=6))
+    idx = Index.open(d)
+    exact = idx.search(
+        {"query": {"term": "return", "field": "content"}, "size": 0}
+    ).total_hits
+    # auto on a 6-byte term = distance 2; superset of exact matches
+    auto = idx.search(
+        {
+            "query": {
+                "term": "return",
+                "fuzziness": "auto",
+                "field": "content",
+            },
+            "size": 0,
+        }
+    ).total_hits
+    assert auto >= exact > 0
+    # match query with fuzziness: typo still matches
+    fz = idx.search(
+        {
+            "query": {
+                "match": "retorn",
+                "field": "content",
+                "fuzziness": 1,
+            },
+            "size": 0,
+        }
+    ).total_hits
+    assert fz >= exact
