@@ -77,35 +77,41 @@ def parse_query_string(s: str) -> Query:
             head, _, rest = text.partition(":")
             if head and not head.startswith(("<", ">")):
                 field = head
-                if rest.startswith('"'):
-                    m2 = _TOKEN_RE.match(s, m.start() + len(head) + 1)
+                if rest == "" and pos < len(s) and s[pos] == '"':
+                    # field:"phrase..." -- the quote starts a new token
+                    m2 = _TOKEN_RE.match(s, pos)
                     if m2 and m2.lastgroup == "phrase":
                         pos = m2.end()
-                        q = _phrase(m2.group(0), field)
+                        q, pos = _phrase_with_mods(s, pos, m2.group(0), field)
                         _push(q, mode, must, must_not, should)
                         mode = 0
                         continue
                 text = rest
         if m.lastgroup == "phrase":
-            q = _phrase(text, field)
+            q, pos = _phrase_with_mods(s, pos, text, field)
         elif m.lastgroup == "regex":
             q = RegexpQuery(text[1:-1], field=field)
         else:
             if text.startswith(("<", ">")):
-                raise ValueError(
-                    "numeric range clauses require numeric-indexed fields "
-                    "(not supported yet)"
-                )
-            wm = _WORD_MOD_RE.match(text)
-            body = wm.group("body")
-            boost = float(wm.group("boost")) if wm.group("boost") else 1.0
-            fuzz = int(wm.group("fuzz")) if wm.group("fuzz") else 0
-            if "*" in body or "?" in body:
-                q = WildcardQuery(body, field=field, boost=boost)
-            elif fuzz:
-                q = FuzzyQuery(body, field=field, fuzziness=fuzz, boost=boost)
+                # numeric / date range clause (query_string.y tGREATER /
+                # tLESS productions): field:>5, field:>=5.5, field:<"date"
+                q, pos = _range_clause(s, pos, text, field)
+            elif len(text) > 1 and text.startswith("/") and text.endswith("/"):
+                # field:/regex/
+                q = RegexpQuery(text[1:-1], field=field)
             else:
-                q = MatchQuery(body, field=field, boost=boost)
+                wm = _WORD_MOD_RE.match(text)
+                body = wm.group("body")
+                boost = float(wm.group("boost")) if wm.group("boost") else 1.0
+                fuzz = int(wm.group("fuzz")) if wm.group("fuzz") else 0
+                if "*" in body or "?" in body:
+                    q = WildcardQuery(body, field=field, boost=boost)
+                elif fuzz:
+                    q = FuzzyQuery(
+                        body, field=field, fuzziness=fuzz, boost=boost
+                    )
+                else:
+                    q = MatchQuery(body, field=field, boost=boost)
         _push(q, mode, must, must_not, should)
         mode = 0
 
@@ -127,6 +133,63 @@ def parse_query_string(s: str) -> Query:
 def _phrase(token: str, field: str) -> Query:
     body = token[1:-1].replace('\\"', '"')
     return MatchPhraseQuery(body, field=field)
+
+
+_PHRASE_MOD_RE = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)")
+
+
+def _phrase_with_mods(s: str, pos: int, token: str, field: str):
+    """Phrase + optional attached boost suffix ('"x y"^2')."""
+    q = _phrase(token, field)
+    m = _PHRASE_MOD_RE.match(s, pos)
+    if m:
+        q.boost = float(m.group("boost"))
+        pos = m.end()
+    return q, pos
+
+
+def _range_clause(s: str, pos: int, text: str, field: str):
+    """field:>OPERAND productions: numeric operand -> NumericRangeQuery,
+    quoted operand (next token is a phrase) -> DateRangeQuery; '='
+    controls inclusivity (query_string.y tGREATER/tLESS [tEQUAL])."""
+    from .query import DateRangeQuery, NumericRangeQuery
+
+    op = text[0]
+    inclusive = text[1:2] == "="
+    operand = text[2:] if inclusive else text[1:]
+    if operand == "" and pos < len(s) and s[pos] == '"':
+        m2 = _TOKEN_RE.match(s, pos)
+        if m2 and m2.lastgroup == "phrase":
+            pos = m2.end()
+            date = m2.group(0)[1:-1]
+            if op == ">":
+                return (
+                    DateRangeQuery(
+                        start=date, field=field, inclusive_start=inclusive
+                    ),
+                    pos,
+                )
+            return (
+                DateRangeQuery(
+                    end=date, field=field, inclusive_end=inclusive
+                ),
+                pos,
+            )
+    try:
+        num = float(operand)
+    except ValueError:
+        raise ValueError(f"invalid range operand: {operand!r}")
+    if op == ">":
+        return (
+            NumericRangeQuery(
+                min=num, field=field, inclusive_min=inclusive
+            ),
+            pos,
+        )
+    return (
+        NumericRangeQuery(max=num, field=field, inclusive_max=inclusive),
+        pos,
+    )
 
 
 def _push(q, mode, must, must_not, should):

@@ -36,8 +36,14 @@ def test_query_string_shapes():
     q = parse_query_string("boosted^2")
     assert q.boost == 2.0
 
+    # bare range clause applies the default field (query_string.y)
+    from bleve_ray.search.query import NumericRangeQuery
+
+    q = parse_query_string(">100")
+    assert isinstance(q, NumericRangeQuery) and q.min == 100.0
+
     with pytest.raises(ValueError):
-        parse_query_string(">100")
+        parse_query_string(">abc")
 
 
 def test_query_string_end_to_end(ray_session, tiny_corpus_dir, tmp_path_factory):
@@ -290,3 +296,33 @@ def test_fuzziness_auto_and_validation(ray_session, tiny_corpus_dir,
         }
     ).total_hits
     assert fz >= exact
+
+
+def test_query_string_ranges_phrases_boosts():
+    """query_string.y productions now covered: numeric/date range
+    clauses, field-prefixed phrases with boost, field-prefixed regex."""
+    from bleve_ray.search.query import (
+        DateRangeQuery,
+        MatchPhraseQuery,
+        NumericRangeQuery,
+        RegexpQuery,
+    )
+    from bleve_ray.search.query_string import parse_query_string as p
+
+    q = p("age:>5")
+    assert isinstance(q, NumericRangeQuery)
+    assert q.min == 5.0 and not q.inclusive_min and q.field == "age"
+    q = p("age:>=5.5")
+    assert q.min == 5.5 and q.inclusive_min
+    q = p("n:<=10")
+    assert q.max == 10.0 and q.inclusive_max
+    q = p('ts:>"2024-01-01"')
+    assert isinstance(q, DateRangeQuery)
+    assert q.start == "2024-01-01" and not q.inclusive_start
+    q = p('f:"x y"^2')
+    assert isinstance(q, MatchPhraseQuery)
+    assert q.field == "f" and q.boost == 2.0 and q.match_phrase == "x y"
+    q = p('"a b"^3')
+    assert q.boost == 3.0
+    q = p("f:/re.*/")
+    assert isinstance(q, RegexpQuery) and q.field == "f"
