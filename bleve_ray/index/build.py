@@ -157,6 +157,29 @@ class IndexOptions:
         )
 
 
+def resolve_field_column(tbl: pa.Table, fname: str):
+    """Column for a (possibly dotted) field path; struct children descend
+    like the reference's document-mapping tree paths (mapping/document.go
+    DocumentMapping.Properties).  None when absent."""
+    if fname in tbl.column_names:
+        return tbl[fname]
+    if "." in fname:
+        head, _, rest = fname.partition(".")
+        if head in tbl.column_names:
+            col = tbl[head]
+            for part in rest.split("."):
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if not pa.types.is_struct(col.type):
+                    return None
+                try:
+                    col = pc.struct_field(col, part)
+                except (KeyError, pa.ArrowInvalid):
+                    return None
+            return col
+    return None
+
+
 def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
     if options.doc_id_fields is None:
         from ..corpus import doc_id_array
@@ -379,10 +402,12 @@ class ReadAnalyzeInvert:
         pf = pq.ParquetFile(d["path"])
         cols = list(
             dict.fromkeys(
-                list(opts.fields)
+                # dotted paths (document-mapping tree, mapping/document.go
+                # sub-documents) prune to their ROOT parquet column
+                [c.split(".", 1)[0] for c in opts.fields]
                 + (opts.doc_id_fields or ["repo", "path", "commit", "doc_id", "id"])
-                + list(opts.docvalue_fields)
-                + list(opts.store_fields)
+                + [c.split(".", 1)[0] for c in opts.docvalue_fields]
+                + [c.split(".", 1)[0] for c in opts.store_fields]
             )
         )
         cols = [c for c in cols if c in pf.schema_arrow.names]
@@ -415,34 +440,39 @@ class ReadAnalyzeInvert:
         }
         chunk_tables = []
         primary_field = next(iter(opts.fields))
+        _prim = resolve_field_column(tbl, primary_field)
+        _prim_vals = (
+            _prim.to_pylist() if _prim is not None else [None] * len(tbl)
+        )
         shas = [
             hashlib.sha256(
                 (
                     t if isinstance(t, str) else "" if t is None else repr(t)
                 ).encode("utf-8")
             ).hexdigest()
-            for t in tbl[primary_field].to_pylist()
+            for t in _prim_vals
         ]
         all_terms, all_doc_idx, all_field_len = [], [], None
         for fname, fcfg in opts.fields.items():
-            texts = tbl[fname].to_pylist() if fname in tbl.column_names else []
+            fcol = resolve_field_column(tbl, fname)
+            texts = fcol.to_pylist() if fcol is not None else []
             if not texts:
                 continue
             if fcfg.field_type == "geo":
                 terms, doc_idx, positions, field_len = _geo_tokens(
-                    tbl[fname]
+                    fcol
                 )
             elif fcfg.field_type == "boolean":
                 terms, doc_idx, positions, field_len = _boolean_tokens(
-                    tbl[fname]
+                    fcol
                 )
             elif fcfg.field_type == "ip":
                 terms, doc_idx, positions, field_len = _ip_tokens(
-                    tbl[fname]
+                    fcol
                 )
             elif fcfg.field_type != "text":
                 terms, doc_idx, positions, field_len = _numeric_tokens(
-                    tbl[fname], fcfg.field_type
+                    fcol, fcfg.field_type
                 )
             else:
                 analyzer = self.analyzers[fname]
@@ -640,18 +670,17 @@ class ReadAnalyzeInvert:
         """Columnar forward values (+ stored fields) per sub-batch; the
         docvalues/stored analogue of zap docvalue sections."""
         opts = self.options
-        cols = [
-            c
-            for c in dict.fromkeys(
-                list(opts.docvalue_fields) + list(opts.store_fields)
-            )
-            if c in tbl.column_names
-        ]
-        if not cols:
+        col_map = {}
+        for c in dict.fromkeys(
+            list(opts.docvalue_fields) + list(opts.store_fields)
+        ):
+            col = resolve_field_column(tbl, c)
+            if col is not None:
+                col_map[c] = col
+        if not col_map:
             return
         dv = pa.table(
-            {"docnum": pa.array(docnums, type=pa.int64()),
-             **{c: tbl[c] for c in cols}}
+            {"docnum": pa.array(docnums, type=pa.int64()), **col_map}
         )
         dvdir = os.path.join(self.index_dir, "docvalues")
         os.makedirs(dvdir, exist_ok=True)

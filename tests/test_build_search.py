@@ -196,3 +196,71 @@ def test_multi_phrase_query(built_index):
     )
     union_ids = {h.id for h in r_nil.hits} | {h.id for h in r_err.hits}
     assert {h.id for h in r_multi.hits} == union_ids
+
+
+def test_dotted_field_paths_index_struct_children(ray_session, tmp_path):
+    """Document-mapping tree paths (mapping/document.go Properties): a
+    field named 'meta.title' indexes the struct child; docvalues/stored
+    fields resolve the same way; read pruning keeps the root column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    n = 30
+    titles = [f"title word{i % 5}" for i in range(n)]
+    langs = ["en" if i % 2 else "de" for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "meta": pa.StructArray.from_arrays(
+                [pa.array(titles), pa.array(langs)],
+                names=["title", "lang"],
+            ),
+            "body": pa.array([f"body text {i}" for i in range(n)]),
+        }
+    )
+    src = str(tmp_path / "nested.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={
+                "meta.title": FieldConfig(analyzer="ascii_alnum_lower"),
+                "body": FieldConfig(analyzer="ascii_alnum_lower"),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+            docvalue_fields=["meta.lang"],
+            store_fields=["meta.title"],
+        ),
+    )
+    idx = Index.open(d)
+    r = idx.search(
+        {
+            "query": {"term": "word3", "field": "meta.title"},
+            "size": 50,
+            "fields": ["meta.title", "meta.lang"],
+        }
+    )
+    want = {str(i) for i in range(n) if i % 5 == 3}
+    assert {h.id for h in r.hits} == want
+    for h in r.hits:
+        assert h.fields["meta.title"].endswith("word3")
+        assert h.fields["meta.lang"] in ("en", "de")
+    # facet over the nested docvalue
+    f = idx.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {"langs": {"field": "meta.lang", "size": 5}},
+        }
+    ).facets["langs"]
+    assert {t["term"]: t["count"] for t in f["terms"]} == {
+        "en": 15,
+        "de": 15,
+    }
