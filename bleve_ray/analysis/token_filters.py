@@ -409,3 +409,65 @@ def make_cjk_bigram_filter(output_unigram: bool = False):
         return out
 
     return bigram_filter
+
+
+# ---------------------------------------------------------------------------
+# English plural-only stemmer (reference analysis/lang/en/plural_stemmer.go,
+# itself the public OpenSearch EnglishPluralStemFilter algorithm by Mark
+# Harwood): a minimal s-stemmer with ies->y, xes/oes/shes/sses/ches->e
+# handling and small exception lists.  Registered as "stemmer_en_plural".
+# ---------------------------------------------------------------------------
+
+_OES_EXCEPTIONS = ("shoes", "canoes", "oboes")
+_CHES_EXCEPTIONS = (
+    "cliches",
+    "avalanches",
+    "mustaches",
+    "moustaches",
+    "quiches",
+    "headaches",
+    "heartaches",
+    "porsches",
+    "tranches",
+    "caches",
+)
+
+
+def english_plural_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) < 3 or not w.endswith("s"):
+        return w
+    c2 = w[-2]
+    if c2 in ("u", "s"):
+        return w
+    if c2 == "e":
+        # ies -> y only on length > 4 (spies->spy but pies->pie)
+        if len(w) > 4 and w[-3] == "i":
+            return w[:-3] + "y"
+        if len(w) > 3:
+            # xes (>1-char prefix: boxes->box but axes->axe)
+            if len(w) > 4 and w[-3] == "x":
+                return w[:-2]
+            # oes, with keep-the-e exceptions
+            if w[-3] == "o":
+                if w.endswith(_OES_EXCEPTIONS):
+                    return w[:-1]
+                return w[:-2]
+            if len(w) > 4:
+                # shes / sses
+                if w[-4] == "s" and w[-3] in ("h", "s"):
+                    return w[:-2]
+                # ches, with keep-the-e exceptions
+                if w[-4] == "c" and w[-3] == "h":
+                    if w.endswith(_CHES_EXCEPTIONS):
+                        return w[:-1]
+                    return w[:-2]
+        # dangling e cases fall through to the plain s-strip
+    return w[:-1]
+
+
+def plural_stemmer_filter(tokens):
+    for t in tokens:
+        if t.type != "KeyWord":  # respects the keyword marker
+            t.term = english_plural_stem(t.term)
+    return tokens

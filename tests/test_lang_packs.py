@@ -176,3 +176,42 @@ def test_multilang_index_per_field_analyzers(ray_session, tmp_path):
     r = idx.search({"query": {"match": "grande", "field": "txt_es",
                               "analyzer": "es"}, "size": 10})
     assert [h.id for h in r.hits] == ["1"]
+
+
+def test_english_plural_stemmer_reference_vectors():
+    """plural_stemmer.go (OpenSearch EnglishPluralStemFilter algorithm):
+    all reference test vectors."""
+    from bleve_ray.analysis.token_filters import english_plural_stem as st
+
+    vecs = [
+        ("dresses", "dress"), ("dress", "dress"), ("axes", "axe"),
+        ("ad", "ad"), ("ads", "ad"), ("gas", "ga"), ("sass", "sass"),
+        ("berries", "berry"), ("spies", "spy"), ("shoes", "shoe"),
+        ("headaches", "headache"), ("computer", "computer"),
+        ("dressing", "dressing"), ("clothes", "clothe"),
+        ("DRESSES", "dress"), ("frog", "frog"), ("runs", "run"),
+        ("pies", "pie"), ("foxes", "fox"), ("foes", "fo"),
+        ("dishes", "dish"), ("snitches", "snitch"),
+        ("cliches", "cliche"), ("forests", "forest"), ("yes", "ye"),
+        ("canoes", "canoe"), ("oboes", "oboe"), ("caches", "cache"),
+    ]
+    for w, want in vecs:
+        assert st(w) == want, (w, st(w), want)
+
+    # usable as a filter in a custom analyzer chain
+    from bleve_ray.analysis.analyzers import make_custom_analyzer
+    from bleve_ray.analysis.token_filters import (
+        lowercase_filter,
+        plural_stemmer_filter,
+    )
+    from bleve_ray.analysis.tokenizers import UnicodeTokenizer
+
+    a = make_custom_analyzer(
+        "en_plural_test",
+        UnicodeTokenizer(),
+        token_filters=[lowercase_filter, plural_stemmer_filter],
+        register=False,
+    )
+    assert [t.term for t in a.analyze("the Foxes dresses")] == [
+        "the", "fox", "dress",
+    ]
