@@ -188,10 +188,22 @@ def bench_pipelines(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     ann_cosine_topk_ds(sf_dir)
     t_ann = time.perf_counter() - t0
+    from bleve_ray.pipelines.dedup import simhash_ds
+    from bleve_ray.pipelines.text_stats import quality_ds
+
+    t0 = time.perf_counter()
+    n_docs = simhash_ds(sf_dir).count()
+    t_simhash = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    quality_ds(sf_dir).count()
+    t_quality = time.perf_counter() - t0
     return {
         "minhash_pairs_sec": round(t_minhash, 3),
         "minhash_pairs": n_pairs,
         "ann_topk_sec": round(t_ann, 3),
+        "simhash_sec": round(t_simhash, 3),
+        "simhash_docs": n_docs,
+        "quality_sec": round(t_quality, 3),
     }
 
 
