@@ -368,6 +368,68 @@ class Index:
             "fields": {f: dv[f][0] for f in cols if f in dv},
         }
 
+    def index(self, doc_id: str, doc: Dict) -> None:
+        """index.go Index(id, data): single-doc upsert (a 1-row Batch)."""
+        import pyarrow as pa
+
+        ids = self.reader.options.get("doc_id_fields") or ["doc_id"]
+        if len(ids) != 1:
+            raise ValueError(
+                "Index(id, doc) needs a single-column doc id mapping; "
+                "use batch() with explicit id columns instead"
+            )
+        row = dict(doc)
+        row[ids[0]] = doc_id
+        self.batch(upserts=pa.table({k: [v] for k, v in row.items()}))
+
+    def delete(self, doc_id: str) -> None:
+        """index.go Delete(id)."""
+        self.batch(deletes=[doc_id])
+
+    def batch(self, upserts=None, deletes=None) -> None:
+        """index.go Batch: tombstone deletes + index upserts as an
+        incremental partition (mutate.apply_batch), then reopen the
+        reader at the new epoch so this handle serves the new state."""
+        from ..index.mutate import apply_batch
+
+        apply_batch(self.reader.index_dir, upserts=upserts, deletes=deletes)
+        self.reopen()
+
+    def reopen(self) -> None:
+        """Refresh this handle to the latest committed epoch."""
+        self.reader = IndexReader(self.reader.index_dir)
+
+    def field_dict(self, field: str):
+        """index.go FieldDict: sorted (term, df) pairs."""
+        return self.reader.dictionary(field)
+
+    def field_dict_prefix(self, field: str, prefix: str):
+        return self.reader.terms_with_prefix(field, prefix)
+
+    def field_dict_range(self, field: str, start: str, end: str):
+        return self.reader.terms_in_range(field, start, end)
+
+    def stats_map(self):
+        """index.go StatsMap / IndexStat: query-side counters + manifest
+        stats."""
+        out = dict(self.reader.stats())
+        out["doc_count"] = self.reader.doc_count()
+        out["epoch"] = self.reader.manifest.epoch
+        out["segments"] = len(self.reader.manifest.segments)
+        return out
+
+    def close(self) -> None:
+        """index.go Close: release cached segment readers."""
+        self.reader._seg_readers.clear()
+        self.reader._posting_cache.clear()
+
+    @property
+    def name(self) -> str:
+        return getattr(self, "_name", self.reader.index_dir)
+
+    def set_name(self, name: str) -> None:
+        self._name = name
+
     def get_internal(self, key: str):
         """index.go GetInternal: app-metadata KV stored in the manifest."""
         from ..index import manifest as manifest_mod

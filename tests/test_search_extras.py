@@ -501,3 +501,57 @@ def test_synonyms_persist_with_index(ray_session, tiny_corpus_dir, tmp_path):
         ).total_hits
         == with_syn
     )
+
+
+def test_index_facade_single_doc_ops(ray_session, tmp_path):
+    """index.go Index/Delete/Batch/FieldDict/StatsMap/Close parity on the
+    Index facade: single-doc upsert is visible to search immediately,
+    delete tombstones it, field dicts and stats serve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(20)]),
+            "text": pa.array([f"hello world number{i}" for i in range(20)]),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="ascii_alnum_lower")},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+        ),
+    )
+    idx = Index.open(d)
+    assert idx.doc_count() == 20
+    idx.index("zzz", {"text": "freshly upserted xylophone"})
+    r = idx.search({"query": {"term": "xylophone", "field": "text"}})
+    assert [h.id for h in r.hits] == ["zzz"]
+    assert idx.doc_count() == 21
+    idx.delete("zzz")
+    assert (
+        idx.search({"query": {"term": "xylophone", "field": "text"}}).total_hits
+        == 0
+    )
+    # field dict surfaces
+    terms = dict(idx.field_dict("text"))
+    assert terms.get("hello") == 20
+    assert idx.field_dict_prefix("text", "numb") == sorted(
+        f"number{i}" for i in range(20)
+    )
+    sm = idx.stats_map()
+    assert sm["epoch"] >= 1 and "doc_count" in sm
+    idx.set_name("myindex")
+    assert idx.name == "myindex"
+    idx.close()
+    # still usable after close (readers reopen lazily)
+    assert idx.search({"query": {"term": "hello", "field": "text"}}).total_hits == 20
