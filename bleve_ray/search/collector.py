@@ -539,6 +539,17 @@ class Index:
                         if se is not None:
                             loc["start"], loc["end"] = se
 
+    def _knn_filter_docnums(self, kr: dict, options):
+        """kNN pre-filtering (search_knn.go KNNRequest.FilterQuery):
+        evaluate the per-clause filter query and return its sorted docnum
+        set (None = unfiltered)."""
+        fq = kr.get("filter")
+        if not fq:
+            return None
+        q = parse_query(fq) if isinstance(fq, dict) else fq
+        hits = q.searcher(self.reader, self.mapping, options).search()
+        return np.sort(hits.docnums)
+
     def _search_hybrid(self, request: dict) -> SearchResult:
         """Hybrid FTS + KNN search (search_knn.go + rescorer.go):
         request["knn"] = [{"field", "vector", "k", "boost"?}, ...];
@@ -573,8 +584,13 @@ class Index:
         sources = [(fts.docnums[fkeep].tolist(), fts.scores[fkeep])]
         weights = [1.0]
         for kr in request["knn"]:
+            allowed = self._knn_filter_docnums(kr, options)
             nums, sims = knn_topk(
-                self.reader, kr["field"], kr["vector"], int(kr.get("k", 10))
+                self.reader,
+                kr["field"],
+                kr["vector"],
+                int(kr.get("k", 10)),
+                allowed=allowed,
             )
             kkeep = self.reader.filter_deleted(nums)
             nums, sims = nums[kkeep], sims[kkeep]

@@ -321,8 +321,13 @@ class IndexAlias:
             cands = []  # (sim, id, member_idx, docnum)
             for mi, idx in enumerate(self.indexes):
                 try:
+                    allowed = idx._knn_filter_docnums(
+                        kr,
+                        SearchOptions(scoring_model=idx.mapping.scoring_model),
+                    )
                     nums, sims = knn_topk(
-                        idx.reader, kr["field"], kr["vector"], k
+                        idx.reader, kr["field"], kr["vector"], k,
+                        allowed=allowed,
                     )
                 except Exception:
                     continue

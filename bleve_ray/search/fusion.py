@@ -116,20 +116,34 @@ def _file_topk(
     return nums[idx[keep]], sims[keep]
 
 
+def _allowed_mask(nums: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """Membership mask of nums in the SORTED allowed docnum array."""
+    if len(allowed) == 0:
+        return np.zeros(len(nums), dtype=bool)
+    j = np.clip(np.searchsorted(allowed, nums), 0, len(allowed) - 1)
+    return allowed[j] == nums
+
+
 def knn_topk(
-    reader, field: str, vector, k: int
+    reader, field: str, vector, k: int, allowed: Optional[np.ndarray] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Brute-force cosine top-k over a docvalue vector column: per-file
     local top-k (np.argpartition) then a tiny merge -- never a global
-    sort.  Fans out as Ray tasks when the index has many docvalue files."""
+    sort.  Fans out as Ray tasks when the index has many docvalue files.
+
+    ``allowed``: optional SORTED docnum set for kNN pre-filtering
+    (search_knn.go KNNRequest.FilterQuery): only these docs are eligible
+    candidates."""
     qv = np.asarray(vector, dtype=np.float64)
     files = reader._dv_files()
     parts: List[Tuple[np.ndarray, np.ndarray]] = []
     if len(files) >= KNN_DISTRIBUTED_FILE_THRESHOLD:
         import ray
 
+        allowed_ref = ray.put(allowed)  # broadcast once, not per task
+
         @ray.remote
-        def _task(path: str):
+        def _task(path: str, allowed_b):
             import pyarrow.parquet as _pq
 
             t = _pq.read_table(path, columns=["docnum", field]).sort_by(
@@ -137,15 +151,28 @@ def knn_topk(
             )
             nums = np.asarray(t["docnum"], dtype=np.int64)
             col = np.asarray(t[field].to_pylist(), dtype=object)
+            if allowed_b is not None:
+                ok = _allowed_mask(nums, allowed_b)
+                if not ok.any():
+                    return (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                    )
+                nums, col = nums[ok], col[ok]
             return _file_topk(nums, col, qv, k)
 
-        parts = ray.get([_task.remote(p) for p, _, _ in files])
+        parts = ray.get([_task.remote(p, allowed_ref) for p, _, _ in files])
     else:
         for p, _, _ in files:
             nums, cols = reader._load_dv(p)
             col = cols.get(field)
             if col is None:
                 continue
+            if allowed is not None:
+                ok = _allowed_mask(nums, allowed)
+                if not ok.any():
+                    continue
+                nums, col = nums[ok], col[ok]
             parts.append(_file_topk(nums, col, qv, k))
     if not parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)

@@ -288,3 +288,37 @@ def test_alias_knn_presearch_matches_whole_index(alias_setup):
     assert np.allclose(
         [h.score for h in ra2.hits], [s for _, s in want]
     )
+
+
+def test_knn_prefilter(vec_index):
+    """kNN pre-filtering (KNNRequest.FilterQuery): only docs matching the
+    filter query are eligible candidates, so top-k comes from the
+    filtered subset (all existing query clause kinds usable)."""
+    idx, vecs = vec_index
+    q = vecs[3] + 0.05
+    # filter: docs containing "delta" = ids where i % 4 == 3
+    eligible = {str(i) for i in range(40) if i % 4 == 3}
+    r = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [
+                {
+                    "field": "embedding",
+                    "vector": q.tolist(),
+                    "k": 5,
+                    "filter": {"term": "delta", "field": "text"},
+                }
+            ],
+            "size": 5,
+        }
+    )
+    assert len(r.hits) == 5
+    assert {h.id for h in r.hits} <= eligible
+    # parity with brute force restricted to the eligible subset
+    elig_idx = sorted(int(i) for i in eligible)
+    sub = vecs[elig_idx]
+    qn = q / np.linalg.norm(q)
+    sims = (sub @ qn) / np.linalg.norm(sub, axis=1)
+    order = sorted(range(len(sub)), key=lambda i: (-sims[i], elig_idx[i]))[:5]
+    want = [str(elig_idx[i]) for i in order]
+    assert [h.id for h in r.hits] == want
