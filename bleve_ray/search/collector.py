@@ -271,6 +271,23 @@ def _apply_search_after(reader, hits: SearchHits, after) -> SearchHits:
     return SearchHits(hits.docnums[lt], hits.scores[lt])
 
 
+def _knn_vector(kr: dict):
+    """KNN clause vector: "vector", or "vector_base64" decoded as
+    little-endian float32 bytes (document.DecodeVector,
+    field_vector_base64.go:115-131)."""
+    if kr.get("vector") is not None:
+        return kr["vector"]
+    enc = kr.get("vector_base64")
+    if not enc:
+        raise ValueError("knn clause needs vector or vector_base64")
+    import base64
+
+    raw = base64.standard_b64decode(enc)
+    if len(raw) % 4 != 0 or not raw:
+        raise ValueError("decoded byte array not divisible by 4")
+    return np.frombuffer(raw, dtype="<f4").astype(np.float64)
+
+
 _SYNONYMS_INTERNAL_KEY = "_synonym_definitions"
 
 
@@ -588,7 +605,7 @@ class Index:
             nums, sims = knn_topk(
                 self.reader,
                 kr["field"],
-                kr["vector"],
+                _knn_vector(kr),
                 int(kr.get("k", 10)),
                 allowed=allowed,
             )

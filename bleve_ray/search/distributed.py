@@ -325,8 +325,10 @@ class IndexAlias:
                         kr,
                         SearchOptions(scoring_model=idx.mapping.scoring_model),
                     )
+                    from .collector import _knn_vector
+
                     nums, sims = knn_topk(
-                        idx.reader, kr["field"], kr["vector"], k,
+                        idx.reader, kr["field"], _knn_vector(kr), k,
                         allowed=allowed,
                     )
                 except Exception:

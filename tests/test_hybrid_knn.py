@@ -322,3 +322,31 @@ def test_knn_prefilter(vec_index):
     order = sorted(range(len(sub)), key=lambda i: (-sims[i], elig_idx[i]))[:5]
     want = [str(elig_idx[i]) for i in order]
     assert [h.id for h in r.hits] == want
+
+
+def test_knn_vector_base64(vec_index):
+    """vector_base64 (document.DecodeVector): little-endian float32
+    bytes, base64-encoded -- same results as the plain vector form."""
+    import base64
+
+    idx, vecs = vec_index
+    q = vecs[9].astype(np.float32)
+    enc = base64.standard_b64encode(q.tobytes()).decode()
+    r_plain = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [{"field": "embedding", "vector": q.tolist(), "k": 5}],
+            "size": 5,
+        }
+    )
+    r_b64 = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [{"field": "embedding", "vector_base64": enc, "k": 5}],
+            "size": 5,
+        }
+    )
+    assert [h.id for h in r_b64.hits] == [h.id for h in r_plain.hits]
+    assert np.allclose(
+        [h.score for h in r_b64.hits], [h.score for h in r_plain.hits]
+    )
