@@ -1,5 +1,7 @@
 """CLI -- the reference's cmd/bleve cobra commands re-expressed:
-build (bulk), search/query, count, fields, dictionary, dump, check.
+build (bulk), create, index, search/query, count, fields, mapping,
+registry, dictionary, dump, dumpdoc, check, delete, forcemerge,
+topterms, stats.
 
   python -m bleve_ray build  INDEX_DIR INPUT.parquet [...] [--field col=analyzer] ...
   python -m bleve_ray search INDEX_DIR 'query string' [--size N]
@@ -70,7 +72,88 @@ def main(argv=None):
     dl.add_argument("index_dir")
     dl.add_argument("doc_ids", nargs="+")
 
+    cr = sub.add_parser("create", help="create an empty index with a mapping")
+    cr.add_argument("index_dir")
+    cr.add_argument("--field", action="append", default=[],
+                    help="col=analyzer (default content=standard)")
+    cr.add_argument("--doc-id-fields", default=None)
+    cr.add_argument("--shards", type=int, default=8)
+    cr.add_argument("--scoring", default="bm25", choices=["bm25", "tfidf"])
+    cr.add_argument("--docvalues", default="")
+    cr.add_argument("--store", default="")
+
+    ix = sub.add_parser("index", help="index one document (id + JSON)")
+    ix.add_argument("index_dir")
+    ix.add_argument("doc_id")
+    ix.add_argument("doc_json")
+
+    mp = sub.add_parser("mapping", help="print the index mapping/options")
+    mp.add_argument("index_dir")
+
+    sub.add_parser("registry", help="list registered analyzers")
+
+    dd = sub.add_parser("dumpdoc", help="dump one document by external id")
+    dd.add_argument("index_dir")
+    dd.add_argument("doc_id")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "registry":
+        from .analysis.analyzers import registered_analyzers
+
+        print(json.dumps({"analyzers": registered_analyzers()}))
+        return
+
+    if args.cmd == "create":
+        from .index import FieldConfig, IndexOptions, build_index
+
+        fields = {}
+        for f in args.field or []:
+            col, _, an = f.partition("=")
+            fields[col] = FieldConfig(analyzer=an or "standard")
+        if not fields:
+            fields = {"content": FieldConfig()}
+        opts = IndexOptions(
+            fields=fields,
+            doc_id_fields=(
+                args.doc_id_fields.split(",") if args.doc_id_fields else None
+            ),
+            num_shards=args.shards,
+            scoring_model=args.scoring,
+            docvalue_fields=[c for c in args.docvalues.split(",") if c],
+            store_fields=[c for c in args.store.split(",") if c],
+        )
+        man = build_index([], args.index_dir, opts)
+        print(json.dumps({"doc_count": man.stats.get("doc_count", 0),
+                          "epoch": man.epoch}))
+        return
+
+    if args.cmd == "index":
+        from .search import Index
+
+        idx = Index.open(args.index_dir)
+        idx.index(args.doc_id, json.loads(args.doc_json))
+        print(json.dumps({"doc_count": idx.doc_count(),
+                          "epoch": idx.reader.manifest.epoch}))
+        return
+
+    if args.cmd == "mapping":
+        from .index import manifest as manifest_mod
+
+        man = manifest_mod.load(args.index_dir)
+        print(json.dumps(man.options, indent=1, sort_keys=True))
+        return
+
+    if args.cmd == "dumpdoc":
+        from .search import Index
+
+        idx = Index.open(args.index_dir)
+        doc = idx.document(args.doc_id)
+        if doc is None:
+            print(json.dumps(None))
+            sys.exit(1)
+        print(json.dumps(doc, default=str, indent=1))
+        return
 
     if args.cmd == "delete":
         from .index.mutate import delete_ids
