@@ -547,6 +547,43 @@ def _q_collection_stats(sf_dir: str):
     )
 
 
+def _q_ann_ivf_persisted(sf_dir: str):
+    """Persisted-IVF ANN: build once into a /tmp cache (partitioned by
+    cell), answer the vec_id=0 query by reading only the probed
+    partitions (rows-only driver check; recall vs brute force asserted
+    in tests)."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from bleve_ray.pipelines.ann import build_ivf_index, ivf_query
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/bleve_ray_cache/ivf_{tag}"
+    if not os.path.exists(os.path.join(out, "_ivf_meta.json")):
+        build_ivf_index(sf_dir, out, nlist=16)
+    qt = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import numpy as np
+
+    m = np.asarray(
+        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(qt), -1)
+    q = m[np.asarray(qt["vec_id"]) == 0][0]
+    rows = ivf_query(out, q, k=10, nprobe=10)
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
+            "cosine": pa.array(
+                [f"{r['cosine']:.6f}" for r in rows]
+            ),
+        }
+    )
+
+
 def _q_multimodal_resize(sf_dir: str):
     """Image resize stage over the deterministic fake media table
     (sf_dir-independent synthetic input; rows-only driver check)."""
@@ -1247,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann.ann_cosine_topk_ds,
         "embedding_near_dup": ann.embedding_near_dup_pairs_ds,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_ivf_persisted": _q_ann_ivf_persisted,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
         # --- multimodal plumbing (deterministic fake decode; the Ray
         # actor-pool wiring, resize gather and uniform frame sampling are

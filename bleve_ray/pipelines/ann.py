@@ -421,3 +421,113 @@ def embedding_near_dup_pairs_ds(
         )
     return pa.concat_tables(tables).sort_by([("a", "ascending"),
                                              ("b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF layout: train once, write the corpus PARTITIONED BY CELL,
+# answer queries by reading only the probed partitions -- the
+# prune-at-the-read scale path ann_ivf_topk's docstring describes.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    sf_dir: str,
+    out_dir: str,
+    nlist: int = 16,
+    train_sample: int = 20_000,
+    seed: int = 0,
+) -> dict:
+    """Train coarse centroids on a bounded sample (driver-side), then one
+    streaming map_batches pass assigns every vector to its nearest cell
+    and writes parquet PARTITIONED by list_id.  A query later reads only
+    its nprobe partitions (partition-pruned read_parquet), so query cost
+    scales with nprobe/nlist of the corpus instead of a full scan."""
+    import json
+    import os
+
+    import ray
+    import ray.data
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sample = np.asarray(
+        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(qt), -1)[:train_sample]
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    C = _kmeans(sample, nlist, seed=seed)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cb = ray.get(cref)
+        m = np.asarray(
+            batch["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(batch), -1)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        d = ((mn[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
+        return batch.append_column(
+            "list_id", pa.array(np.argmin(d, axis=1).astype(np.int32))
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["list_id"]
+    )
+    np.save(os.path.join(out_dir, "_centroids.npy"), C)
+    meta = {"nlist": nlist, "dim": int(C.shape[1]), "seed": seed}
+    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_query(
+    out_dir: str, query_vec, k: int = 10, nprobe: int = 4
+):
+    """Top-k cosine over a persisted IVF index, reading ONLY the probed
+    cell partitions (pruning = selecting the matching hive directories;
+    unprobed cells never leave storage)."""
+    import glob
+    import os
+
+    import ray.data
+
+    C = np.load(os.path.join(out_dir, "_centroids.npy"))
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    probe = np.argsort(((qn[None, :] - C) ** 2).sum(-1))[:nprobe]
+    files = [
+        f
+        for p in probe
+        for f in sorted(
+            glob.glob(os.path.join(out_dir, f"list_id={int(p)}", "*.parquet"))
+        )
+    ]
+    if not files:
+        return []
+    ds = ray.data.read_parquet(files)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        m = np.asarray(
+            batch["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(batch), -1)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        sims = (m @ qn) / norms
+        keep = (
+            np.argpartition(-sims, k - 1)[:k]
+            if len(sims) > k
+            else np.arange(len(sims))
+        )
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].take(pa.array(keep)),
+                "cosine": pa.array(sims[keep]),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
+    return cand[:k]
