@@ -1293,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         # --- generic relational ops ---
         "events_windowed": _q_events_windowed,
+        "events_sessions": text_stats.sessionize_events_ds,
         "lineitem_agg": _q_lineitem_agg,
         "events_agg": _q_events_agg,
     }
@@ -1628,5 +1629,25 @@ SELECT event_type, date_trunc('day', ts) AS window, count(*) AS n_events,
        printf('%.6f', min(value)) AS min_value,
        printf('%.6f', max(value)) AS max_value
 FROM events GROUP BY event_type, date_trunc('day', ts)
+""",
+        # session windows: per-user gap split (30 min), lag()/running-sum
+        # session ids; ordering ties broken by event_id on BOTH sides
+        "events_sessions": """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       printf('%.4f', sum(value)) AS sum_value
+FROM sess GROUP BY user_id, sid
 """,
     }

@@ -272,3 +272,53 @@ def windowed_events_ds(sf_dir: str, window: str = "day"):
             Max("value", alias_name="max_value"),
         )
     )
+
+
+def sessionize_events_ds(sf_dir: str, gap_minutes: int = 30):
+    """Session windows over the event stream: per user, events sorted by
+    (ts, event_id) split into sessions wherever the gap exceeds
+    ``gap_minutes``.  One groupby(user_id) shuffle; inside each group the
+    split is fully vectorized (diff > gap -> cumsum session ids ->
+    cumsum-diff per-session aggregates).  Session keys/aggregates match
+    the DuckDB lag()/window oracle exactly."""
+    import ray.data
+
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy()  # datetime64[us]
+        eid = np.asarray(group["event_id"], dtype=np.int64)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        val = np.asarray(group["value"], dtype=np.float64)[order]
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        new_s = np.concatenate(([0], (gaps > gap_us).astype(np.int64)))
+        sid = np.cumsum(new_s)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sid)) + 1))
+        ends = np.concatenate((starts[1:], [len(sid)]))
+        cs = np.concatenate(([0.0], np.cumsum(val)))
+        uid = group["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [uid] * len(starts), type=pa.int64()
+                ),
+                "sid": pa.array(sid[starts], type=pa.int64()),
+                "session_start": pa.array(ts[starts]),
+                "session_end": pa.array(ts[ends - 1]),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64)
+                ),
+                "sum_value": pa.array(
+                    np.char.mod("%.4f", cs[ends] - cs[starts])
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return ds.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow"
+    )

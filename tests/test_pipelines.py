@@ -403,3 +403,46 @@ def test_persisted_ivf_partition_pruned_query(ray_session, tmp_path):
         )[:10]
     )
     assert len(got_ids & brute) >= 9  # recall@10 >= 0.9
+
+
+def test_sessionize_events_matches_duckdb(ray_session):
+    """Gap-based session windows == the DuckDB lag()/running-sum oracle
+    at sf0.001 (ordering ties broken by event_id on both sides)."""
+    import duckdb
+
+    from bleve_ray.pipelines.text_stats import sessionize_events_ds
+
+    mine = (
+        sessionize_events_ds(SF)
+        .to_pandas()
+        .sort_values(["user_id", "sid"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM read_parquet('{SF}/events.parquet')
+), sess AS (
+  SELECT *, sum(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       printf('%.4f', sum(value)) AS sum_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, sid
+"""
+    ).fetchdf()
+    assert len(mine) == len(want)
+    for col in ("user_id", "sid", "n_events", "sum_value"):
+        assert mine[col].tolist() == want[col].tolist(), col
+    assert (
+        mine["session_start"].astype("datetime64[us]").tolist()
+        == want["session_start"].astype("datetime64[us]").tolist()
+    )
