@@ -1294,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- generic relational ops ---
         "events_windowed": _q_events_windowed,
         "events_sessions": text_stats.sessionize_events_ds,
+        "events_hopping": text_stats.hopping_windows_events_ds,
         "lineitem_agg": _q_lineitem_agg,
         "events_agg": _q_events_agg,
     }
@@ -1649,5 +1650,18 @@ SELECT user_id, CAST(sid AS BIGINT) AS sid,
        count(*) AS n_events,
        printf('%.4f', sum(value)) AS sum_value
 FROM sess GROUP BY user_id, sid
+""",
+        # hopping windows (60 min size / 15 min hop): integer-microsecond
+        # window ids on both sides so boundaries match exactly
+        "events_hopping": """
+SELECT make_timestamp(k * 900000000) AS window_start, event_type,
+       count(*) AS n_events, printf('%.4f', sum(value)) AS sum_value
+FROM (
+  SELECT event_type, value,
+         unnest(range((epoch_us(ts) - 3600000000) // 900000000 + 1,
+                      epoch_us(ts) // 900000000 + 1)) AS k
+  FROM events
+)
+GROUP BY 1, 2
 """,
     }

@@ -322,3 +322,65 @@ def sessionize_events_ds(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(
         sessions, batch_format="pyarrow"
     )
+
+
+def hopping_windows_events_ds(
+    sf_dir: str, size_minutes: int = 60, hop_minutes: int = 15
+):
+    """Hopping (sliding) windows over the event stream: each event lands
+    in size/hop overlapping windows.  The window expansion is a fully
+    vectorized repeat inside map_batches (no per-row loop, no driver
+    work); the single groupby(window_start, event_type) is the only
+    shuffle.  All window arithmetic is integer microseconds so the
+    DuckDB generate_series oracle matches exactly."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    size_us = np.int64(size_minutes * 60 * 1_000_000)
+    hop_us = np.int64(hop_minutes * 60 * 1_000_000)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        kmin = (t - size_us) // hop_us + 1
+        kmax = t // hop_us
+        counts = (kmax - kmin + 1).astype(np.int64)
+        reps = np.repeat(np.arange(len(t)), counts)
+        base = np.repeat(np.concatenate(([0], np.cumsum(counts[:-1]))), counts)
+        ks = np.arange(int(counts.sum())) - base + np.repeat(kmin, counts)
+        starts = (ks * hop_us).astype("datetime64[us]")
+        ev = np.asarray(batch["event_type"], dtype=object)
+        val = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table(
+            {
+                "window_start": pa.array(starts),
+                "event_type": pa.array(ev[reps].tolist()),
+                "value": pa.array(val[reps]),
+            }
+        )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch["window_start"],
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(
+                    np.char.mod(
+                        "%.4f", np.asarray(batch["sum_value"], dtype=np.float64)
+                    )
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .map_batches(fmt, batch_format="pyarrow")
+    )

@@ -446,3 +446,18 @@ FROM sess GROUP BY user_id, sid ORDER BY user_id, sid
         mine["session_start"].astype("datetime64[us]").tolist()
         == want["session_start"].astype("datetime64[us]").tolist()
     )
+
+
+def test_hopping_windows_counts(ray_session):
+    """Each event lands in exactly size/hop windows (60/15 -> 4); totals
+    across windows = 4x event count; window bounds contain the events."""
+    import pyarrow.parquet as pq
+
+    from bleve_ray.pipelines.text_stats import hopping_windows_events_ds
+
+    out = hopping_windows_events_ds(SF).to_pandas()
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert out["n_events"].sum() == 4 * n_events
+    # window starts are aligned to the hop
+    us = out["window_start"].astype("datetime64[us]").astype("int64")
+    assert (us % (15 * 60 * 1_000_000) == 0).all()
