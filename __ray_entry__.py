@@ -547,6 +547,18 @@ def _q_collection_stats(sf_dir: str):
     )
 
 
+def _q_events_asof(sf_dir: str):
+    from bleve_ray.pipelines.joins import asof_join_events_ds
+
+    return asof_join_events_ds(sf_dir)
+
+
+def _q_events_range_join(sf_dir: str):
+    from bleve_ray.pipelines.joins import range_join_events_ds
+
+    return range_join_events_ds(sf_dir)
+
+
 def _q_ann_ivf_persisted(sf_dir: str):
     """Persisted-IVF ANN: build once into a /tmp cache (partitioned by
     cell), answer the vec_id=0 query by reading only the probed
@@ -1295,6 +1307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": text_stats.sessionize_events_ds,
         "events_hopping": text_stats.hopping_windows_events_ds,
+        "events_asof_join": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "lineitem_agg": _q_lineitem_agg,
         "events_agg": _q_events_agg,
     }
@@ -1663,5 +1677,22 @@ FROM (
   FROM events
 )
 GROUP BY 1, 2
+""",
+        # as-of join: latest same-user click at-or-before each purchase
+        "events_asof_join": """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS right_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        # interval/range join: purchases within 60 min after each error
+        "events_range_join": """
+SELECT l.event_id, l.user_id, l.ts,
+       count(r.event_id) AS n_following
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 60 MINUTE
+GROUP BY l.event_id, l.user_id, l.ts
 """,
     }

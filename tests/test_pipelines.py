@@ -461,3 +461,64 @@ def test_hopping_windows_counts(ray_session):
     # window starts are aligned to the hop
     us = out["window_start"].astype("datetime64[us]").astype("int64")
     assert (us % (15 * 60 * 1_000_000) == 0).all()
+
+
+def test_asof_and_range_joins_match_duckdb(ray_session):
+    """As-of join and interval join (groupby co-partition + in-group
+    searchsorted) vs DuckDB ASOF LEFT JOIN / inequality-join oracles."""
+    import duckdb
+
+    from bleve_ray.pipelines.joins import (
+        asof_join_events_ds,
+        range_join_events_ds,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{SF}/events.parquet')"
+    )
+
+    mine = (
+        asof_join_events_ds(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS right_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+    ).fetchdf()
+    assert len(mine) == len(want) > 0
+    assert mine["event_id"].tolist() == want["event_id"].tolist()
+    assert (
+        mine["right_ts"].astype("datetime64[us]").tolist()
+        == want["right_ts"].astype("datetime64[us]").tolist()
+    )
+
+    mine2 = (
+        range_join_events_ds(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want2 = con.execute(
+        """
+SELECT l.event_id, count(r.event_id) AS n_following
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 60 MINUTE
+GROUP BY l.event_id ORDER BY l.event_id
+"""
+    ).fetchdf()
+    assert mine2["event_id"].tolist() == want2["event_id"].tolist()
+    assert (
+        mine2["n_following"].astype("int64").tolist()
+        == want2["n_following"].astype("int64").tolist()
+    )
