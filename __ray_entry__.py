@@ -547,6 +547,20 @@ def _q_collection_stats(sf_dir: str):
     )
 
 
+def _q_distinct_users(sf_dir: str):
+    from bleve_ray.pipelines.sketches import distinct_users_exact_ds
+
+    return distinct_users_exact_ds(sf_dir)
+
+
+def _q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog sketch (approximate; accuracy bound asserted in
+    tests, so no SQL oracle -- the exact twin distinct_users has one)."""
+    from bleve_ray.pipelines.sketches import distinct_users_hll_ds
+
+    return distinct_users_hll_ds(sf_dir)
+
+
 def _q_events_asof(sf_dir: str):
     from bleve_ray.pipelines.joins import asof_join_events_ds
 
@@ -1308,6 +1322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": text_stats.sessionize_events_ds,
         "events_hopping": text_stats.hopping_windows_events_ds,
         "events_asof_join": _q_events_asof,
+        "distinct_users": _q_distinct_users,
+        "distinct_users_hll": _q_distinct_users_hll,
         "events_range_join": _q_events_range_join,
         "lineitem_agg": _q_lineitem_agg,
         "events_agg": _q_events_agg,
@@ -1677,6 +1693,10 @@ FROM (
   FROM events
 )
 GROUP BY 1, 2
+""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
 """,
         # as-of join: latest same-user click at-or-before each purchase
         "events_asof_join": """

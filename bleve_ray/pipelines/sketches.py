@@ -1,0 +1,141 @@
+"""Distributed sketches (graft brief: "a novel sketch").
+
+HyperLogLog distinct counting, shaped for Ray Data's execution model:
+the per-batch stage emits PARTIAL (key, bucket, rho) register rows --
+tiny, mergeable, pre-aggregated -- and the only shuffle is a
+groupby().max over at most keys x 2^p rows, independent of input size.
+That is the sketch property that matters at 100 TB: the exchange volume
+is O(cardinality of the register space), not O(rows).
+
+Algorithm: standard public HyperLogLog (Flajolet et al. 2007) with the
+small-range linear-counting correction; p=12 (4096 registers, ~1.6%
+relative standard error).  Hashing is a deterministic splitmix64-style
+integer mix (public domain finalizer constants), vectorized over int64
+key columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: well-distributed 64-bit hash of int64 keys."""
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _rho(h: np.ndarray) -> np.ndarray:
+    """1 + leading-zero count of the low (64-p) bits, vectorized.
+    Values fit in 52 bits so float64 frexp exponents are exact."""
+    w = (h & np.uint64((1 << (64 - HLL_P)) - 1)).astype(np.float64)
+    _, e = np.frexp(w)  # w = frac * 2**e, floor(log2(w)) = e-1 for w>0
+    out = (64 - HLL_P) - (e - 1)
+    out[w == 0] = (64 - HLL_P) + 1
+    return out.astype(np.int32)
+
+
+def hll_partial_batch(batch: pa.Table, key_col: str, id_col: str) -> pa.Table:
+    """One batch -> partial registers: max rho per (key, bucket)."""
+    keys = np.asarray(batch[key_col], dtype=object)
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    h = _mix64(ids)
+    bucket = (h >> np.uint64(64 - HLL_P)).astype(np.int32)
+    rho = _rho(h)
+    # local pre-aggregation: max rho per (key, bucket) within the batch
+    import pandas as pd
+
+    df = pd.DataFrame({"key": keys, "bucket": bucket, "rho": rho})
+    agg = df.groupby(["key", "bucket"], sort=False, as_index=False)[
+        "rho"
+    ].max()
+    return pa.table(
+        {
+            "key": pa.array(agg["key"].tolist(), type=pa.string()),
+            "bucket": pa.array(agg["bucket"], type=pa.int32()),
+            "rho": pa.array(agg["rho"], type=pa.int32()),
+        }
+    )
+
+
+def hll_estimate(buckets: np.ndarray, rhos: np.ndarray) -> float:
+    """Standard HLL estimator with small-range correction."""
+    M = np.zeros(HLL_M, dtype=np.float64)
+    M[buckets] = rhos  # buckets already distinct post-merge
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    E = alpha * HLL_M * HLL_M / np.sum(np.exp2(-M))
+    V = np.count_nonzero(M == 0)
+    if E <= 2.5 * HLL_M and V > 0:
+        E = HLL_M * np.log(HLL_M / V)
+    return float(E)
+
+
+def distinct_users_hll_ds(sf_dir: str):
+    """Approximate distinct user_id per event_type.  Shuffle volume is
+    bounded by n_event_types x 4096 register rows regardless of input
+    size."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    partial = ds.map_batches(
+        lambda b: hll_partial_batch(b, "event_type", "user_id"),
+        batch_format="pyarrow",
+    )
+    merged = partial.groupby(["key", "bucket"]).aggregate(
+        Max("rho", alias_name="rho")
+    )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        est = hll_estimate(
+            np.asarray(group["bucket"], dtype=np.int64),
+            np.asarray(group["rho"], dtype=np.float64),
+        )
+        return pa.table(
+            {
+                "event_type": pa.array([group["key"][0].as_py()]),
+                "approx_distinct_users": pa.array(
+                    [int(round(est))], type=pa.int64()
+                ),
+            }
+        )
+
+    return merged.groupby("key").map_groups(estimate, batch_format="pyarrow")
+
+
+def distinct_users_exact_ds(sf_dir: str):
+    """Exact twin of the sketch (oracle-checkable): distinct user_id per
+    event_type via per-batch local distinct then one groupby."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    dedup = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        dedup.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .select_columns(["event_type", "n_users"])
+    )

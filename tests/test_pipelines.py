@@ -522,3 +522,51 @@ GROUP BY l.event_id ORDER BY l.event_id
         mine2["n_following"].astype("int64").tolist()
         == want2["n_following"].astype("int64").tolist()
     )
+
+
+def test_hll_sketch_accuracy_and_exact_twin(ray_session):
+    """HLL registers merge via groupby-max; estimate within the sketch's
+    error bound on a 40k-cardinality synthetic stream; the exact twin
+    matches a pandas distinct count on sf0.001."""
+    import pyarrow as pa
+
+    from bleve_ray.pipelines import sketches as sk
+
+    # estimator accuracy on known cardinality (beyond linear counting)
+    rng = np.random.default_rng(3)
+    ids = rng.choice(10_000_000, size=40_000, replace=False).astype(np.int64)
+    batch = pa.table(
+        {
+            "k": pa.array(["a"] * len(ids)),
+            "i": pa.array(ids),
+        }
+    )
+    part = sk.hll_partial_batch(batch, "k", "i")
+    est = sk.hll_estimate(
+        np.asarray(part["bucket"], dtype=np.int64),
+        np.asarray(part["rho"], dtype=np.float64),
+    )
+    assert abs(est - 40_000) / 40_000 < 0.05
+
+    # end-to-end exact twin vs pandas
+    import pyarrow.parquet as pq
+
+    exact = (
+        sk.distinct_users_exact_ds(SF)
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    truth = df.groupby("event_type")["user_id"].nunique()
+    for et, n in truth.items():
+        assert exact[et] == n
+    # the sketch agrees within its rse at these cardinalities
+    hll = (
+        sk.distinct_users_hll_ds(SF)
+        .to_pandas()
+        .set_index("event_type")["approx_distinct_users"]
+    )
+    for et, n in truth.items():
+        assert abs(hll[et] - n) / n < 0.05
