@@ -550,7 +550,9 @@ def _q_collection_stats(sf_dir: str):
 def _q_distinct_users(sf_dir: str):
     from bleve_ray.pipelines.sketches import distinct_users_exact_ds
 
-    return distinct_users_exact_ds(sf_dir)
+    # tiny final aggregate (n_event_types rows): materialize so empty
+    # Ray blocks from the two-stage groupby never reach the driver concat
+    return distinct_users_exact_ds(sf_dir).to_pandas()
 
 
 def _q_distinct_users_hll(sf_dir: str):
@@ -558,7 +560,7 @@ def _q_distinct_users_hll(sf_dir: str):
     tests, so no SQL oracle -- the exact twin distinct_users has one)."""
     from bleve_ray.pipelines.sketches import distinct_users_hll_ds
 
-    return distinct_users_hll_ds(sf_dir)
+    return distinct_users_hll_ds(sf_dir).to_pandas()
 
 
 def _q_events_asof(sf_dir: str):
