@@ -552,15 +552,23 @@ def _q_distinct_users(sf_dir: str):
 
     # tiny final aggregate (n_event_types rows): materialize so empty
     # Ray blocks from the two-stage groupby never reach the driver concat
-    return distinct_users_exact_ds(sf_dir).to_pandas()
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(
+        distinct_users_exact_ds(sf_dir).to_pandas(), preserve_index=False
+    )
 
 
 def _q_distinct_users_hll(sf_dir: str):
     """HyperLogLog sketch (approximate; accuracy bound asserted in
     tests, so no SQL oracle -- the exact twin distinct_users has one)."""
+    import pyarrow as pa
+
     from bleve_ray.pipelines.sketches import distinct_users_hll_ds
 
-    return distinct_users_hll_ds(sf_dir).to_pandas()
+    return pa.Table.from_pandas(
+        distinct_users_hll_ds(sf_dir).to_pandas(), preserve_index=False
+    )
 
 
 def _q_events_asof(sf_dir: str):
