@@ -97,6 +97,12 @@ def bench_build(files, index_dir: str, num_cpus: int,
         # reference merge policy (merge_plan.go:160-168); merging to a
         # single segment is ForceMerge, not part of a normal build
         target_segments_per_shard=10,
+        # optional memory-backed chunk-exchange root (BASELINE.md A/B:
+        # no measurable win on this VM -- the transient chunks are
+        # deleted before writeback, so the page cache already makes the
+        # on-disk exchange memory-backed; kept as an option for hosts
+        # with slow durable storage)
+        chunk_root=os.environ.get("BLEVE_RAY_CHUNK_DIR") or None,
     )
     if warmup:
         # untimed warm-up build: pre-faults worker heaps and page cache so

@@ -109,6 +109,13 @@ class IndexOptions:
     # instead of a driver-side id map scan
     index_id_field: bool = False
     analyze_rows: int = 1024  # rows per analyze sub-batch
+    # optional root for the TRANSIENT chunk-exchange files (the storage
+    # shuffle's scratch space; GC'd after segments build).  Pointing it at
+    # a memory-backed fs (/dev/shm) keeps the exchange off the durable
+    # disk -- the single-node stand-in for a cluster's memory/object-store
+    # shuffle tier.  Durable outputs (segments, docvalues, manifest)
+    # always stay under index_dir.
+    chunk_root: Optional[str] = None
     merge_fan_in: int = 10
     target_segments_per_shard: int = 1
     merge_concurrency: int = 16
@@ -155,6 +162,17 @@ class IndexOptions:
             enable_all_field=d.get("enable_all_field", False),
             index_id_field=d.get("index_id_field", False),
         )
+
+
+def chunk_base(index_dir: str, chunk_root: Optional[str]) -> str:
+    """Directory for transient shuffle chunk files (see
+    IndexOptions.chunk_root)."""
+    if chunk_root:
+        tag = hashlib.sha1(
+            os.path.abspath(index_dir).encode()
+        ).hexdigest()[:12]
+        return os.path.join(chunk_root, f"chunks_{tag}")
+    return os.path.join(index_dir, "chunks")
 
 
 def resolve_field_column(tbl: pa.Table, fname: str):
@@ -645,7 +663,7 @@ class ReadAnalyzeInvert:
         """Storage-exchange shuffle: persist each (shard,bucket) blob as an
         IPC file named by the sub-batch's first docnum (deterministic ->
         idempotent under retry); emit tiny manifest rows instead of data."""
-        base = os.path.join(self.index_dir, "chunks")
+        base = chunk_base(self.index_dir, self.options.chunk_root)
         paths = []
         for i in range(len(packed)):
             shard = packed["shard"][i].as_py()
@@ -1197,7 +1215,9 @@ def _build_partition(
         # chunk files consumed; GC them (segments are the checkpoint)
         import shutil as _sh
 
-        _sh.rmtree(os.path.join(index_dir, "chunks"), ignore_errors=True)
+        _sh.rmtree(
+            chunk_base(index_dir, options.chunk_root), ignore_errors=True
+        )
     else:
         seg_rows = (
             chunks.groupby(["shard", "bucket"])

@@ -426,6 +426,18 @@ class Index:
     def field_dict_range(self, field: str, start: str, end: str):
         return self.reader.terms_in_range(field, start, end)
 
+    def term_frequencies(self, field: str, limit: int = 10,
+                         descending: bool = True):
+        """index.go TermFrequencies insights API: (term, df) pairs
+        ordered by document frequency."""
+        d = self.reader.dictionary(field)
+        key = (
+            (lambda td: (-td[1], td[0]))
+            if descending
+            else (lambda td: (td[1], td[0]))
+        )
+        return sorted(d, key=key)[:limit]
+
     def stats_map(self):
         """index.go StatsMap / IndexStat: query-side counters + manifest
         stats."""

@@ -550,6 +550,9 @@ def test_index_facade_single_doc_ops(ray_session, tmp_path):
     )
     sm = idx.stats_map()
     assert sm["epoch"] >= 1 and "doc_count" in sm
+    tf = idx.term_frequencies("text", limit=2)
+    assert tf[0][0] in ("hello", "world") and tf[0][1] == 20
+    assert idx.term_frequencies("text", limit=1, descending=False)[0][1] == 1
     idx.set_name("myindex")
     assert idx.name == "myindex"
     idx.close()
