@@ -20,6 +20,34 @@ import json
 import sys
 
 
+def _ensure_parquet_inputs(inputs, index_dir):
+    """The reference indexes JSON documents; here .json/.jsonl/.ndjson
+    inputs are converted to parquet once via a streaming ray.data pass
+    (read_json -> write_parquet) and the build proceeds on the parquet."""
+    import os
+
+    json_in = [
+        p for p in inputs
+        if p.endswith((".json", ".jsonl", ".ndjson"))
+    ]
+    if not json_in:
+        return inputs
+    import ray.data
+
+    conv_dir = os.path.join(index_dir, "_json_inputs")
+    os.makedirs(conv_dir, exist_ok=True)
+    ray.data.read_json(json_in).write_parquet(conv_dir)
+    out = [p for p in inputs if p not in json_in]
+    out.extend(
+        sorted(
+            os.path.join(conv_dir, f)
+            for f in os.listdir(conv_dir)
+            if f.endswith(".parquet")
+        )
+    )
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bleve_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -171,6 +199,7 @@ def main(argv=None):
                      logging_level="error", log_to_driver=False)
         from .index import FieldConfig, IndexOptions, build_index
 
+        args.inputs = _ensure_parquet_inputs(args.inputs, args.index_dir)
         fields = {}
         for f in args.field or []:
             col, _, an = f.partition("=")
