@@ -1314,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text_stats.langid_ds,
         "doc_fingerprint": text_stats.fingerprint_ds,
         "exact_dedup": dedup.exact_dedup_ds,
+        "dedup_corpus": dedup.dedup_corpus_ds,
         "minhash_pairs": _q_minhash_pairs,
         "near_dup_verified": _q_near_dup_verified,
         "simhash": dedup.simhash_ds,
@@ -1634,6 +1635,10 @@ SELECT pt.doc_id, pt.token_count,
                  ELSE len(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0
                       / len(d.text) END) AS alpha_ratio
 FROM pt JOIN documents d USING (doc_id)
+""",
+        "dedup_corpus": """
+SELECT doc_id, text FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 """,
         "exact_dedup": """
 SELECT sha256(text) AS text_sha, count(*) AS n_docs,

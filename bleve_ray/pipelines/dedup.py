@@ -486,3 +486,33 @@ def jaccard_verify_ds(sf_dir: str, pairs, k: int = SHINGLE_K):
     return rows.groupby("pair_bucket").map_groups(
         _bucket_jaccard, batch_format="pyarrow"
     )
+
+
+def dedup_corpus_ds(sf_dir: str):
+    """Materialized exact dedup: the corpus with one representative doc
+    (min doc_id) per distinct text.  Scale shape: the sha-keyed groupby
+    moves each doc's row exactly once (hash partition), keep-first is a
+    vectorized argmin inside the group -- no broadcast of the (corpus-
+    sized) winner set, so this works when the distinct count is huge."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.append_column("text_sha", pa.array(shas))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        i = int(np.argmin(np.asarray(group["doc_id"], dtype=np.int64)))
+        return group.select(["doc_id", "text"]).slice(i, 1)
+
+    return (
+        ds.map_batches(add_sha, batch_format="pyarrow")
+        .groupby("text_sha")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )

@@ -570,3 +570,25 @@ def test_hll_sketch_accuracy_and_exact_twin(ray_session):
     )
     for et, n in truth.items():
         assert abs(hll[et] - n) / n < 0.05
+
+
+def test_dedup_corpus_keeps_first_per_text(ray_session):
+    import pyarrow.parquet as pq
+
+    from bleve_ray.pipelines.dedup import dedup_corpus_ds
+
+    out = (
+        dedup_corpus_ds(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = (
+        df.sort_values("doc_id").drop_duplicates("text", keep="first")
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["text"].tolist() == want["text"].tolist()
