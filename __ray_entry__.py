@@ -1311,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text_stats.token_count_ds,
         "bpe_token_count": text_stats.bpe_token_count_ds,
         "quality_score": text_stats.quality_ds,
+        "quality_filter": text_stats.quality_filter_ds,
         "langid": text_stats.langid_ds,
         "doc_fingerprint": text_stats.fingerprint_ds,
         "exact_dedup": dedup.exact_dedup_ds,
@@ -1613,6 +1614,27 @@ SELECT doc_id,
       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
   AS bpe_tokens
 FROM documents
+""",
+        "quality_filter": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), pt AS (
+  SELECT d.doc_id,
+         count(t.term) AS token_count,
+         count(CASE WHEN t.term IN ('the','of','and','to','in','is','for',
+           'on','with','as','by','at','from','that','this','it','be','are',
+           'was') THEN 1 END) AS stop_cnt
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+)
+SELECT d.doc_id, d.text
+FROM documents d JOIN pt USING (doc_id)
+WHERE pt.token_count >= 50
+  AND (CASE WHEN pt.token_count = 0 THEN 0.0
+       ELSE pt.stop_cnt * 1.0 / pt.token_count END) <= 0.5
+  AND (CASE WHEN length(coalesce(d.text, '')) = 0 THEN 0.0
+       ELSE length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0
+            / length(d.text) END) >= 0.5
 """,
         "quality_score": f"""
 WITH toks AS (

@@ -384,3 +384,33 @@ def hopping_windows_events_ds(
         )
         .map_batches(fmt, batch_format="pyarrow")
     )
+
+
+def quality_filter_ds(
+    sf_dir: str,
+    min_tokens: int = 50,
+    max_stop_ratio: float = 0.5,
+    min_alpha_ratio: float = 0.5,
+):
+    """The classic quality-filter stage of a training-data pipeline:
+    keep documents passing token-count / stop-word / alpha-ratio
+    thresholds.  Pure streaming map_batches (compute stats -> boolean
+    mask -> filter); no shuffle, no materialization."""
+    import ray.data
+
+    def keep(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        tok = np.asarray(q["token_count"], dtype=np.int64)
+        stop = np.asarray(q["stop_ratio"], dtype=object).astype(np.float64)
+        alpha = np.asarray(q["alpha_ratio"], dtype=object).astype(np.float64)
+        mask = (
+            (tok >= min_tokens)
+            & (stop <= max_stop_ratio)
+            & (alpha >= min_alpha_ratio)
+        )
+        return batch.filter(pa.array(mask))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(keep, batch_format="pyarrow")
