@@ -24,13 +24,22 @@ QUALITY_STOPWORDS = (
 )
 
 # tiny per-language function-word lists for the n-gram/stopword language
-# heuristic (public knowledge lists)
+# heuristic (public knowledge lists).  Latin-script languages only: the
+# [A-Za-z0-9] tokenizer drops other scripts before scoring.
 LANG_MARKERS: Dict[str, List[str]] = {
     "en": "the and of to in is that it for was with as his on be at by had".split(),
     "de": "der die und das ist nicht ein eine mit auf für von zu den im".split(),
     "fr": "le la les et des une est dans pour que qui sur avec pas au du".split(),
     "es": "el la los las y de que en un una es por con para del se no".split(),
     "it": "il la le di che e un una per con del non sono alla più nel".split(),
+    "pt": "o os um uma do da dos das em não com por para mais como mas".split(),
+    "nl": "de het een van en dat is niet op te zijn voor met aan er".split(),
+    "sv": "och att det som en på är av för med den till inte om har".split(),
+    "da": "og at det som en på er af for med den til ikke om har".split(),
+    "no": "og at det som en på er av for med den til ikke om har en".split(),
+    "pl": "się nie na jest do tego jak po przez przy tym jego ale czy".split(),
+    "tr": "bir bu ve için ile gibi daha çok ama olarak en ki mi da de".split(),
+    "id": "yang dan di ini itu dengan untuk tidak dari dalam akan pada".split(),
 }
 
 

@@ -592,3 +592,32 @@ def test_dedup_corpus_keeps_first_per_text(ray_session):
     )
     assert out["doc_id"].tolist() == want["doc_id"].tolist()
     assert out["text"].tolist() == want["text"].tolist()
+
+
+def test_langid_thirteen_languages():
+    import pyarrow as pa
+
+    from bleve_ray.pipelines.text_stats import langid_batch
+
+    samples = {
+        "en": "the cat is not in the house and it was at the park",
+        "de": "die katze ist nicht im haus und das ist ein park",
+        "fr": "le chat est dans la maison et pas au parc avec les autres",
+        "es": "el gato no está en la casa y es un parque para los dos",
+        "it": "il gatto non è nella casa e per il parco che sono le due",
+        "pt": "o gato não está em casa mas vai para o parque",
+        "nl": "de kat is niet in het huis maar op de tafel",
+        "sv": "och det är en katt som inte har något hus",
+        "da": "det er en kat som ikke har noget hus af den",
+        "id": "yang kucing ini tidak ada di dalam rumah dan akan pergi",
+        "tr": "bir kedi bu evde değil ve daha çok parkta",
+        "pl": "się kot nie jest w domu ale przez park",
+    }
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(len(samples)), type=pa.int64()),
+            "text": pa.array(list(samples.values())),
+        }
+    )
+    preds = langid_batch(b)["lang_pred"].to_pylist()
+    assert preds == list(samples.keys())
