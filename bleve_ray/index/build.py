@@ -117,6 +117,11 @@ class IndexOptions:
     # always stay under index_dir.
     chunk_root: Optional[str] = None
     merge_fan_in: int = 10
+    # "builder" = the offline Builder loop (merge up to fan_in, repeat to
+    # target_per_shard); "tiered" = the full TieredMergePolicy planner
+    # (mergeplan.plan_tiered: CalcBudget + roster scoring) for
+    # steady-state incremental indexes
+    merge_policy: str = "builder"
     target_segments_per_shard: int = 1
     merge_concurrency: int = 16
 
@@ -1309,11 +1314,16 @@ def run_merge_phase(
         return MergeWorker(index_dir).merge_one(row)
 
     while True:
-        tasks = plan_merges(
-            man.segments,
-            fan_in=options.merge_fan_in,
-            target_per_shard=options.target_segments_per_shard,
-        )
+        if options.merge_policy == "tiered":
+            from .mergeplan import DEFAULT_MERGE_PLAN_OPTIONS, plan_tiered
+
+            tasks = plan_tiered(man.segments, DEFAULT_MERGE_PLAN_OPTIONS)
+        else:
+            tasks = plan_merges(
+                man.segments,
+                fan_in=options.merge_fan_in,
+                target_per_shard=options.target_segments_per_shard,
+            )
         if not tasks:
             break
         task_rows = []
