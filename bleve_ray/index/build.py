@@ -1087,6 +1087,10 @@ def build_index(
         for pid, i in enumerate(range(0, len(input_files), files_per_partition))
     ]
 
+    from . import events
+
+    events.fire(events.EVENT_INDEX_START,
+                detail={"index_dir": index_dir, "files": len(input_files)})
     for pid, files in partitions:
         if pid in done:
             continue
@@ -1099,6 +1103,11 @@ def build_index(
         man.partitions.append(part_entry)
         man.merge_done = False
         manifest_mod.commit(index_dir, man)
+        events.fire(
+            events.EVENT_SEGMENTS_BUILT,
+            duration_ms=part_entry.metrics["build_seconds"] * 1e3,
+            detail={"partition": pid, "segments": len(seg_entries)},
+        )
 
     # tiered merge to target_per_shard (builder.go:169-236 doMerge loop)
     t_m = time.time()
@@ -1326,6 +1335,9 @@ def run_merge_phase(
             )
         if not tasks:
             break
+        from . import events as _events
+
+        _round_t0 = time.time()
         task_rows = []
         for t in tasks:
             ids = "+".join(s.seg_id for s in t.inputs)
@@ -1349,6 +1361,12 @@ def run_merge_phase(
             s for s in man.segments if s.seg_id not in merged_inputs
         ] + [SegmentEntry(**r) for r in results]
         manifest_mod.commit(index_dir, man)
+        _events.fire(
+            _events.EVENT_MERGER_PROGRESS,
+            duration_ms=(time.time() - _round_t0) * 1e3,
+            detail={"tasks": len(task_rows),
+                    "segments": len(man.segments)},
+        )
         # old segment files kept for rollback; GC beyond KEEP_EPOCHS [later]
     man.merge_done = True
     return man

@@ -124,6 +124,10 @@ def apply_batch(
 
     from .build import IndexOptions, compute_doc_ids
 
+    from . import events
+
+    events.fire(events.EVENT_BATCH_INTRODUCTION_START)
+    _t0 = __import__("time").perf_counter()
     man = manifest_mod.load(index_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest in {index_dir}")
@@ -140,4 +144,9 @@ def apply_batch(
         path = os.path.join(bdir, f"batch_{man.epoch + 1:06d}.parquet")
         pq.write_table(upserts, path)
         man = add_files(index_dir, [path])
+    events.fire(
+        events.EVENT_BATCH_INTRODUCTION,
+        duration_ms=(__import__("time").perf_counter() - _t0) * 1e3,
+        detail={"deletes": len(to_delete)},
+    )
     return man

@@ -201,3 +201,50 @@ def test_tiered_policy_end_to_end(ray_session, tmp_path):
     for s in idx.reader.manifest.segments:
         per_shard[s.shard] = per_shard.get(s.shard, 0) + 1
     assert max(per_shard.values()) <= 10
+
+
+def test_event_callbacks_fire(ray_session, tmp_path):
+    """RegisterEventCallback surface (event.go role): activated
+    observers see index/segments/merge/batch events; errors in an
+    observer never break the build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index import events
+
+    seen = []
+    events.register_event_callback("t", lambda ev: seen.append(ev.kind))
+    events.register_event_callback(
+        "boom", lambda ev: (_ for _ in ()).throw(RuntimeError("x"))
+    )
+    events.activate_event_callback("t")
+    events.activate_event_callback("boom")
+    try:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(["a", "b"]),
+                "text": pa.array(["one two", "three four"]),
+            }
+        )
+        p = str(tmp_path / "in.parquet")
+        pq.write_table(tbl, p)
+        d = str(tmp_path / "idx")
+        build_index(
+            [p], d,
+            IndexOptions(
+                fields={"text": FieldConfig(analyzer="ascii_alnum_lower")},
+                doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+            ),
+        )
+        assert events.EVENT_INDEX_START in seen
+        assert events.EVENT_SEGMENTS_BUILT in seen
+
+        from bleve_ray.index.mutate import apply_batch
+
+        apply_batch(d, deletes=["a"])
+        assert events.EVENT_BATCH_INTRODUCTION_START in seen
+        assert events.EVENT_BATCH_INTRODUCTION in seen
+    finally:
+        events.deactivate_event_callback("t")
+        events.deactivate_event_callback("boom")
