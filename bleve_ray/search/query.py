@@ -345,6 +345,70 @@ class FuzzyQuery(Query):
 _REGEX_SPECIAL = set(".^$*+?{}[]|()\\")
 
 
+def _split_top_level_alternation(pattern: str):
+    """Split a regex on '|' at nesting depth 0; None when unsplittable
+    (escapes into classes are respected conservatively)."""
+    parts, buf, depth, i = [], [], 0, 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            buf.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _regex_literal_prefixes(pattern: str):
+    """Per-branch literal prefixes for pruning: a top-level alternation
+    ('foo.*|barz?') or a LEADING alternation group ('(foo|bar)rest')
+    yields one prefix per branch; [] means no pruning possible.  The
+    reference derives the same bounds from the compiled automaton
+    (search_regexp.go:38-66); this is the conservative syntactic cut."""
+    branches = _split_top_level_alternation(pattern)
+    if len(branches) > 1:
+        prefixes = [_regex_literal_prefix(b) for b in branches]
+        return prefixes if all(prefixes) else []
+    # leading non-capturing/capturing group of literal alternatives
+    m = None
+    if pattern.startswith("(?:"):
+        body_start = 3
+    elif pattern.startswith("(") and not pattern.startswith("(?"):
+        body_start = 1
+    else:
+        body_start = None
+    if body_start is not None:
+        depth, i = 1, body_start
+        while i < len(pattern) and depth:
+            if pattern[i] == "\\":
+                i += 2
+                continue
+            if pattern[i] == "(":
+                depth += 1
+            elif pattern[i] == ")":
+                depth -= 1
+            i += 1
+        if depth == 0 and not (i < len(pattern) and pattern[i] in "*+?{"):
+            inner = pattern[body_start : i - 1]
+            alts = _split_top_level_alternation(inner)
+            prefixes = [_regex_literal_prefix(a) for a in alts]
+            if all(prefixes):
+                return prefixes
+    p = _regex_literal_prefix(pattern)
+    return [p] if p else []
+
+
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest leading run of literal characters in a regex (conservative:
     stops at any metacharacter; a literal followed by a quantifier is
@@ -379,12 +443,18 @@ class RegexpQuery(Query):
         # from the regexp automaton, search_regexp.go:38-66
         # LiteralPrefix): only the dictionary slice sharing the prefix is
         # scanned, via row-group-pruned range reads
-        prefix = _regex_literal_prefix(self.regexp)
-        if prefix:
-            cand = reader.terms_with_prefix(field, prefix)
+        prefixes = _regex_literal_prefixes(self.regexp)
+        if prefixes:
+            seen = set()
+            cand = []
+            for p in sorted(set(prefixes)):
+                for t in reader.terms_with_prefix(field, p):
+                    if t not in seen:
+                        seen.add(t)
+                        cand.append(t)
         else:
             cand = reader.terms_in_range(field, None, None)
-        terms = [t for t in cand if pat.fullmatch(t)]
+        terms = sorted(t for t in cand if pat.fullmatch(t))
         if not terms:
             return MatchNoneSearcher()
         return MultiTermSearcher(reader, terms, field, self.boost, options)

@@ -558,3 +558,40 @@ def test_index_facade_single_doc_ops(ray_session, tmp_path):
     idx.close()
     # still usable after close (readers reopen lazily)
     assert idx.search({"query": {"term": "hello", "field": "text"}}).total_hits == 20
+
+
+def test_regexp_alternation_prefix_pruning(idx):
+    """Alternation regexes prune per branch; results identical to the
+    unpruned full-dictionary filter (including the quantified-group case
+    that must NOT prune)."""
+    import re
+
+    from bleve_ray.search.query import _regex_literal_prefixes
+
+    full = [t for t, _ in idx.reader.dictionary("content")]
+    for pattern in (
+        "func.*|return.*",
+        "(func|lambda)[a-z]*",
+        "(?:err|ok)[a-z]*",
+        "(func|x)*",
+    ):
+        r = idx.search(
+            {"query": {"regexp": pattern, "field": "content"}, "size": 0}
+        )
+        pat = re.compile(pattern)
+        want_terms = [t for t in full if pat.fullmatch(t)]
+        want = idx.search(
+            {
+                "query": {
+                    "disjuncts": [
+                        {"term": t, "field": "content"} for t in want_terms
+                    ]
+                }
+                if want_terms
+                else {"match_none": {}},
+                "size": 0,
+            }
+        )
+        assert r.total_hits == want.total_hits, pattern
+    # quantified group pattern must not have been pruned away
+    assert _regex_literal_prefixes("(func|x)*") == []
