@@ -153,3 +153,48 @@ def test_docvalue_store_narrowing_reported():
     upd2 = _opts(store_fields=[])  # stop storing text
     info2 = deleted_fields(ori, upd2)
     assert info2["text"].store and not info2["text"].deleted
+
+
+def test_reader_snapshot_isolation(ray_session, tmp_path):
+    """An open reader is an epoch snapshot (scorch snapshot semantics):
+    mutations commit new epochs, but a handle opened earlier keeps
+    serving its epoch until reopen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(10)]),
+            "text": pa.array([f"snapshot doc {i}" for i in range(10)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "idx")
+    build_index(
+        [src], d,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="ascii_alnum_lower")},
+            doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+        ),
+    )
+    old = Index.open(d)
+    assert old.doc_count() == 10
+
+    # a second handle mutates (delete 3 docs)
+    writer = Index.open(d)
+    writer.batch(deletes=["d0", "d1", "d2"])
+    assert writer.doc_count() == 7
+
+    # the earlier snapshot still serves its epoch
+    assert old.doc_count() == 10
+    assert (
+        old.search({"query": {"term": "snapshot", "field": "text"},
+                    "size": 0}).total_hits == 10
+    )
+    # reopen advances to the new epoch
+    old.reopen()
+    assert old.doc_count() == 7
