@@ -131,6 +131,24 @@ def _collect_sorted(
     "desc": bool, "field": ..., "location": ..., "unit": ...}.  Missing
     values sort last."""
     n = len(hits.docnums)
+    key_for, _ = _build_sort_machinery(reader, hits, sort)
+    order = sorted(range(n), key=key_for)
+    window = order[from_ : from_ + size]
+    ids = None
+    win_ids = reader.doc_ids_for(hits.docnums[window])
+    out = [
+        Hit(id=win_ids[j], score=float(hits.scores[i]), docnum=int(hits.docnums[i]))
+        for j, i in enumerate(window)
+    ]
+    max_score = float(hits.scores.max()) if n else 0.0
+    return SearchResult(n, max_score, out, (time.perf_counter() - t0) * 1e3)
+
+
+def _build_sort_machinery(reader, hits: SearchHits, sort: List):
+    """(key_for, cursor_key) for a sort order: key_for(i) builds hit i's
+    comparable key tuple; cursor_key(values) builds the SAME-shaped tuple
+    from search_after/search_before cursor values."""
+    n = len(hits.docnums)
     # normalize entries -> (name, desc, precomputed values, missing_first)
     entries = []
     for s in sort:
@@ -207,18 +225,49 @@ def _collect_sorted(
                     parts.append((rank, v if not missing else None))
         return tuple(parts)
 
-    order = sorted(range(n), key=key_for)
-    window = order[from_ : from_ + size]
-    if ids is None:
-        win_ids = reader.doc_ids_for(hits.docnums[window])
+    def cursor_key(values):
+        if len(values) != len(entries):
+            raise ValueError(
+                "search after must have same size as sort order"
+            )
+        parts = []
+        for (name, desc, pre, missing_first), v in zip(entries, values):
+            if name == "_score":
+                x = float(v)
+                parts.append(-x if desc else x)
+            elif name == "_id":
+                s_ = str(v)
+                parts.append(_RevStr(s_) if desc else s_)
+            else:
+                if name == "_computed" or pre is not None:
+                    v = float(v) if v is not None else None
+                missing = v is None
+                rank = not missing if missing_first else missing
+                if desc:
+                    parts.append((rank, _Rev(v) if not missing else None))
+                else:
+                    parts.append((rank, v if not missing else None))
+        return tuple(parts)
+
+    return key_for, cursor_key
+
+
+def _apply_cursor_sorted(
+    reader, hits: SearchHits, sort: List, cursor, before: bool
+) -> SearchHits:
+    """search_after/search_before under a CUSTOM sort order: keep hits
+    whose sort key is strictly after (or before) the cursor's key tuple
+    (the reference's seeded-collector semantics generalized; cursor
+    arity must match the sort arity, search.go Validate)."""
+    key_for, cursor_key = _build_sort_machinery(reader, hits, sort)
+    ck = cursor_key(list(cursor))
+    n = len(hits.docnums)
+    if before:
+        keep = [i for i in range(n) if key_for(i) < ck]
     else:
-        win_ids = [ids[i] for i in window]
-    out = [
-        Hit(id=win_ids[j], score=float(hits.scores[i]), docnum=int(hits.docnums[i]))
-        for j, i in enumerate(window)
-    ]
-    max_score = float(hits.scores.max()) if n else 0.0
-    return SearchResult(n, max_score, out, (time.perf_counter() - t0) * 1e3)
+        keep = [i for i in range(n) if ck < key_for(i)]
+    keep = np.asarray(keep, dtype=np.int64)
+    return SearchHits(hits.docnums[keep], hits.scores[keep])
 
 
 class _Rev:
@@ -715,17 +764,31 @@ class Index:
         pre_cursor_total = len(hits.docnums)
         size = request.get("size", 10)
         from_ = request.get("from", 0)
+        sort = request.get("sort")
+        custom_sort = bool(sort) and sort != ["-_score", "_id"]
         if request.get("search_after"):
-            hits = _apply_search_after(
-                self.reader, hits, request["search_after"]
-            )
+            if custom_sort:
+                hits = _apply_cursor_sorted(
+                    self.reader, hits, sort, request["search_after"],
+                    before=False,
+                )
+            else:
+                hits = _apply_search_after(
+                    self.reader, hits, request["search_after"]
+                )
         if request.get("search_before"):
-            hits = _apply_search_before(
-                self.reader, hits, request["search_before"]
-            )
+            if custom_sort:
+                hits = _apply_cursor_sorted(
+                    self.reader, hits, sort, request["search_before"],
+                    before=True,
+                )
+            else:
+                hits = _apply_search_before(
+                    self.reader, hits, request["search_before"]
+                )
             # reference (index_impl.go SearchBefore) reverses the sort and
             # returns the page immediately PRECEDING the cursor, re-sorted
-            # to the default order: i.e. the LAST `size` docs before it.
+            # to the request order: i.e. the LAST `size` docs before it.
             from_ = max(0, len(hits.docnums) - size)
         result = collect_topn(
             self.reader,

@@ -310,3 +310,59 @@ def test_include_locations(doc_index):
                 assert surface.lower() == term
     d = r.to_dict()
     assert "locations" in d["hits"][0]
+
+
+def test_search_after_with_custom_sort(doc_index):
+    """Cursor paging under a custom sort order (reference seeded
+    collector with Sort/SearchAfter of matching arity): walking pages by
+    [n_chars, _id] cursors reproduces the full sorted ranking; arity
+    mismatch errors like SearchRequest.Validate."""
+    full = doc_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 500,
+            "sort": ["n_chars", "_id"],
+            "fields": ["n_chars"],
+        }
+    ).hits
+    walked = []
+    after = None
+    while True:
+        req = {
+            "query": {"match_all": {}},
+            "size": 50,
+            "sort": ["n_chars", "_id"],
+            "fields": ["n_chars"],
+        }
+        if after:
+            req["search_after"] = after
+        page = doc_index.search(req).hits
+        if not page:
+            break
+        walked.extend(page)
+        after = [page[-1].fields["n_chars"], page[-1].id]
+    assert [h.id for h in walked] == [h.id for h in full]
+
+    # search_before returns the page immediately preceding the cursor
+    pivot = full[120]
+    before = doc_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 20,
+            "sort": ["n_chars", "_id"],
+            "search_before": [pivot.fields["n_chars"], pivot.id],
+            "fields": ["n_chars"],
+        }
+    ).hits
+    assert [h.id for h in before] == [h.id for h in full[100:120]]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same size as sort order"):
+        doc_index.search(
+            {
+                "query": {"match_all": {}},
+                "sort": ["n_chars", "_id"],
+                "search_after": [5],
+            }
+        )
