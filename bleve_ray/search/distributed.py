@@ -184,6 +184,40 @@ class DistributedIndex(Index):
         return super().search(request)
 
 
+def _alias_sort_key(sort):
+    """Cross-member hit comparator for a custom sort order: field values
+    come from the hit's fetched fields; '-' / desc reverses; missing
+    sorts last (same rules as the local _collect_sorted)."""
+    from .collector import _Rev, _RevStr
+
+    def key(item):
+        _, h = item
+        parts = []
+        for s in sort:
+            if isinstance(s, dict):
+                name = {"id": "_id", "score": "_score"}.get(
+                    s.get("by"), s.get("field")
+                )
+                desc = bool(s.get("desc", False))
+            else:
+                name = s.lstrip("-")
+                desc = s.startswith("-")
+            if name == "_score":
+                parts.append(-h.score if desc else h.score)
+            elif name == "_id":
+                parts.append(_RevStr(h.id) if desc else h.id)
+            else:
+                v = (h.fields or {}).get(name)
+                missing = v is None
+                if desc:
+                    parts.append((missing, _Rev(v) if not missing else None))
+                else:
+                    parts.append((missing, v if not missing else None))
+        return tuple(parts)
+
+    return key
+
+
 class IndexAlias:
     """Multi-index alias (index_alias_impl.go:776-1090): scatter a search
     to HETEROGENEOUS member indexes, gather and merge.
@@ -215,6 +249,24 @@ class IndexAlias:
         # every member must return enough rows to fill the global window
         sub_req["size"] = from_ + size
         sub_req["from"] = 0
+        sort = request.get("sort")
+        custom_sort = bool(sort) and sort != ["-_score", "_id"]
+        if custom_sort:
+            # hit merge needs each member hit's sort-field values, like
+            # the reference's DocumentMatch.Sort keys carried across the
+            # alias (index_alias_impl.go hit sorting honors req.Sort)
+            sort_fields = [
+                (s["field"] if isinstance(s, dict) else s.lstrip("-"))
+                for s in sort
+                if (isinstance(s, dict) and s.get("by") == "field")
+                or (
+                    not isinstance(s, dict)
+                    and s.lstrip("-") not in ("_score", "_id")
+                )
+            ]
+            sub_req["fields"] = sorted(
+                set(sub_req.get("fields") or []) | set(sort_fields)
+            )
         if request.get("search_type") == "global_scoring":
             sub_req["pre_search_data"] = {
                 "bm25_stats": self._bm25_presearch()
@@ -224,7 +276,10 @@ class IndexAlias:
         for ri, r in enumerate(results):
             for h in r.hits:
                 merged.append((ri, h))
-        merged.sort(key=lambda x: (-x[1].score, x[1].id))
+        if custom_sort:
+            merged.sort(key=_alias_sort_key(sort))
+        else:
+            merged.sort(key=lambda x: (-x[1].score, x[1].id))
         window = [h for _, h in merged[from_ : from_ + size]]
         total = sum(r.total_hits for r in results)
         max_score = max((r.max_score for r in results), default=0.0)

@@ -172,3 +172,59 @@ def test_alias_global_scoring_matches_single_partition(
     assert [h.id for h in r_global.hits] == [h.id for h in rw.hits]
     for a, b in zip(r_global.hits, rw.hits):
         assert abs(a.score - b.score) < 1e-12, (a, b)
+
+
+def test_alias_honors_custom_sort(ray_session, tmp_path):
+    """Alias hit merge follows the request's sort order (reference alias
+    sorting honors req.Sort), not the default score order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search.distributed import IndexAlias
+
+    members = []
+    for part in range(2):
+        n0 = part * 20
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(
+                    [f"{i:03d}" for i in range(n0, n0 + 20)]
+                ),
+                "text": pa.array(["common filler"] * 20),
+                "rank": pa.array(
+                    [((i * 7) % 40) for i in range(n0, n0 + 20)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+        p = str(tmp_path / f"m{part}.parquet")
+        pq.write_table(tbl, p)
+        d = str(tmp_path / f"idx{part}")
+        build_index(
+            [p],
+            d,
+            IndexOptions(
+                fields={"text": FieldConfig(analyzer="ascii_alnum_lower")},
+                doc_id_fields=["doc_id"],
+                num_shards=2,
+                bucket_bits=6,
+                docvalue_fields=["rank"],
+            ),
+        )
+        members.append(Index.open(d))
+    alias = IndexAlias(members)
+    r = alias.search(
+        {
+            "query": {"term": "common", "field": "text"},
+            "size": 40,
+            "sort": ["-rank", "_id"],
+            "fields": ["rank"],
+        }
+    )
+    ranks = [h.fields["rank"] for h in r.hits]
+    assert ranks == sorted(ranks, reverse=True)
+    assert len(r.hits) == 40
+    # interleaved: both members contribute to the top 10
+    top_members = {int(h.id) // 20 for h in r.hits[:10]}
+    assert top_members == {0, 1}
