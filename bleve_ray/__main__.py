@@ -124,7 +124,51 @@ def main(argv=None):
     dd.add_argument("index_dir")
     dd.add_argument("doc_id")
 
+    sn = sub.add_parser(
+        "snapshots",
+        help="list rollback points; --rollback EPOCH restores one "
+             "(cmd/bleve scorch snapshot role)",
+    )
+    sn.add_argument("index_dir")
+    sn.add_argument("--rollback", type=int, default=None)
+
+    de = sub.add_parser("deleted",
+                        help="tombstoned doc ids (scorch deleted role)")
+    de.add_argument("index_dir")
+
+    iv = sub.add_parser("internal",
+                        help="internal KV entries (scorch internal role)")
+    iv.add_argument("index_dir")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "snapshots":
+        from .index import manifest as manifest_mod
+
+        if args.rollback is not None:
+            man = manifest_mod.rollback(args.index_dir, args.rollback)
+            print(json.dumps({"epoch": man.epoch, "rolled_back": True}))
+        else:
+            print(json.dumps(
+                {"rollback_points": manifest_mod.rollback_points(
+                    args.index_dir)}))
+        return
+
+    if args.cmd == "deleted":
+        from .index import manifest as manifest_mod
+        from .index.mutate import load_deleted
+
+        man = manifest_mod.load(args.index_dir)
+        dn = load_deleted(args.index_dir, man)
+        print(json.dumps({"deleted_count": len(dn)}))
+        return
+
+    if args.cmd == "internal":
+        from .index import manifest as manifest_mod
+
+        man = manifest_mod.load(args.index_dir)
+        print(json.dumps(dict(man.internal), indent=1, sort_keys=True))
+        return
 
     if args.cmd == "registry":
         from .analysis.analyzers import registered_analyzers
