@@ -1070,6 +1070,11 @@ def build_index(
     import ray.data
 
     options = options or IndexOptions()
+    # fail fast on unknown analyzers (mapping.Validate role) instead of
+    # erroring inside remote analyze tasks
+    for fname, fcfg in options.fields.items():
+        if fcfg.field_type == "text":
+            analyzer_named(fcfg.analyzer)
     # geo queries need the source lon/lat for exact boundary filtering
     # (the reference's DocValueReader path, search_geoboundingbox.go:78)
     for fname, fcfg in options.fields.items():
