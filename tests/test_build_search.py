@@ -264,3 +264,66 @@ def test_dotted_field_paths_index_struct_children(ray_session, tmp_path):
         "en": 15,
         "de": 15,
     }
+
+
+def test_randomized_query_parity_vs_oracle(built_index, oracle):
+    """Randomized parity sweep: 60 seeded random query trees
+    (term/match/phrase/prefix/bool/disjunction compositions) must be
+    rank- and score-identical to the in-repo oracle."""
+    import random
+
+    idx_dir, _ = built_index
+    idx = Index.open(idx_dir)
+    vocab = [t for t, _ in idx.reader.dictionary("content")]
+    rng = random.Random(20260817)
+
+    def rand_leaf():
+        kind = rng.randrange(4)
+        if kind == 0:
+            return {"term": rng.choice(vocab), "field": "content"}
+        if kind == 1:
+            return {
+                "match": " ".join(
+                    rng.choice(vocab) for _ in range(rng.randrange(1, 4))
+                ),
+                "field": "content",
+                "operator": rng.choice(["or", "and"]),
+            }
+        if kind == 2:
+            t = rng.choice(vocab)
+            return {"prefix": t[: max(1, len(t) - 1)], "field": "content"}
+        return {
+            "match_phrase": " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(1, 3))
+            ),
+            "field": "content",
+        }
+
+    def rand_query(depth=0):
+        if depth >= 2 or rng.random() < 0.5:
+            return rand_leaf()
+        kind = rng.randrange(3)
+        kids = [rand_query(depth + 1) for _ in range(rng.randrange(2, 4))]
+        if kind == 0:
+            return {"conjuncts": kids}
+        if kind == 1:
+            return {"disjuncts": kids, "min": rng.randrange(0, 2)}
+        return {
+            "must": kids[0],
+            "should": kids[1:] or None,
+            "must_not": rand_leaf() if rng.random() < 0.3 else None,
+        }
+
+    n_nonempty = 0
+    for i in range(60):
+        q = rand_query()
+        if isinstance(q, dict) and q.get("should") is None:
+            q.pop("should", None)
+        if isinstance(q, dict) and q.get("must_not") is None:
+            q.pop("must_not", None)
+        req = {"query": q, "size": 10}
+        got = idx.search(req).to_dict()
+        want = oracle.search(req)
+        assert_same_results(got, want, f"random#{i}: {q}")
+        n_nonempty += 1 if got["total_hits"] else 0
+    assert n_nonempty > 20  # the sweep actually exercised matches
