@@ -259,9 +259,74 @@ def main():
     ap.add_argument("--scale-mult", type=int, default=1)
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--doc-lines", default="20,120")
+    ap.add_argument("--ceiling", action="store_true",
+                    help="pure-compute scaling ceiling: analysis-only "
+                         "map_batches, no shuffle/writes, 8 vs 32 cpus")
+    ap.add_argument("--ceiling-once", action="store_true")
     args = ap.parse_args()
 
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.ceiling_once:
+        # one warm analysis-only pass at --cpus; prints docs/sec
+        import ray
+
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="error",
+                 log_to_driver=False)
+        import ray.data
+
+        from bleve_ray.analysis.analyzers import analyzer_named
+        from bleve_ray.analysis.freq import analyze_batch
+
+        files, n_docs, _ = corpus_for(
+            sf_of(args.sf_dir), scale_mult=args.scale_mult,
+            doc_lines=args.doc_lines,
+        )
+
+        def analyze_only(batch):
+            import pyarrow as pa
+
+            analyze_batch(batch["content"].to_pylist(),
+                          analyzer_named("standard"))
+            return pa.table({"n": pa.array([len(batch)])})
+
+        def run_once():
+            ray.data.read_parquet(files).map_batches(
+                analyze_only, batch_format="pyarrow", batch_size=1024
+            ).count()
+
+        run_once()  # warm
+        t0 = time.perf_counter()
+        run_once()
+        wall = time.perf_counter() - t0
+        print(json.dumps({"docs_per_sec": round(n_docs / wall, 1),
+                          "num_cpus": num_cpus}))
+        ray.shutdown()
+        return
+
+    if args.ceiling:
+        results = {}
+        for c in (8, 32):
+            r = subprocess.run(
+                [sys.executable, __file__, "--ceiling-once", "--cpus",
+                 str(c), "--sf-dir", args.sf_dir, "--scale-mult", "20",
+                 "--doc-lines", "60,360"],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        t8 = results[8]["docs_per_sec"]
+        t32 = results[32]["docs_per_sec"]
+        print(json.dumps({
+            "metric": "pure-compute scaling ceiling (8 vs 32 cpus)",
+            "value": round(t32 / (4 * t8), 3),
+            "unit": "efficiency",
+            "docs_per_sec_8cpu": t8,
+            "docs_per_sec_32cpu": t32,
+            "num_cpus": 32,
+        }))
+        return
 
     if args.scaling:
         # fresh process per parallelism level (the N vs 4N substitute)
