@@ -194,14 +194,38 @@ def _alias_sort_key(sort):
         _, h = item
         parts = []
         for s in sort:
+            geo = None
             if isinstance(s, dict):
                 name = {"id": "_id", "score": "_score"}.get(
                     s.get("by"), s.get("field")
                 )
                 desc = bool(s.get("desc", False))
+                if s.get("by") == "geo_distance":
+                    geo = s
             else:
                 name = s.lstrip("-")
                 desc = s.startswith("-")
+            if geo is not None:
+                # distance from the query location to the hit's fetched
+                # geo value (struct or [lon, lat])
+                from ..index.geo import haversin_km
+
+                v = (h.fields or {}).get(geo["field"])
+                if v is None:
+                    parts.append((True, None))
+                    continue
+                if isinstance(v, dict):
+                    lon, lat = float(v["lon"]), float(v["lat"])
+                else:
+                    lon, lat = float(v[0]), float(v[1])
+                loc = geo.get("location")
+                if isinstance(loc, dict):
+                    qlon, qlat = float(loc["lon"]), float(loc["lat"])
+                else:
+                    qlon, qlat = float(loc[0]), float(loc[1])
+                d = float(haversin_km(qlon, qlat, lon, lat))
+                parts.append((False, _Rev(d) if desc else d))
+                continue
             if name == "_score":
                 parts.append(-h.score if desc else h.score)
             elif name == "_id":
@@ -258,7 +282,10 @@ class IndexAlias:
             sort_fields = [
                 (s["field"] if isinstance(s, dict) else s.lstrip("-"))
                 for s in sort
-                if (isinstance(s, dict) and s.get("by") == "field")
+                if (
+                    isinstance(s, dict)
+                    and s.get("by") in ("field", "geo_distance")
+                )
                 or (
                     not isinstance(s, dict)
                     and s.lstrip("-") not in ("_score", "_id")

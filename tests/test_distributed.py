@@ -228,3 +228,71 @@ def test_alias_honors_custom_sort(ray_session, tmp_path):
     # interleaved: both members contribute to the top 10
     top_members = {int(h.id) // 20 for h in r.hits[:10]}
     assert top_members == {0, 1}
+
+
+def test_alias_sort_by_geo_distance(ray_session, tmp_path):
+    """Alias merge supports the geo_distance object sort: distances
+    computed from each hit's fetched geo field."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.geo import haversin_km
+    from bleve_ray.search.distributed import IndexAlias
+
+    rng = np.random.default_rng(4)
+    members = []
+    all_pts = {}
+    for part in range(2):
+        n0 = part * 15
+        lon = np.round(rng.uniform(-5, 5, 15), 4)
+        lat = np.round(rng.uniform(44, 50, 15), 4)
+        for i in range(15):
+            all_pts[f"{n0 + i:03d}"] = (lon[i], lat[i])
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([f"{n0 + i:03d}" for i in range(15)]),
+                "text": pa.array(["place marker"] * 15),
+                "pt": pa.StructArray.from_arrays(
+                    [pa.array(lon), pa.array(lat)], names=["lon", "lat"]
+                ),
+            }
+        )
+        p = str(tmp_path / f"g{part}.parquet")
+        pq.write_table(tbl, p)
+        d = str(tmp_path / f"gidx{part}")
+        build_index(
+            [p],
+            d,
+            IndexOptions(
+                fields={
+                    "text": FieldConfig(analyzer="ascii_alnum_lower"),
+                    "pt": FieldConfig(field_type="geo", positions=False),
+                },
+                doc_id_fields=["doc_id"],
+                num_shards=2,
+                bucket_bits=6,
+            ),
+        )
+        members.append(Index.open(d))
+    alias = IndexAlias(members)
+    qlon, qlat = 0.0, 47.0
+    r = alias.search(
+        {
+            "query": {"term": "marker", "field": "text"},
+            "size": 30,
+            "sort": [
+                {
+                    "by": "geo_distance",
+                    "field": "pt",
+                    "location": {"lon": qlon, "lat": qlat},
+                }
+            ],
+        }
+    )
+    assert len(r.hits) == 30
+    dists = [
+        float(haversin_km(qlon, qlat, *all_pts[h.id])) for h in r.hits
+    ]
+    assert all(a <= b + 1e-9 for a, b in zip(dists, dists[1:]))
