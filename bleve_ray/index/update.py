@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict
 
-from .build import FieldConfig, IndexOptions
+from .build import IndexOptions
 from . import manifest as manifest_mod
 
 
@@ -129,10 +129,12 @@ def apply_mapping_update(
         raise FileNotFoundError(f"no manifest in {index_dir}")
     ori = IndexOptions.from_dict(man.options)
     info = deleted_fields(ori, upd)
+    # accumulate drops across successive updates (read the OLD options'
+    # list before replacing them)
+    prior_dropped = set(man.options.get("dropped_fields", ()))
     man.options = upd.to_dict()
     dropped = sorted(
-        set(man.options.get("dropped_fields", ()))
-        | {f for f, i in info.items() if i.deleted}
+        prior_dropped | {f for f, i in info.items() if i.deleted}
     )
     if dropped:
         man.options["dropped_fields"] = dropped

@@ -198,3 +198,52 @@ def test_reader_snapshot_isolation(ray_session, tmp_path):
     # reopen advances to the new epoch
     old.reopen()
     assert old.doc_count() == 7
+
+
+def test_successive_updates_accumulate_drops(ray_session, tmp_path):
+    """A second mapping update must not resurrect fields dropped by the
+    first (dropped_fields accumulates across epochs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["x1", "x2"]),
+            "a": pa.array(["alpha one", "alpha two"]),
+            "b": pa.array(["beta one", "beta two"]),
+            "c": pa.array(["gamma one", "gamma two"]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "idx")
+    opts = IndexOptions(
+        fields={
+            "a": FieldConfig(analyzer="ascii_alnum_lower"),
+            "b": FieldConfig(analyzer="ascii_alnum_lower"),
+            "c": FieldConfig(analyzer="ascii_alnum_lower"),
+        },
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+    )
+    build_index([src], d, opts)
+
+    upd1 = IndexOptions(
+        fields={k: v for k, v in opts.fields.items() if k != "a"},
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+    )
+    apply_mapping_update(d, upd1)
+    upd2 = IndexOptions(
+        fields={"c": opts.fields["c"]},
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+    )
+    apply_mapping_update(d, upd2)
+
+    ix = Index.open(d)
+    assert set(ix.reader.options["dropped_fields"]) == {"a", "b"}
+    for f in ("a", "b"):
+        assert ix.search(
+            {"query": {"term": "one", "field": f}, "size": 0}
+        ).total_hits == 0
+    assert ix.search(
+        {"query": {"term": "gamma", "field": "c"}, "size": 0}
+    ).total_hits == 2
