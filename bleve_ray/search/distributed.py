@@ -308,6 +308,18 @@ class IndexAlias:
         else:
             merged.sort(key=lambda x: (-x[1].score, x[1].id))
         window = [h for _, h in merged[from_ : from_ + size]]
+        if custom_sort:
+            # drop sort-key fields the caller didn't ask for (they were
+            # fetched only to merge, like DocumentMatch.Sort keys)
+            want = set(request.get("fields") or [])
+            for h in window:
+                if h.fields is not None:
+                    if want:
+                        h.fields = {
+                            k: v for k, v in h.fields.items() if k in want
+                        }
+                    else:
+                        h.fields = None
         total = sum(r.total_hits for r in results)
         max_score = max((r.max_score for r in results), default=0.0)
         out = SearchResult(
