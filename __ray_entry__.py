@@ -1342,6 +1342,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_langid() -> str:
+    """SQL replica of text_stats.langid_batch generated from the SAME
+    marker lists: per-language token-membership counts, argmax with the
+    engine's first-language tie rule, 'und' when nothing matches."""
+    from bleve_ray.pipelines.text_stats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+
+    def q(w):
+        return "'" + w.replace("'", "''") + "'"
+
+    count_cols = ",\n     ".join(
+        f"count(CASE WHEN t.term IN ({', '.join(q(w) for w in LANG_MARKERS[l])}) "
+        f"THEN 1 END) AS c_{i}"
+        for i, l in enumerate(langs)
+    )
+    m = "greatest(" + ", ".join(f"c_{i}" for i in range(len(langs))) + ")"
+    pred_chain = "\n    ".join(
+        f"WHEN c_{i} = {m} THEN '{l}'" for i, l in enumerate(langs)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT d.doc_id, count(t.term) AS n,
+     {count_cols}
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+)
+SELECT doc_id,
+  CASE WHEN n = 0 OR {m} = 0 THEN 'und'
+    {pred_chain}
+  END AS lang_pred,
+  printf('%.6f', CASE WHEN n = 0 THEN 0.0 ELSE {m} * 1.0 / n END)
+    AS lang_score
+FROM counts
+"""
+
+
 def _sql_analyzer_es_stats() -> str:
     from bleve_ray.analysis.stopwords_langs import ES_STOP_WORDS
 
@@ -1615,6 +1654,7 @@ SELECT doc_id,
   AS bpe_tokens
 FROM documents
 """,
+        "langid": _sql_langid(),
         "quality_filter": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
