@@ -203,6 +203,17 @@ def bench_pipelines(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     quality_ds(sf_dir).count()
     t_quality = time.perf_counter() - t0
+    from bleve_ray.pipelines.text_stats import (
+        bpe_token_count_ds,
+        sessionize_events_ds,
+    )
+
+    t0 = time.perf_counter()
+    n_sessions = sessionize_events_ds(sf_dir).count()
+    t_sessions = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bpe_token_count_ds(sf_dir).count()
+    t_bpe = time.perf_counter() - t0
     return {
         "minhash_pairs_sec": round(t_minhash, 3),
         "minhash_pairs": n_pairs,
@@ -210,6 +221,9 @@ def bench_pipelines(sf_dir: str) -> dict:
         "simhash_sec": round(t_simhash, 3),
         "simhash_docs": n_docs,
         "quality_sec": round(t_quality, 3),
+        "sessions_sec": round(t_sessions, 3),
+        "sessions": n_sessions,
+        "bpe_tokens_sec": round(t_bpe, 3),
     }
 
 
