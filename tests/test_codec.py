@@ -71,3 +71,56 @@ def test_blob_concat_safety():
     b = np.array([2, 9], dtype=np.uint64)
     joined = codec.varint_encode(a) + codec.varint_encode(b)
     assert (codec.varint_decode(joined) == np.concatenate([a, b])).all()
+
+
+# --- property-based hardening (hypothesis) ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 62) - 1),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_varint_roundtrip_property(values):
+    arr = np.asarray(values, dtype=np.int64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(arr)), arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40)),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_delta_varint_roundtrip_property(deltas):
+    # delta codec operates on ASCENDING sequences
+    arr = np.cumsum(np.asarray(deltas, dtype=np.int64))
+    assert np.array_equal(
+        codec.delta_varint_decode(codec.delta_varint_encode(arr)), arr
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=1.0,
+            allow_nan=False,
+            width=32,
+        ),
+        min_size=0,
+        max_size=64,
+    )
+)
+def test_norms_roundtrip_property(norms):
+    arr = np.asarray(norms, dtype=np.float32)
+    assert np.array_equal(codec.norms_decode(codec.norms_encode(arr)), arr)
