@@ -154,3 +154,34 @@ def test_datetime_parsers():
     assert datetime_parser_named("unix_sec")(1704844800) == 1704844800 * 10**9
     assert datetime_parser_named("unix_milli")(1704844800000) == 1704844800 * 10**9
     assert "iso" in registered_datetime_parsers()
+
+
+def test_tokenizer_spans_reconstruct_terms_property():
+    """Property: every token's (start, end) byte span slices the source
+    back to exactly the emitted term (the invariant hit-location offsets
+    rely on), over generated mixed-script inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bleve_ray.analysis.tokenizers import UnicodeTokenizer
+
+    tok = UnicodeTokenizer()
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs",),
+            ),
+            max_size=60,
+        )
+    )
+    def check(s):
+        raw = s.encode("utf-8")
+        for t in tok.tokenize(s):
+            assert raw[t.start : t.end].decode("utf-8") == t.term, (
+                s, t.astuple(),
+            )
+
+    check()
