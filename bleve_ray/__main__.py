@@ -124,6 +124,15 @@ def main(argv=None):
     dd.add_argument("index_dir")
     dd.add_argument("doc_id")
 
+    um = sub.add_parser(
+        "update-mapping",
+        help="drop-only live mapping update (index_update.go rules)",
+    )
+    um.add_argument("index_dir")
+    um.add_argument("--drop-field", action="append", default=[])
+    um.add_argument("--drop-store", action="append", default=[])
+    um.add_argument("--drop-docvalues", action="append", default=[])
+
     sn = sub.add_parser(
         "snapshots",
         help="list rollback points; --rollback EPOCH restores one "
@@ -141,6 +150,36 @@ def main(argv=None):
     iv.add_argument("index_dir")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "update-mapping":
+        from .index import IndexOptions, apply_mapping_update
+        from .index import manifest as manifest_mod
+
+        man = manifest_mod.load(args.index_dir)
+        opts = IndexOptions.from_dict(man.options)
+        for f in args.drop_field:
+            opts.fields.pop(f, None)
+        opts.store_fields = [
+            f for f in opts.store_fields
+            if f not in args.drop_store and f not in args.drop_field
+        ]
+        opts.docvalue_fields = [
+            f for f in opts.docvalue_fields
+            if f not in args.drop_docvalues and f not in args.drop_field
+        ]
+        info = apply_mapping_update(args.index_dir, opts)
+        print(json.dumps(
+            {
+                f: {
+                    "deleted": i.deleted,
+                    "store": i.store,
+                    "docvalues": i.docvalues,
+                }
+                for f, i in info.items()
+            },
+            indent=1, sort_keys=True,
+        ))
+        return
 
     if args.cmd == "snapshots":
         from .index import manifest as manifest_mod
