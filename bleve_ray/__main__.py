@@ -124,6 +124,14 @@ def main(argv=None):
     dd.add_argument("index_dir")
     dd.add_argument("doc_id")
 
+    sy = sub.add_parser(
+        "synonyms", help="persist synonym definitions into the index"
+    )
+    sy.add_argument("index_dir")
+    sy.add_argument("definitions_json",
+                    help='[{"synonyms": [...]}, {"input": [...], ...}]')
+    sy.add_argument("--analyzer", default="")
+
     um = sub.add_parser(
         "update-mapping",
         help="drop-only live mapping update (index_update.go rules)",
@@ -150,6 +158,16 @@ def main(argv=None):
     iv.add_argument("index_dir")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "synonyms":
+        from .search import Index
+
+        idx = Index.open(args.index_dir)
+        defs = json.loads(args.definitions_json)
+        idx.define_synonyms(defs, analyzer_name=args.analyzer)
+        print(json.dumps({"definitions": len(defs),
+                          "epoch": idx.reader.manifest.epoch + 1}))
+        return
 
     if args.cmd == "update-mapping":
         from .index import IndexOptions, apply_mapping_update
