@@ -487,6 +487,14 @@ class Index:
         )
         return sorted(d, key=key)[:limit]
 
+    def advanced(self):
+        """index.go Advanced(): the underlying index reader."""
+        return self.reader
+
+    def get_mapping(self):
+        """index.go Mapping()."""
+        return self.mapping
+
     def stats_map(self):
         """index.go StatsMap / IndexStat: query-side counters + manifest
         stats."""

@@ -555,6 +555,8 @@ def test_index_facade_single_doc_ops(ray_session, tmp_path):
     assert idx.term_frequencies("text", limit=1, descending=False)[0][1] == 1
     idx.set_name("myindex")
     assert idx.name == "myindex"
+    assert idx.advanced() is idx.reader
+    assert idx.get_mapping() is idx.mapping
     idx.close()
     # still usable after close (readers reopen lazily)
     assert idx.search({"query": {"term": "hello", "field": "text"}}).total_hits == 20
