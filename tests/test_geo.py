@@ -399,3 +399,26 @@ def test_sort_object_forms_match_string_forms(geo_index):
             {"query": {"match_all": {}}, "size": 10, "sort": ["-_id"]}
         ).hits
     ]
+
+
+def test_morton_roundtrip_property():
+    """Property: morton_hash -> morton_unhash round-trips within the
+    scaled-coordinate quantization error over generated points."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bleve_ray.index.geo import morton_hash, morton_unhash
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(min_value=-180, max_value=180, allow_nan=False),
+        st.floats(min_value=-90, max_value=90, allow_nan=False),
+    )
+    def check(lon, lat):
+        h = morton_hash(np.array([lon]), np.array([lat]))
+        lon2, lat2 = morton_unhash(h)
+        # 32-bit quantization: ~8.4e-8 of the range per step
+        assert abs(float(lon2[0]) - lon) < 360 / (1 << 31)
+        assert abs(float(lat2[0]) - lat) < 180 / (1 << 31)
+
+    check()
