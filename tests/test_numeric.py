@@ -165,3 +165,35 @@ def test_datetime_range(ray_session, tmp_path_factory):
               AND ts < TIMESTAMP '2024-01-20 00:00:00'"""
     ).fetchone()[0]
     assert r.total_hits == want
+
+
+def test_numeric_codec_properties():
+    """Properties over generated values: float64<->sortable-int64 is an
+    exact order-preserving bijection; prefix-coded terms decode back."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bleve_ray.index.numeric import (
+        decode_prefix_coded,
+        float64_to_int64,
+        int64_to_float64,
+        prefix_coded_int64,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.floats(allow_nan=False, allow_infinity=False),
+    )
+    def check(a, b):
+        ia, ib = float64_to_int64(a), float64_to_int64(b)
+        assert int64_to_float64(ia) == a
+        assert int64_to_float64(ib) == b
+        if a < b:
+            assert ia < ib
+        elif a == b:
+            assert ia == ib
+        v, s = decode_prefix_coded(prefix_coded_int64(ia, 0))
+        assert s == 0 and v == ia
+
+    check()
