@@ -597,3 +597,27 @@ def test_regexp_alternation_prefix_pruning(idx):
         assert r.total_hits == want.total_hits, pattern
     # quantified group pattern must not have been pruned away
     assert _regex_literal_prefixes("(func|x)*") == []
+
+
+def test_ip_term_order_property():
+    """Property: ip_term's latin-1 byte carrier preserves numeric IP
+    ordering (the invariant CIDR dictionary-range scans rely on)."""
+    import ipaddress
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bleve_ray.index.build import ip_term
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+    )
+    def check(a, b):
+        ta = ip_term(str(ipaddress.ip_address(a)))
+        tb = ip_term(str(ipaddress.ip_address(b)))
+        assert (ta < tb) == (a < b)
+        assert (ta == tb) == (a == b)
+
+    check()
