@@ -629,6 +629,12 @@ class ReadAnalyzeInvert:
                 # lineage row: per-sub-batch digest of the per-row content
                 # sha256s (combined hierarchically on the driver)
                 digest = hashlib.sha256("".join(shas).encode()).hexdigest()
+                # payload carries the sub-batch's chunk-manifest row count
+                # too: the streaming consumer may see this lineage row
+                # BEFORE the chunk rows (Ray Data can split one task
+                # output across blocks in any delivery order), so bucket
+                # completion requires BOTH row accounting and chunk-row
+                # accounting to close
                 lineage = pa.table(
                     {
                         "shard": pa.array([-1], type=pa.int32()),
@@ -636,7 +642,8 @@ class ReadAnalyzeInvert:
                             [int(docnums[0])], type=pa.int64()
                         ),
                         "path": pa.array(
-                            [f"{digest}:{len(tbl)}"], type=pa.string()
+                            [f"{digest}:{len(tbl)}:{len(out)}"],
+                            type=pa.string(),
                         ),
                     }
                 )
@@ -1193,6 +1200,15 @@ def _build_partition(
         # groups are submitted after the stream drains (still correct)
         expected: Dict[int, int] = {}
         got: Dict[int, int] = {}
+        # chunk-manifest row accounting: Ray Data's streaming executor
+        # gives no cross-block delivery-order guarantee, so a bucket's
+        # lineage rows can arrive before its chunk rows.  A bucket is
+        # complete only when BOTH its analyzed-row count and its
+        # chunk-row count (expected total carried in each lineage row)
+        # have fully arrived.
+        expected_chunks: Dict[int, int] = {}
+        got_chunks: Dict[int, int] = {}
+        lineage_done: Dict[int, bool] = {}
         track = options.bucket_bits >= DOCNUM_FILE_SHIFT
         if track:
             fshift = options.bucket_bits - DOCNUM_FILE_SHIFT
@@ -1200,7 +1216,16 @@ def _build_partition(
                 b = fi >> fshift
                 expected[b] = expected.get(b, 0) + n
 
+        submitted: set = set()
+
+        def _bucket_complete(bb: int) -> bool:
+            return (
+                got.get(bb) == expected.get(bb, -1)
+                and got_chunks.get(bb, 0) == expected_chunks.get(bb, -1)
+            )
+
         def _submit_bucket(b: int) -> None:
+            submitted.add(b)
             for key in [k for k in groups if k[1] == b]:
                 futures[key] = _seg_task.remote(
                     key[0], key[1], sorted(groups.pop(key))
@@ -1212,22 +1237,37 @@ def _build_partition(
             shards = batch["shard"].to_pylist()
             buckets = batch["bucket"].to_pylist()
             paths = batch["path"].to_pylist()
-            done_buckets = []
+            touched = set()
             for sh, b, p in zip(shards, buckets, paths):
                 if sh == -1:
-                    digest, cnt = p.split(":")
+                    digest, cnt, n_chunk = p.split(":")
                     lineage_rows.append((b, digest, int(cnt)))
                     if track:
                         bb = b >> options.bucket_bits
                         got[bb] = got.get(bb, 0) + int(cnt)
-                        if got[bb] == expected.get(bb, -1):
-                            done_buckets.append(bb)
+                        expected_chunks[bb] = (
+                            expected_chunks.get(bb, 0) + int(n_chunk)
+                        )
+                        touched.add(bb)
                     continue
                 groups.setdefault((sh, b), []).append(p)
-            for bb in done_buckets:
-                _submit_bucket(bb)
+                if track:
+                    got_chunks[b] = got_chunks.get(b, 0) + 1
+                    touched.add(b)
+            for bb in touched:
+                if bb not in submitted and _bucket_complete(bb):
+                    _submit_bucket(bb)
         # any bucket not closed by row accounting (empty docs emit no
         # lineage-bearing chunk table) drains here
+        leftover_submitted = sorted(
+            {k[1] for k in groups} & submitted
+        )
+        if leftover_submitted:
+            raise RuntimeError(
+                "storage-shuffle ordering violation: chunk rows arrived "
+                f"after their bucket(s) {leftover_submitted} were "
+                "submitted; the build would be missing postings"
+            )
         for key in list(sorted(groups)):
             futures[key] = _seg_task.remote(key[0], key[1], sorted(groups.pop(key)))
         seg_rows = ray.get([futures[k] for k in sorted(futures)])

@@ -151,7 +151,10 @@ def parse_distance_km(d) -> float:
 
 
 def rect_from_point_distance(lon: float, lat: float, dist_km: float):
-    """geo.go RectFromPointDistance role: bounding rect of the circle."""
+    """geo.go RectFromPointDistance role: bounding rect of the circle.
+
+    Lon bounds are clamped to [-180, 180]; callers that must not lose the
+    far side of the antimeridian should use rects_from_point_distance."""
     lat_delta = dist_km / 111.195  # km per degree latitude (mean)
     coslat = max(0.01, math.cos(lat * _DEG2RAD))
     lon_delta = dist_km / (111.195 * coslat)
@@ -161,6 +164,30 @@ def rect_from_point_distance(lon: float, lat: float, dist_km: float):
         min(_MAX_LON, lon + lon_delta),
         min(_MAX_LAT, lat + lat_delta),
     )
+
+
+def rects_from_point_distance(lon: float, lat: float, dist_km: float):
+    """Bounding rect(s) of the circle, wrapping across the antimeridian:
+    a circle near ±180 yields TWO rects (the reference reaches the same
+    effect by boundingRectangleForCircle + the dateline split in
+    search/query/geo_boundingbox.go:68-82)."""
+    lat_delta = dist_km / 111.195
+    coslat = max(0.01, math.cos(lat * _DEG2RAD))
+    lon_delta = dist_km / (111.195 * coslat)
+    lat_lo = max(_MIN_LAT, lat - lat_delta)
+    lat_hi = min(_MAX_LAT, lat + lat_delta)
+    if lon_delta >= 180.0:
+        return [(_MIN_LON, lat_lo, _MAX_LON, lat_hi)]
+    lo, hi = lon - lon_delta, lon + lon_delta
+    rects = []
+    if lo < _MIN_LON:
+        rects.append((lo + 360.0, lat_lo, _MAX_LON, lat_hi))
+        lo = _MIN_LON
+    if hi > _MAX_LON:
+        rects.append((_MIN_LON, lat_lo, hi - 360.0, lat_hi))
+        hi = _MAX_LON
+    rects.append((lo, lat_lo, hi, lat_hi))
+    return rects
 
 
 def morton_ranges_for_rect(

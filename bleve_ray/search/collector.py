@@ -770,6 +770,9 @@ class Index:
         # total_hits is cursor-independent (collector/topn.go basicPrepare
         # counts every match before the searchAfter skip)
         pre_cursor_total = len(hits.docnums)
+        # facets likewise accumulate over every match, not the cursor page
+        # (reference collector facets run during the full collect loop)
+        pre_cursor_docnums = hits.docnums
         size = request.get("size", 10)
         from_ = request.get("from", 0)
         sort = request.get("sort")
@@ -822,7 +825,7 @@ class Index:
             from .facets import compute_facets
 
             result.facets = compute_facets(
-                self.reader, hits.docnums, request["facets"]
+                self.reader, pre_cursor_docnums, request["facets"]
             )
         want_fields = self._expand_fields(request.get("fields"))
         hl = request.get("highlight")

@@ -785,6 +785,25 @@ def _geo_values(reader, field, docnums):
     return lon, lat
 
 
+_GEO_MIN_LON, _GEO_MAX_LON = -180.0, 180.0
+
+
+def _geo_multi_rect_searcher(reader, field, rects, boost, options):
+    """Candidate searcher covering a union of rects (dateline splits):
+    one morton-cover searcher per rect, unioned with min_match=0
+    disjunction — mirrors geo_boundingbox.go's two-box NewDisjunction."""
+    inners = [
+        _geo_candidate_searcher(reader, field, r, boost, options)
+        for r in rects
+    ]
+    inners = [s for s in inners if not isinstance(s, MatchNoneSearcher)]
+    if not inners:
+        return MatchNoneSearcher()
+    if len(inners) == 1:
+        return inners[0]
+    return DisjunctionSearcher(inners, min_match=0, options=options)
+
+
 def _geo_candidate_searcher(reader, field, rect, boost, options):
     """Morton-interval candidates -> trie terms -> MultiTermSearcher
     (the ComputeGeoRange role, search_geoboundingbox.go:70-126)."""
@@ -818,22 +837,42 @@ class GeoBoundingBoxQuery(Query):
     boost: float = 1.0
 
     def searcher(self, reader, mapping, options):
-        import numpy as np
-
         field = self.field or mapping.default_field
         min_lon, max_lon = self.top_left_lon, self.bottom_right_lon
         min_lat, max_lat = self.bottom_right_lat, self.top_left_lat
-        inner = _geo_candidate_searcher(
-            reader, field, (min_lon, min_lat, max_lon, max_lat), self.boost,
-            options,
-        )
-
-        def rect_ok(docnums):
-            lon, lat = _geo_values(reader, field, docnums)
-            return (
-                (lon >= min_lon) & (lon <= max_lon)
-                & (lat >= min_lat) & (lat <= max_lat)
+        if max_lon < min_lon:
+            # dateline-crossing box: the reference rewrites it as two
+            # boxes joined by a disjunction (geo_boundingbox.go:68-82)
+            inner = _geo_multi_rect_searcher(
+                reader,
+                field,
+                [
+                    (_GEO_MIN_LON, min_lat, max_lon, max_lat),
+                    (min_lon, min_lat, _GEO_MAX_LON, max_lat),
+                ],
+                self.boost,
+                options,
             )
+
+            def rect_ok(docnums):
+                lon, lat = _geo_values(reader, field, docnums)
+                return (
+                    ((lon >= min_lon) | (lon <= max_lon))
+                    & (lat >= min_lat) & (lat <= max_lat)
+                )
+
+        else:
+            inner = _geo_candidate_searcher(
+                reader, field, (min_lon, min_lat, max_lon, max_lat),
+                self.boost, options,
+            )
+
+            def rect_ok(docnums):
+                lon, lat = _geo_values(reader, field, docnums)
+                return (
+                    (lon >= min_lon) & (lon <= max_lon)
+                    & (lat >= min_lat) & (lat <= max_lat)
+                )
 
         return FilteringSearcher(inner, rect_ok)
 
@@ -853,14 +892,16 @@ class GeoDistanceQuery(Query):
         from ..index.geo import (
             haversin_km,
             parse_distance_km,
-            rect_from_point_distance,
+            rects_from_point_distance,
         )
 
         field = self.field or mapping.default_field
         dist_km = parse_distance_km(self.distance)
-        rect = rect_from_point_distance(self.lon, self.lat, dist_km)
-        inner = _geo_candidate_searcher(
-            reader, field, rect, self.boost, options
+        # circles near ±180 wrap: cover with one rect per side of the
+        # antimeridian (the exact haversine filter below is wrap-safe)
+        rects = rects_from_point_distance(self.lon, self.lat, dist_km)
+        inner = _geo_multi_rect_searcher(
+            reader, field, rects, self.boost, options
         )
 
         def dist_ok(docnums):

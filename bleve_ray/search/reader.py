@@ -27,6 +27,22 @@ from ..index.build import shard_of_terms
 from ..index.segment import Posting, SegmentReader
 
 
+def _prefix_successor(prefix: str) -> Optional[str]:
+    """Smallest string greater than every string with prefix ``prefix``:
+    drop trailing U+10FFFF codepoints, increment the last remaining one
+    (skipping the surrogate gap, which no valid string contains); None
+    (open bound) if every codepoint is U+10FFFF."""
+    i = len(prefix)
+    while i > 0 and ord(prefix[i - 1]) == 0x10FFFF:
+        i -= 1
+    if i == 0:
+        return None
+    nxt = ord(prefix[i - 1]) + 1
+    if 0xD800 <= nxt <= 0xDFFF:
+        nxt = 0xE000
+    return prefix[: i - 1] + chr(nxt)
+
+
 @dataclass
 class SearchOptions:
     scoring_model: str = "bm25"
@@ -412,8 +428,11 @@ class IndexReader:
 
     def terms_with_prefix(self, field: str, prefix: str) -> List[str]:
         """FieldDictPrefix equivalent; prunes to row groups overlapping
-        [prefix, prefix + U+10FFFF)."""
-        hi = prefix + "\U0010ffff" if prefix else None
+        [prefix, successor(prefix)).  The bound is the true prefix
+        successor (last non-U+10FFFF codepoint incremented), not
+        prefix+U+10FFFF, which would wrongly exclude terms continuing
+        with U+10FFFF itself."""
+        hi = _prefix_successor(prefix) if prefix else None
         t = self._terms_tables(field, prefix or None, hi, inclusive_hi=False)
         terms = sorted(set(t["term"].to_pylist()))
         return [x for x in terms if x.startswith(prefix)]

@@ -91,3 +91,51 @@ def test_term_range_open_ended(idx):
         {"query": TermRangeQuery(field="content"), "size": 5}
     )
     assert r3.total_hits >= max(r.total_hits, r2.total_hits)
+
+
+def test_prefix_successor_bound():
+    from bleve_ray.search.reader import _prefix_successor
+
+    assert _prefix_successor("abc") == "abd"
+    # terms continuing with U+10FFFF itself must stay inside the bound
+    assert _prefix_successor("a") == "b"
+    assert "a\U0010ffffzzz" < _prefix_successor("a")
+    # trailing max codepoints roll over
+    assert _prefix_successor("a\U0010ffff") == "b"
+    assert _prefix_successor("\U0010ffff") is None
+    # surrogate gap is skipped
+    assert _prefix_successor("퟿") == ""
+
+
+def test_terms_with_prefix_includes_max_codepoint_continuation(
+    ray_session, tmp_path_factory
+):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig
+    from bleve_ray.search import Index
+
+    d = tmp_path_factory.mktemp("pfxsucc")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "tag": pa.array(["pre\U0010ffffmore", "prefix", "other"]),
+        }
+    )
+    src = str(d / "t.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(d / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={"tag": FieldConfig(analyzer="keyword", positions=False)},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+        ),
+    )
+    idx = Index.open(idx_dir)
+    terms = idx.reader.terms_with_prefix("tag", "pre")
+    assert terms == ["prefix", "pre\U0010ffffmore"]

@@ -366,3 +366,35 @@ def test_search_after_with_custom_sort(doc_index):
                 "search_after": [5],
             }
         )
+
+
+def test_facets_unaffected_by_cursor_paging(doc_index):
+    # reference collector accumulates facets over EVERY match; paging via
+    # search_after/search_before must not shrink the facet counts
+    base = doc_index.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 5,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    cursor = [f"{base.hits[-1].score:.6f}", base.hits[-1].id]
+    after = doc_index.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 5,
+            "search_after": cursor,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    assert after.total_hits == base.total_hits
+    assert after.facets == base.facets
+    before = doc_index.search(
+        {
+            "query": {"term": "vector", "field": "text"},
+            "size": 5,
+            "search_before": cursor,
+            "facets": {"langs": {"field": "lang", "size": 10}},
+        }
+    )
+    assert before.facets == base.facets

@@ -422,3 +422,50 @@ def test_morton_roundtrip_property():
         assert abs(float(lat2[0]) - lat) < 180 / (1 << 31)
 
     check()
+
+
+def test_geo_bounding_box_dateline(geo_index):
+    # box crossing the antimeridian: top_left lon 150, bottom_right -150
+    # (the reference splits it into two boxes, geo_boundingbox.go:68-82)
+    idx, lon, lat = geo_index
+    r = idx.search(
+        {
+            "query": {
+                "top_left": {"lon": 150.0, "lat": 60.0},
+                "bottom_right": {"lon": -150.0, "lat": -60.0},
+                "field": "pt",
+            },
+            "size": 1000,
+        }
+    )
+    want = {
+        str(i)
+        for i in range(len(lon))
+        if (lon[i] >= 150.0 or lon[i] <= -150.0) and -60.0 <= lat[i] <= 60.0
+    }
+    assert {h.id for h in r.hits} == want
+    assert len(want) > 5
+
+
+def test_geo_distance_near_dateline(geo_index):
+    # a 2000 km circle centred 1° east of the antimeridian must catch
+    # points on BOTH sides of ±180
+    idx, lon, lat = geo_index
+    qlon, qlat = 179.0, 0.0
+    r = idx.search(
+        {
+            "query": {
+                "location": {"lon": qlon, "lat": qlat},
+                "distance": "2000km",
+                "field": "pt",
+            },
+            "size": 1000,
+        }
+    )
+    d = haversin_km(qlon, qlat, lon, lat)
+    want = {str(i) for i in range(len(lon)) if d[i] <= 2000.0}
+    got = {h.id for h in r.hits}
+    assert got == want
+    # the fixture's uniform spread should put at least one point on the
+    # far (western) side of the line inside the circle
+    assert any(lon[int(i)] < 0 for i in want), "fixture lost its far side"
