@@ -661,6 +661,19 @@ class ReadAnalyzeInvert:
                 "sha256": pa.array(meta_rows["sha256"], type=pa.string()),
             }
         )
+        # per-file field-stats partial embedded in the parquet footer:
+        # finalize_stats sums these footer partials instead of loading
+        # every (doc, field) row onto the driver (100-TB safety)
+        fl = pa.TableGroupBy(
+            meta.select(["field", "field_len"]), "field"
+        ).aggregate([("field_len", "sum"), ("field_len", "count")])
+        partial = {
+            r["field"]: [int(r["field_len_sum"]), int(r["field_len_count"])]
+            for r in fl.to_pylist()
+        }
+        meta = meta.replace_schema_metadata(
+            {b"field_stats": json.dumps(partial).encode()}
+        )
         dmdir = os.path.join(self.index_dir, "docmeta")
         os.makedirs(dmdir, exist_ok=True)
         name = f"dm_{int(docnums[0]):016x}_{int(docnums[-1]):016x}.parquet"
@@ -1423,27 +1436,64 @@ def finalize_stats(
     """Global BM25 stats (the 'presearch' data, computed once at build time:
     SURVEY.md §2.9 -- DocCount + FieldCardinality per field summed over
     partitions, consumed by every query without an extra round-trip)."""
-    import pyarrow.dataset as pads
-
     files = _docmeta_files(index_dir)
     field_stats: Dict[str, Dict[str, int]] = {}
     dm_entries = []
     primary = next(iter(options.fields))
     if files:
-        dset = pads.dataset([p for p, _, _ in files])
-        t = dset.to_table(columns=["field", "field_len"])
-        import pyarrow.compute as _pc
+        # distributed footer scan: each docmeta file carries its own
+        # (field -> [sum_field_len, row_count]) partial in the parquet
+        # footer (written by _write_docmeta), so the driver only sums
+        # per-task partial dicts -- never the (doc, field) rows.  Files
+        # written before the footer partial existed fall back to a
+        # column read of THAT file inside the same remote task.
+        import ray as _ray
 
-        grouped = pa.TableGroupBy(t, "field").aggregate(
-            [("field_len", "sum"), ("field_len", "count")]
-        )
-        for row in grouped.to_pylist():
-            field_stats[row["field"]] = {
-                "sum_field_len": int(row["field_len_sum"]),
-                "doc_count": int(row["field_len_count"]),
-            }
-        rows_per_file = {
-            p: pq.ParquetFile(p).metadata.num_rows for p, _, _ in files
+        @_ray.remote
+        def _footer_stats(paths: List[str]) -> tuple:
+            agg: Dict[str, List[int]] = {}
+            rows: Dict[str, int] = {}
+            for p in paths:
+                f = pq.ParquetFile(p)
+                rows[p] = f.metadata.num_rows
+                md = (f.schema_arrow.metadata or {}).get(b"field_stats")
+                if md is not None:
+                    partial = json.loads(md)
+                else:
+                    t = f.read(columns=["field", "field_len"])
+                    g = pa.TableGroupBy(t, "field").aggregate(
+                        [("field_len", "sum"), ("field_len", "count")]
+                    )
+                    partial = {
+                        r["field"]: [
+                            int(r["field_len_sum"]),
+                            int(r["field_len_count"]),
+                        ]
+                        for r in g.to_pylist()
+                    }
+                for fld, (s, c) in partial.items():
+                    cur = agg.setdefault(fld, [0, 0])
+                    cur[0] += int(s)
+                    cur[1] += int(c)
+            return agg, rows
+
+        paths = [p for p, _, _ in files]
+        step = max(1, (len(paths) + 63) // 64)
+        futs = [
+            _footer_stats.remote(paths[i : i + step])
+            for i in range(0, len(paths), step)
+        ]
+        rows_per_file: Dict[str, int] = {}
+        acc: Dict[str, List[int]] = {}
+        for agg, rows in _ray.get(futs):
+            rows_per_file.update(rows)
+            for fld, (s, c) in agg.items():
+                cur = acc.setdefault(fld, [0, 0])
+                cur[0] += s
+                cur[1] += c
+        field_stats = {
+            fld: {"sum_field_len": s, "doc_count": c}
+            for fld, (s, c) in acc.items()
         }
         for p, lo, hi in files:
             dm_entries.append(
