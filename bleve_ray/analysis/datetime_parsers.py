@@ -87,3 +87,35 @@ register_datetime_parser("unix_sec", _make_unix(1_000_000_000))
 register_datetime_parser("unix_milli", _make_unix(1_000_000))
 register_datetime_parser("unix_micro", _make_unix(1_000))
 register_datetime_parser("unix_nano", _make_unix(1))
+
+# Go-layout family (reference analysis/datetime/{percent,sanitized,
+# optional,flexible}): percentstyle/sanitizedgo are parser FACTORIES --
+# register concrete instances via make_percent_parser /
+# make_sanitized_parser with your formats, like the reference's
+# DateTimeParserConstructor config.  dateTimeOptional ships ready-made.
+from .go_layout import (  # noqa: E402
+    make_go_flexible_parser,
+    make_optional_parser,
+    make_percent_parser,
+    make_sanitized_parser,
+)
+
+register_datetime_parser("dateTimeOptional", make_optional_parser())
+register_datetime_parser(
+    "flexiblego",
+    make_go_flexible_parser(
+        ["2006-01-02T15:04:05Z07:00", "2006-01-02 15:04:05", "2006-01-02"]
+    ),
+)
+
+
+def register_percent_parser(name: str, formats: List[str]) -> None:
+    """Register a percentstyle instance (percent.go Name='percentstyle'
+    + layouts config)."""
+    register_datetime_parser(name, make_percent_parser(formats))
+
+
+def register_sanitized_parser(name: str, layouts: List[str]) -> None:
+    """Register a sanitizedgo instance (sanitized.go Name='sanitizedgo'
+    + validated Go layouts config)."""
+    register_datetime_parser(name, make_sanitized_parser(layouts))
