@@ -213,13 +213,20 @@ def ann_lsh_topk(
     )
 
 
+def _nearest_cells(A: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_j ||A_i - C_j||^2 per row via the ||b||^2 - 2ab matmul form:
+    ||a||^2 is constant per row, so the (n, k, dim) broadcast intermediate
+    (~25 GB at dim=768/nlist=4096/batch=1024) is never built — peak extra
+    memory is the (n, k) score matrix."""
+    return np.argmin((C * C).sum(1)[None, :] - 2.0 * (A @ C.T), axis=1)
+
+
 def _kmeans(X: np.ndarray, k: int, iters: int = 10, seed: int = 0) -> np.ndarray:
     """Deterministic Lloyd's k-means (coarse quantizer training)."""
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d.argmin(1)
+        a = _nearest_cells(X, C)
         for j in range(len(C)):
             members = a == j
             if members.any():
@@ -279,8 +286,7 @@ def ann_ivf_topk(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         matn = mat / norms[:, None]
-        d = ((matn[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        cell = d.argmin(1)
+        cell = _nearest_cells(matn, cents)
         cand = np.isin(cell, pr) & (vid != query_vec_id)
         if not cand.any():
             return pa.table(
@@ -466,9 +472,8 @@ def build_ivf_index(
             batch["embedding"].combine_chunks().flatten(), dtype=np.float64
         ).reshape(len(batch), -1)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        d = ((mn[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
         return batch.append_column(
-            "list_id", pa.array(np.argmin(d, axis=1).astype(np.int32))
+            "list_id", pa.array(_nearest_cells(mn, Cb).astype(np.int32))
         )
 
     ds = ray.data.read_parquet(

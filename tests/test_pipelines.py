@@ -621,3 +621,19 @@ def test_langid_thirteen_languages():
     )
     preds = langid_batch(b)["lang_pred"].to_pylist()
     assert preds == list(samples.keys())
+
+
+def test_nearest_cells_matmul_form_matches_broadcast():
+    """IVF assign uses ||b||^2 - 2ab instead of the (n, k, dim) broadcast;
+    assignments must be identical to the brute-force form."""
+    import numpy as np
+
+    from bleve_ray.pipelines.ann import _nearest_cells
+
+    rng = np.random.default_rng(42)
+    A = rng.normal(size=(257, 24)).astype(np.float64)
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    C = rng.normal(size=(17, 24)).astype(np.float64)
+    want = ((A[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    got = _nearest_cells(A, C)
+    assert (got == want).all()
