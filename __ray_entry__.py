@@ -637,12 +637,17 @@ def _q_multimodal_frames(sf_dir: str):
 
 def _q_minhash_pairs(sf_dir: str):
     """Materialize to a typed table: group-wise pair emission can produce
-    empty blocks whose schema is empty, which breaks naive concatenation."""
+    empty blocks whose schema is empty, which breaks naive concatenation.
+
+    scheme="portable" (md5-prefix shingles + mod-p perms): the identical
+    LSH banding machinery as the fast blake2b/FNV default, but with a
+    hash family DuckDB can compute, so the oracle replays MinHash -> bands
+    -> buckets -> pairs exactly (see _sql_minhash_cte)."""
     import pyarrow as pa
 
     from bleve_ray.pipelines.dedup import minhash_pairs_ds
 
-    df = minhash_pairs_ds(sf_dir).to_pandas()
+    df = minhash_pairs_ds(sf_dir, scheme="portable").to_pandas()
     return pa.table(
         {
             "doc_a": pa.array(df.get("doc_a", []), type=pa.int64()),
@@ -663,7 +668,7 @@ def _q_near_dup_verified(sf_dir: str):
     from bleve_ray.pipelines.dedup import jaccard_verify_ds
 
     pairs = _q_minhash_pairs(sf_dir)
-    df = jaccard_verify_ds(sf_dir, pairs).to_pandas()
+    df = jaccard_verify_ds(sf_dir, pairs, scheme="portable").to_pandas()
     df = df[df["jaccard"].astype(float) >= 0.5]
     df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.table(
@@ -1381,6 +1386,187 @@ FROM counts
 """
 
 
+def _sql_minhash_cte() -> str:
+    """Shared CTE chain replaying the portable MinHash-LSH pipeline in
+    DuckDB: tokens -> 3-token shingles (one whole-doc shingle for docs
+    shorter than k) -> 32-bit md5-prefix hashes -> 64 mod-p permutation
+    minima -> 16 banded signatures -> buckets (capped at 64 distinct docs,
+    same as dedup.MAX_BUCKET_DOCS) -> distinct candidate pairs."""
+    from bleve_ray.pipelines.dedup import (
+        _PERM_A32,
+        _PERM_B32,
+        MAX_BUCKET_DOCS,
+        PORTABLE_P,
+        ROWS_PER_BAND,
+    )
+
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(_PERM_A32, _PERM_B32))
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos3 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM tok WHERE len(toks) >= 3
+),
+sh3 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s FROM pos3
+  UNION ALL
+  SELECT doc_id, array_to_string(toks, ' ') AS s
+  FROM tok WHERE len(toks) BETWEEN 1 AND 2
+),
+hsh3 AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::UBIGINT AS h
+  FROM sh3
+),
+perms(p, a, b) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT h.doc_id, p.p,
+         min((p.a * (h.h % {PORTABLE_P}) + p.b) % {PORTABLE_P}) AS mv
+  FROM hsh3 h CROSS JOIN perms p
+  GROUP BY h.doc_id, p.p
+),
+sigf AS (
+  SELECT d.doc_id, p.p,
+         coalesce(s.mv, 18446744073709551615::UBIGINT) AS mv
+  FROM documents d CROSS JOIN perms p
+  LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.p = p.p
+),
+bandsig AS (
+  SELECT doc_id, p // {ROWS_PER_BAND} AS band,
+         string_agg(mv::VARCHAR, ',' ORDER BY p) AS sig
+  FROM sigf GROUP BY doc_id, p // {ROWS_PER_BAND}
+),
+okbucket AS (
+  SELECT band, sig FROM bandsig GROUP BY band, sig
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {MAX_BUCKET_DOCS}
+),
+cand_pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandsig x
+  JOIN bandsig y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+  JOIN okbucket b ON b.band = x.band AND b.sig = x.sig
+)"""
+
+
+def _sql_minhash_pairs() -> str:
+    return f"""
+WITH {_sql_minhash_cte()}
+SELECT doc_a, doc_b FROM cand_pairs ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_near_dup_verified(threshold: float = 0.5) -> str:
+    """Exact n-gram-set Jaccard per LSH candidate pair, thresholded on
+    the %.6f-rounded value (the engine filters the formatted string)."""
+    return f"""
+WITH {_sql_minhash_cte()},
+shcnt AS (SELECT doc_id, count(*) AS c FROM hsh3 GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM cand_pairs p
+  JOIN hsh3 ha ON ha.doc_id = p.doc_a
+  JOIN hsh3 hb ON hb.doc_id = p.doc_b AND hb.h = ha.h
+  GROUP BY p.doc_a, p.doc_b
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         printf('%.6f', coalesce(i.i, 0) * 1.0
+                        / (ca.c + cb.c - coalesce(i.i, 0))) AS jaccard
+  FROM cand_pairs p
+  JOIN shcnt ca ON ca.doc_id = p.doc_a
+  JOIN shcnt cb ON cb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard::DOUBLE >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _sql_simhash() -> str:
+    """64-bit weighted SimHash replayed bit-by-bit: per (doc, term) counts,
+    md5-prefix term hash, per-bit signed accumulator, bit set iff > 0."""
+    acc_cols = ",\n    ".join(
+        f"sum(cnt * (CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS a{j}"
+        for j in range(64)
+    )
+    val = " + ".join(
+        f"(CASE WHEN a{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tc AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+th AS (
+  SELECT doc_id, cnt,
+         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+  FROM tc
+),
+acc AS (
+  SELECT doc_id,
+    {acc_cols}
+  FROM th GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {val} AS v FROM acc)
+SELECT d.doc_id,
+       lower(lpad(hex(coalesce(s.v, 0::UBIGINT)), 16, '0')) AS simhash
+FROM documents d LEFT JOIN sh s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _sql_doc_fingerprint() -> str:
+    """Winnowing fingerprint replay: 4-token shingles, 64-bit md5-prefix
+    hashes, 5-wide window minima, md5 over the sorted distinct minima."""
+    return """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos4 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+  FROM tok WHERE len(toks) >= 4
+),
+sh4 AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16))::UBIGINT AS h
+  FROM pos4
+),
+shcnt AS (SELECT doc_id, count(*) AS m FROM sh4 GROUP BY doc_id),
+wmin AS (
+  SELECT s.doc_id, s.i, c.m,
+         min(s.h) OVER (PARTITION BY s.doc_id ORDER BY s.i
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wm
+  FROM sh4 s JOIN shcnt c USING (doc_id)
+),
+sel AS (
+  SELECT DISTINCT doc_id, wm FROM wmin WHERE m > 5 AND i <= m - 4
+  UNION
+  SELECT s.doc_id, min(s.h) AS wm
+  FROM sh4 s JOIN shcnt c USING (doc_id)
+  WHERE c.m <= 5 GROUP BY s.doc_id
+),
+fp AS (
+  SELECT doc_id, md5(string_agg(wm::VARCHAR, ',' ORDER BY wm)) AS fingerprint
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.fingerprint, '') AS fingerprint
+FROM documents d LEFT JOIN fp f USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _sql_analyzer_es_stats() -> str:
     from bleve_ray.analysis.stopwords_langs import ES_STOP_WORDS
 
@@ -1707,6 +1893,10 @@ SELECT sha256(text) AS text_sha, count(*) AS n_docs,
        min(doc_id) AS first_doc_id
 FROM documents GROUP BY sha256(text)
 """,
+        "minhash_pairs": _sql_minhash_pairs(),
+        "near_dup_verified": _sql_near_dup_verified(),
+        "simhash": _sql_simhash(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
         "embedding_near_dup": """
 SELECT CAST(a.vec_id AS VARCHAR) AS a, CAST(b.vec_id AS VARCHAR) AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -37,6 +37,17 @@ _MERSENNE = (1 << 61) - 1
 _PERM_A = _rng.randint(1, _MERSENNE, size=NUM_PERMS).astype(np.uint64)
 _PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERMS).astype(np.uint64)
 
+# "portable" hash family: md5-prefix shingle hashes + mod-p 32-bit perms.
+# Same LSH algorithm, but every step is exactly replicable in ANSI SQL
+# (DuckDB md5() + UBIGINT arithmetic), so the full MinHash -> banding ->
+# candidate-pair path can be audited end-to-end by the driver's oracle.
+# a*h+b stays < 2^64 because a, h%p, b are all < 2^32 -- no overflow on
+# either side.
+PORTABLE_P = 4294967291  # largest 32-bit prime
+_rng32 = np.random.RandomState(0x51AB)
+_PERM_A32 = _rng32.randint(1, PORTABLE_P, size=NUM_PERMS).astype(np.uint64)
+_PERM_B32 = _rng32.randint(0, PORTABLE_P, size=NUM_PERMS).astype(np.uint64)
+
 
 def _tokens(text: str) -> List[str]:
     return [t.lower() for t in TOKEN_RE.findall(text or "")]
@@ -85,6 +96,23 @@ def _token_hashes_for(flat: "pa.Array") -> np.ndarray:
     dvals = np.empty(len(dic), dtype=np.uint64)
     for i, term in enumerate(dic):
         dvals[i] = _token_hash(term)
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return dvals[idx]
+
+
+def portable_token_hashes(flat: "pa.Array") -> np.ndarray:
+    """uint64 md5-prefix hash per token position (one md5 per unique
+    token); value-identical to DuckDB
+    ``('0x'||substr(md5(token),1,16))::UBIGINT``."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    dic = denc.dictionary.to_pylist()
+    dvals = np.empty(len(dic), dtype=np.uint64)
+    for i, term in enumerate(dic):
+        dvals[i] = _md5_u64(term, 16)
     idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return dvals[idx]
 
@@ -138,6 +166,70 @@ def batch_shingle_hashes(
     return out, sh_offs
 
 
+def _md5_u64(s: str, hex_chars: int) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:hex_chars], 16)
+
+
+def portable_shingle_hashes(
+    flat,
+    offs: np.ndarray,
+    k: int = SHINGLE_K,
+    combine_short: bool = True,
+    hex_chars: int = 8,
+):
+    """SQL-replicable twin of batch_shingle_hashes: shingle = the k
+    lowercase tokens space-joined, hash = the first ``hex_chars`` hex
+    digits of md5(shingle) as an integer (DuckDB:
+    ``('0x'||substr(md5(s),1,N))::UBIGINT``).  Shingle strings are built
+    vectorized with one binary_join_element_wise over the batch's flat
+    token stream; md5 runs once per unique shingle.  Returns
+    (sh_flat uint64, sh_offs int64) with the same doc layout contract as
+    batch_shingle_hashes."""
+    n = len(offs) - 1
+    counts = offs[1:] - offs[:-1]
+    long_mask = counts >= k
+    short_mask = (
+        (counts > 0) & (counts < k)
+        if combine_short
+        else np.zeros(n, dtype=bool)
+    )
+    sh_counts = np.where(
+        long_mask, np.maximum(counts - k + 1, 0), short_mask.astype(np.int64)
+    ).astype(np.int64)
+    sh_offs = np.concatenate(([0], np.cumsum(sh_counts)))
+    total = int(sh_offs[-1])
+    out_strs: List[str] = [""] * total
+    nf = len(flat)
+    if nf >= k and long_mask.any():
+        joined = pc.binary_join_element_wise(
+            *[flat.slice(j, nf - k + 1) for j in range(k)], " "
+        )
+        m = sh_counts[long_mask]
+        src_starts = offs[:-1][long_mask]
+        dst_starts = sh_offs[:-1][long_mask]
+        within = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)))[:-1], m
+        )
+        src = np.repeat(src_starts, m) + within
+        dst = np.repeat(dst_starts, m) + within
+        vals = joined.take(pa.array(src)).to_pylist()
+        for d, v in zip(dst, vals):
+            out_strs[d] = v
+    if short_mask.any():
+        py_flat = flat.to_pylist()
+        for d in np.nonzero(short_mask)[0]:
+            out_strs[sh_offs[d]] = " ".join(py_flat[offs[d] : offs[d + 1]])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), sh_offs
+    denc = pa.array(out_strs, type=pa.string()).dictionary_encode()
+    dic = denc.dictionary.to_pylist()
+    dvals = np.empty(len(dic), dtype=np.uint64)
+    for i, s in enumerate(dic):
+        dvals[i] = _md5_u64(s, hex_chars)
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return dvals[idx], sh_offs
+
+
 def _shingle_hashes(toks: List[str], k: int = SHINGLE_K) -> np.ndarray:
     """Per-doc shingle hashes (same scheme as batch_shingle_hashes; used by
     the distributed near-dup verify stage which works doc-at-a-time)."""
@@ -159,6 +251,26 @@ def _shingle_hashes(toks: List[str], k: int = SHINGLE_K) -> np.ndarray:
         for j in range(1, k):
             roll = roll + h[j : nroll + j] * powk[j]
     return roll
+
+
+def _portable_doc_shingles(
+    toks: List[str], k: int = SHINGLE_K, hex_chars: int = 8
+) -> np.ndarray:
+    """Per-doc portable (md5-prefix) shingle hashes; same shingle layout
+    as _shingle_hashes (one whole-doc shingle when 0 < len < k)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < k:
+        return np.array(
+            [_md5_u64(" ".join(toks), hex_chars)], dtype=np.uint64
+        )
+    return np.array(
+        [
+            _md5_u64(" ".join(toks[i : i + k]), hex_chars)
+            for i in range(len(toks) - k + 1)
+        ],
+        dtype=np.uint64,
+    )
 
 
 def minhash_signature(toks: List[str]) -> np.ndarray:
@@ -202,15 +314,29 @@ def exact_dedup_ds(sf_dir: str):
     return agg
 
 
-def minhash_batch(batch: pa.Table) -> pa.Table:
+def minhash_batch(batch: pa.Table, scheme: str = "fnv") -> pa.Table:
     """doc -> BANDS rows of (band, band_hash, doc_id).  Fully vectorized:
     one Arrow tokenize pass, rolling shingle hashes over the batch token
     stream, minimum.reduceat per doc (perm-chunked to bound memory), and a
-    vectorized uint64 mix for the band hash (groupby key only)."""
+    vectorized uint64 mix for the band hash (groupby key only).
+
+    scheme="fnv" (default): blake2b token hashes + rolling FNV polynomial
+    shingles, 64-bit wraparound perms -- the fast path.
+    scheme="portable": md5-prefix shingle hashes + mod-p 32-bit perms,
+    every step exactly replicable in DuckDB SQL (see PORTABLE_P) so the
+    driver's oracle can audit the candidate pairs end-to-end."""
     from bleve_ray.pipelines.text_stats import flat_tokens_arrow
 
     flat, offs = flat_tokens_arrow(batch["text"])
-    sh_flat, sh_offs = batch_shingle_hashes(flat, offs)
+    if scheme == "portable":
+        sh_flat, sh_offs = portable_shingle_hashes(flat, offs, hex_chars=8)
+        sh_flat = sh_flat % np.uint64(PORTABLE_P)
+        perm_a, perm_b = _PERM_A32, _PERM_B32
+        mod_p = np.uint64(PORTABLE_P)
+    else:
+        sh_flat, sh_offs = batch_shingle_hashes(flat, offs)
+        perm_a, perm_b = _PERM_A, _PERM_B
+        mod_p = None
     n = len(offs) - 1
     sh_counts = sh_offs[1:] - sh_offs[:-1]
     sigs = np.full(
@@ -223,9 +349,11 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
         for p0 in range(0, NUM_PERMS, CH):
             with np.errstate(over="ignore"):
                 vals = (
-                    sh_flat[:, None] * _PERM_A[None, p0 : p0 + CH]
-                    + _PERM_B[None, p0 : p0 + CH]
+                    sh_flat[:, None] * perm_a[None, p0 : p0 + CH]
+                    + perm_b[None, p0 : p0 + CH]
                 )
+                if mod_p is not None:
+                    vals = vals % mod_p
             sigs[nz, p0 : p0 + CH] = np.minimum.reduceat(vals, starts, axis=0)
     bands = sigs.reshape(n, BANDS, ROWS_PER_BAND)
     bh = np.zeros((n, BANDS), dtype=np.uint64)
@@ -281,11 +409,13 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def minhash_pairs_ds(sf_dir: str):
+def minhash_pairs_ds(sf_dir: str, scheme: str = "fnv"):
     """Candidate near-duplicate pairs from banded MinHash LSH:
     shingle -> minhash -> band rows -> groupby(band, band_hash) -> pairs.
     Pairs are deduplicated across bands with a hash-partitioned aggregate
     (not per-pair map_groups: millions of 2-row groups are slow)."""
+    import functools
+
     import ray.data
     from ray.data.aggregate import Count
 
@@ -293,7 +423,9 @@ def minhash_pairs_ds(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     bands = ds.map_batches(
-        minhash_batch, batch_format="pyarrow", batch_size=2048
+        functools.partial(minhash_batch, scheme=scheme),
+        batch_format="pyarrow",
+        batch_size=2048,
     )
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
@@ -315,12 +447,10 @@ _POW2 = (np.uint64(1) << _BIT_SHIFTS).astype(np.uint64)
 def _term_bits(term: str) -> np.ndarray:
     bits = _TERM_BITS_CACHE.get(term)
     if bits is None:
-        h = np.uint64(
-            int.from_bytes(
-                hashlib.blake2b(term.encode(), digest_size=8).digest(),
-                "little",
-            )
-        )
+        # md5-prefix term hash: same value as DuckDB
+        # ('0x'||substr(md5(term),1,16))::UBIGINT, so the whole simhash is
+        # auditable by the driver's SQL oracle
+        h = np.uint64(_md5_u64(term, 16))
         # +1/-1 per bit, ready to scale by tf
         bits = np.where(
             ((h >> _BIT_SHIFTS) & np.uint64(1)) == 1, 1, -1
@@ -341,7 +471,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     counts = (offs[1:] - offs[:-1]).astype(np.int64)
     sims = np.zeros(n, dtype=np.uint64)
     if len(flat) > 0:
-        h = _token_hashes_for(flat)
+        h = portable_token_hashes(flat)
         # bit-sliced: per bit j, per-doc hit count via cumsum-diff; the
         # signed accumulator acc_j = 2*hits_j - ntok, so bit set <=> acc>0
         hits = np.empty((n, 64), dtype=np.int64)
@@ -376,11 +506,12 @@ class _MemberShingles:
     No driver-side corpus read: only candidate-pair members produce
     output, everything else streams through and is dropped."""
 
-    def __init__(self, member_ref, k: int):
+    def __init__(self, member_ref, k: int, scheme: str = "fnv"):
         import ray
 
         self.member = ray.get(member_ref)  # doc_id -> [(pair_id, a, b, side)]
         self.k = k
+        self.scheme = scheme
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -390,7 +521,11 @@ class _MemberShingles:
             lst = self.member.get(d)
             if not lst:
                 continue
-            sh = np.unique(_shingle_hashes(_tokens(t), self.k))
+            toks = _tokens(t)
+            if self.scheme == "portable":
+                sh = np.unique(_portable_doc_shingles(toks, self.k))
+            else:
+                sh = np.unique(_shingle_hashes(toks, self.k))
             for pid, a, b, side in lst:
                 pair_ids.append(pid)
                 sides.append(side)
@@ -449,7 +584,7 @@ def _bucket_jaccard(group: pa.Table) -> pa.Table:
     )
 
 
-def jaccard_verify_ds(sf_dir: str, pairs, k: int = SHINGLE_K):
+def jaccard_verify_ds(sf_dir: str, pairs, k: int = SHINGLE_K, scheme: str = "fnv"):
     """Exact n-gram Jaccard for candidate pairs as a Ray pipeline:
     broadcast the (small) pair list via ray.put, stream the corpus through
     an actor pool emitting member shingle sets, co-locate the two sides of
@@ -479,7 +614,7 @@ def jaccard_verify_ds(sf_dir: str, pairs, k: int = SHINGLE_K):
     )
     rows = ds.map_batches(
         _MemberShingles,
-        fn_constructor_args=(member_ref, k),
+        fn_constructor_args=(member_ref, k, scheme),
         batch_format="pyarrow",
         concurrency=(1, 8),
     )

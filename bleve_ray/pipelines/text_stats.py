@@ -187,19 +187,25 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Document fingerprint: winnowing over a rolling (Rabin-Karp-style)
-    hash of token 4-grams -- the standard document-fingerprinting scheme
-    (Schleimer et al., 'Winnowing: Local Algorithms for Document
-    Fingerprinting').  Deterministic: blake2b per *unique* token
-    (worker-cached) + a vectorized uint64 polynomial across each batch's
-    whole token stream; one blake2b digest per doc over the winnowed set."""
-    from bleve_ray.pipelines.dedup import batch_shingle_hashes
+    """Document fingerprint: winnowing over token 4-gram hashes -- the
+    standard document-fingerprinting scheme (Schleimer et al.,
+    'Winnowing: Local Algorithms for Document Fingerprinting').
+
+    Every step is SQL-replicable so the driver's DuckDB oracle can check
+    it exactly: shingle hash = md5-prefix of the space-joined 4 lowercase
+    tokens (one md5 per unique shingle, vectorized string construction);
+    winnowed set = distinct minima of each 5-wide sliding window; the
+    fingerprint is md5 over the comma-joined sorted decimal hash values
+    (DuckDB: ``md5(string_agg(v, ',' ORDER BY v))``)."""
+    from bleve_ray.pipelines.dedup import portable_shingle_hashes
 
     K = 4  # shingle size (tokens)
     W = 5  # winnowing window
     flat, offs = flat_tokens_arrow(batch["text"])
     # combine=False: docs with < K tokens fingerprint as "" (no shingle)
-    sh_flat, sh_offs = batch_shingle_hashes(flat, offs, k=K, combine_short=False)
+    sh_flat, sh_offs = portable_shingle_hashes(
+        flat, offs, k=K, combine_short=False, hex_chars=16
+    )
     fps = []
     for d in range(len(sh_offs) - 1):
         hashes = sh_flat[sh_offs[d] : sh_offs[d + 1]]
@@ -211,9 +217,8 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         else:
             view = np.lib.stride_tricks.sliding_window_view(hashes, W)
             sel = np.unique(view.min(axis=1))
-        fps.append(
-            hashlib.blake2b(np.sort(sel).tobytes(), digest_size=16).hexdigest()
-        )
+        joined = ",".join(str(int(v)) for v in np.sort(sel))
+        fps.append(hashlib.md5(joined.encode()).hexdigest())
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)}
     )
