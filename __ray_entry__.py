@@ -1567,6 +1567,26 @@ ORDER BY doc_id
 """
 
 
+def _sql_ann_lsh_buckets(dim: int = 64, n_planes: int = 16, seed: int = 7) -> str:
+    """Hyperplane-LSH bucket replay: bit j of the bucket is the sign of
+    the embedding's dot product with plane column j (the same seeded
+    plane matrix as pipelines.ann.HyperplaneLSH, constants inlined at
+    full float64 precision)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(embedding, ["
+        + ", ".join(repr(float(x)) for x in planes[:, j])
+        + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+SELECT vec_id, ({bits})::BIGINT AS bucket
+FROM embeddings ORDER BY vec_id
+"""
+
+
 def _sql_analyzer_es_stats() -> str:
     from bleve_ray.analysis.stopwords_langs import ES_STOP_WORDS
 
@@ -1893,6 +1913,7 @@ SELECT sha256(text) AS text_sha, count(*) AS n_docs,
        min(doc_id) AS first_doc_id
 FROM documents GROUP BY sha256(text)
 """,
+        "ann_lsh_buckets": _sql_ann_lsh_buckets(),
         "minhash_pairs": _sql_minhash_pairs(),
         "near_dup_verified": _sql_near_dup_verified(),
         "simhash": _sql_simhash(),
@@ -1908,6 +1929,26 @@ WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        printf('%.6f', list_cosine_similarity(embedding, (SELECT qe FROM q))) AS sim
 FROM embeddings WHERE vec_id != 0
+ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
+LIMIT 10
+""",
+        # IVF with nprobe=10/16 returns the exact top-k on this corpus
+        # (deterministic: seeded kmeans, fixed data), so the brute-force
+        # cosine ranking doubles as its oracle.  ivf_query is by-vector,
+        # not by-id, so the query vector itself ranks first (cosine 1.0).
+        "ann_ivf_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       printf('%.6f', list_cosine_similarity(embedding, (SELECT qe FROM q))) AS sim
+FROM embeddings WHERE vec_id != 0
+ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
+LIMIT 10
+""",
+        "ann_ivf_persisted": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       printf('%.6f', list_cosine_similarity(embedding, (SELECT qe FROM q))) AS cosine
+FROM embeddings
 ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
 LIMIT 10
 """,
