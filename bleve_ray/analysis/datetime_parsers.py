@@ -119,3 +119,26 @@ def register_sanitized_parser(name: str, layouts: List[str]) -> None:
     """Register a sanitizedgo instance (sanitized.go Name='sanitizedgo'
     + validated Go layouts config)."""
     register_datetime_parser(name, make_sanitized_parser(layouts))
+
+
+def resolve_datetime_parser(spec: str):
+    """Resolve a parser SPEC that travels inside serialized options to Ray
+    workers (a driver-side register_* call never reaches worker
+    processes).  Forms:
+
+    - a registered name ("iso", "flexible", "dateTimeOptional", ...)
+    - "percent:FMT[|FMT...]"   -> percentstyle instance
+    - "golayout:LAYOUT[|...]"  -> sanitizedgo instance (validated)
+    - "strptime:LAYOUT[|...]"  -> flexible strptime instance
+    """
+    if ":" in spec:
+        kind, _, rest = spec.partition(":")
+        formats = rest.split("|")
+        if kind == "percent":
+            return make_percent_parser(formats)
+        if kind == "golayout":
+            return make_sanitized_parser(formats)
+        if kind == "strptime":
+            return make_flexible_parser(formats)
+        raise KeyError(f"unknown datetime parser spec kind: {kind}")
+    return datetime_parser_named(spec)

@@ -74,6 +74,14 @@ class FieldConfig:
     # trie terms (document/field_numeric.go, field_datetime.go) at
     # precisionStep 4 -- see index/numeric.py
     field_type: str = "text"
+    # for a STRING column indexed as field_type="datetime": a datetime
+    # parser SPEC resolved worker-side (analysis/datetime_parsers
+    # .resolve_datetime_parser) -- a registry name ("iso", "flexible",
+    # "dateTimeOptional", ...) or an inline instance spec
+    # ("percent:%d/%m/%Y %H:%M:%S", "golayout:2006-01-02",
+    # "strptime:..."), mirroring the reference mapping's date_format
+    # property (mapping/field.go DateFormat)
+    datetime_parser: Optional[str] = None
 
 
 @dataclass
@@ -220,17 +228,43 @@ def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
     return pc.binary_join_element_wise(*cols, "/")
 
 
-def _numeric_tokens(col: pa.ChunkedArray, field_type: str):
+def _numeric_tokens(
+    col: pa.ChunkedArray, field_type: str, datetime_parser: str = None
+):
     """Numeric/datetime column -> prefix-coded trie term stream
     (16 terms per value at shifts 0,4,...,60), fully vectorized: the
     sortable mapping is a numpy bit flip, each shift level's terms are
-    built as a (n, width) uint8 matrix viewed as fixed-width bytes."""
+    built as a (n, width) uint8 matrix viewed as fixed-width bytes.
+
+    A STRING column with field_type="datetime" is parsed value-by-value
+    through the named registry parser (date_format semantics,
+    mapping/field.go); unparseable values are skipped like nulls."""
     import pyarrow as _pa
 
     from .numeric import PRECISION_STEP, SHIFT_START
 
     typ = col.type
     n_rows = len(col)
+    if field_type == "datetime" and (
+        _pa.types.is_string(typ) or _pa.types.is_large_string(typ)
+    ):
+        from ..analysis.datetime_parsers import resolve_datetime_parser
+
+        parse = resolve_datetime_parser(datetime_parser or "iso")
+        vals = col.to_pylist()
+        iv64 = np.zeros(n_rows, dtype=np.int64)
+        valid = np.zeros(n_rows, dtype=bool)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            ns = parse(v)
+            if ns is not None:
+                iv64[i] = ns
+                valid[i] = True
+        valid_idx = np.flatnonzero(valid).astype(np.int64)
+        return trie_terms_for_values(
+            iv64[valid_idx], valid_idx, n_rows, PRECISION_STEP
+        )
     if field_type == "datetime" or _pa.types.is_timestamp(typ):
         unit = typ.unit if _pa.types.is_timestamp(typ) else "us"
         mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
@@ -495,7 +529,7 @@ class ReadAnalyzeInvert:
                 )
             elif fcfg.field_type != "text":
                 terms, doc_idx, positions, field_len = _numeric_tokens(
-                    fcol, fcfg.field_type
+                    fcol, fcfg.field_type, fcfg.datetime_parser
                 )
             else:
                 analyzer = self.analyzers[fname]

@@ -61,14 +61,14 @@ def _normalize_date_ranges(facet_requests: Dict[str, dict]) -> Dict[str, dict]:
     (possibly distributed) counting (reference search.go dateTimeRange.
     ParseDates + facet_builder_datetime.go AddRange).  Range semantics are
     [start, end) like the reference's start<=t<end check."""
-    from ..analysis.datetime_parsers import datetime_parser_named
+    from ..analysis.datetime_parsers import resolve_datetime_parser
 
     out = {}
     for name, fr in facet_requests.items():
         if "date_ranges" not in fr:
             out[name] = fr
             continue
-        parse = datetime_parser_named(fr.get("datetime_parser", "iso"))
+        parse = resolve_datetime_parser(fr.get("datetime_parser", "iso"))
         nranges = []
         for r in fr["date_ranges"]:
             lo = parse(r["start"]) if r.get("start") is not None else None

@@ -192,8 +192,78 @@ def test_numeric_codec_properties():
         if a < b:
             assert ia < ib
         elif a == b:
-            assert ia == ib
+            # reference numeric/float.go Float64ToInt64 maps -0.0 one
+            # below +0.0 (sign bit set -> flip all bits -> -1 vs 0):
+            # IEEE total order, not == semantics
+            import math
+
+            if a == 0.0 and math.copysign(1, a) != math.copysign(1, b):
+                assert abs(ia - ib) == 1
+            else:
+                assert ia == ib
         v, s = decode_prefix_coded(prefix_coded_int64(ia, 0))
         assert s == 0 and v == ia
 
     check()
+
+
+def test_string_datetime_field_with_percent_parser(
+    ray_session, tmp_path_factory
+):
+    """A STRING column indexed as field_type="datetime" through a
+    registered percentstyle parser (mapping date_format semantics,
+    reference mapping/field.go DateFormat + analysis/datetime/percent):
+    range queries must count exactly like the timestamp-typed twin."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    # arrow's %S appends the unit's fractional digits; strip them
+    ts_str = pc.replace_substring_regex(
+        pc.strftime(src["ts"], format="%d/%m/%Y %H:%M:%S"),
+        pattern=r"\.\d+$",
+        replacement="",
+    )
+    d = str(tmp_path_factory.mktemp("pctsrc"))
+    pq.write_table(
+        pa.table({"event_id": src["event_id"], "ts_str": ts_str}),
+        os.path.join(d, "ev.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("pctidx"))
+    build_index(
+        [os.path.join(d, "ev.parquet")],
+        idxd,
+        IndexOptions(
+            fields={
+                "ts_str": FieldConfig(
+                    field_type="datetime",
+                    positions=False,
+                    datetime_parser="percent:%d/%m/%Y %H:%M:%S",
+                )
+            },
+            doc_id_fields=["event_id"],
+            num_shards=2,
+            bucket_bits=16,
+        ),
+    )
+    idx = Index.open(idxd)
+    r = idx.search(
+        {
+            "query": {
+                "start": "2024-01-10T00:00:00",
+                "end": "2024-01-20T00:00:00",
+                "field": "ts_str",
+            },
+            "size": 1,
+        }
+    )
+    want = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{SF}/events.parquet')
+            WHERE date_trunc('second', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+              AND date_trunc('second', ts) < TIMESTAMP '2024-01-20 00:00:00'"""
+    ).fetchone()[0]
+    assert r.total_hits == want
+    assert r.total_hits > 0
