@@ -425,6 +425,142 @@ def _q_cjk_phrase_docs(sf_dir: str):
     )
 
 
+def _geoshape_index(sf_dir: str):
+    """geoshape FIELD index (document/field_geoshape.go role) over
+    deterministically derived shape docs: even doc_ids become diamond
+    polygons (center cx,cy half-width w), odd doc_ids become points --
+    both reproduced as closed-form predicates in the DuckDB oracles."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.manifest import load as load_manifest
+    from bleve_ray.search import Index
+
+    key = hashlib.sha1(
+        (os.path.abspath(sf_dir) + ":geoshape:v1").encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/bleve_ray_cache/shapeidx_{key}"
+    man = load_manifest(idx_dir)
+    if man is None or not man.merge_done:
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        cx = (did * 97 % 340) - 170 + 0.5
+        cy = (did * 53 % 160) - 80 + 0.5
+        w = 0.5 + (did % 5) * 0.7
+        shapes = []
+        for i in range(len(did)):
+            x, y, hw = float(cx[i]), float(cy[i]), float(w[i])
+            if did[i] % 2 == 0:
+                shapes.append(
+                    json.dumps(
+                        {
+                            "type": "polygon",
+                            "coordinates": [
+                                [[x, y - hw], [x + hw, y], [x, y + hw],
+                                 [x - hw, y]]
+                            ],
+                        }
+                    )
+                )
+            else:
+                shapes.append(
+                    json.dumps({"type": "point", "coordinates": [x, y]})
+                )
+        src = f"/tmp/bleve_ray_cache/shape_src_{key}.parquet"
+        os.makedirs("/tmp/bleve_ray_cache", exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": t["doc_id"], "shp": pa.array(shapes)}),
+            src,
+        )
+        build_index(
+            [src],
+            idx_dir,
+            IndexOptions(
+                fields={
+                    "shp": FieldConfig(
+                        field_type="geoshape", positions=False
+                    )
+                },
+                doc_id_fields=["doc_id"],
+                num_shards=4,
+                bucket_bits=16,
+            ),
+        )
+    return Index.open(idx_dir)
+
+
+# envelope query rect shared by the geoshape entries; fractional bounds
+# chosen so no derived shape can tie a boundary comparison
+_SHAPE_RECT = (-40.47, -25.49, 35.61, 30.53)  # minLon, minLat, maxLon, maxLat
+
+
+def _q_geoshape_rel(sf_dir: str, relation: str):
+    import pyarrow as pa
+
+    x1, y1, x2, y2 = _SHAPE_RECT
+    idx = _geoshape_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "geometry": {
+                    "shape": {
+                        "type": "envelope",
+                        "coordinates": [[x1, y2], [x2, y1]],
+                    },
+                    "relation": relation,
+                },
+                "field": "shp",
+            },
+            "size": 1_000_000,
+            "score": "none",
+        }
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
+def _q_geoshape_intersects_docs(sf_dir: str):
+    return _q_geoshape_rel(sf_dir, "intersects")
+
+
+def _q_geoshape_within_docs(sf_dir: str):
+    return _q_geoshape_rel(sf_dir, "within")
+
+
+def _q_geoshape_contains_docs(sf_dir: str):
+    """relation=contains with a point query: diamond docs whose L1 radius
+    reaches the query point."""
+    import pyarrow as pa
+
+    idx = _geoshape_index(sf_dir)
+    r = idx.search(
+        {
+            "query": {
+                "geometry": {
+                    "shape": {
+                        "type": "point",
+                        "coordinates": [168.83, 22.71],
+                    },
+                    "relation": "contains",
+                },
+                "field": "shp",
+            },
+            "size": 1_000_000,
+            "score": "none",
+        }
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
 def _q_geo_shape_docs(sf_dir: str):
     """geo_shape polygon-with-hole over the derived points: diamond outer
     ring |lon|+|lat| < 60.3 minus a rectangular hole (geo_shape.go request
@@ -1298,6 +1434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_docs": _q_geo_bbox_docs,
         "geo_shape_docs": _q_geo_shape_docs,
         "geo_distance_docs": _q_geo_distance_docs,
+        "geoshape_intersects_docs": _q_geoshape_intersects_docs,
+        "geoshape_within_docs": _q_geoshape_within_docs,
+        "geoshape_contains_docs": _q_geoshape_contains_docs,
         "bool_docs": _q_bool_docs,
         "ip_cidr_docs": _q_ip_cidr_docs,
         "synonym_docs": _q_synonym_docs,
@@ -1702,6 +1841,54 @@ WITH pts AS (
 SELECT doc_id FROM pts
 WHERE abs(lon) + abs(lat) < 60.3
   AND NOT (lon > -20.2 AND lon < 20.2 AND lat > -10.1 AND lat < 10.1)
+ORDER BY doc_id
+""",
+        # geoshape entries: diamond docs (even doc_id, center cx,cy, L1
+        # half-width w) and point docs (odd doc_id) vs the fixed rect;
+        # diamond-rect intersects <=> L1 distance from center to rect <= w,
+        # diamond within rect <=> the 4 diamond vertices are in the rect
+        "geoshape_intersects_docs": """
+WITH s AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n,
+         ((doc_id * 97) % 340) - 170 + 0.5 AS cx,
+         ((doc_id * 53) % 160) - 80 + 0.5 AS cy,
+         0.5 + (doc_id % 5) * 0.7 AS w
+  FROM documents
+)
+SELECT id AS doc_id FROM s
+WHERE CASE WHEN n % 2 = 0 THEN
+        greatest(-40.47 - cx, cx - 35.61, 0) +
+        greatest(-25.49 - cy, cy - 30.53, 0) <= w
+      ELSE cx BETWEEN -40.47 AND 35.61 AND cy BETWEEN -25.49 AND 30.53
+      END
+ORDER BY doc_id
+""",
+        "geoshape_within_docs": """
+WITH s AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n,
+         ((doc_id * 97) % 340) - 170 + 0.5 AS cx,
+         ((doc_id * 53) % 160) - 80 + 0.5 AS cy,
+         0.5 + (doc_id % 5) * 0.7 AS w
+  FROM documents
+)
+SELECT id AS doc_id FROM s
+WHERE CASE WHEN n % 2 = 0 THEN
+        cx - w >= -40.47 AND cx + w <= 35.61
+        AND cy - w >= -25.49 AND cy + w <= 30.53
+      ELSE cx BETWEEN -40.47 AND 35.61 AND cy BETWEEN -25.49 AND 30.53
+      END
+ORDER BY doc_id
+""",
+        "geoshape_contains_docs": """
+WITH s AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n,
+         ((doc_id * 97) % 340) - 170 + 0.5 AS cx,
+         ((doc_id * 53) % 160) - 80 + 0.5 AS cy,
+         0.5 + (doc_id % 5) * 0.7 AS w
+  FROM documents
+)
+SELECT id AS doc_id FROM s
+WHERE n % 2 = 0 AND abs(cx - 168.83) + abs(cy - 22.71) <= w
 ORDER BY doc_id
 """,
         "geo_bbox_docs": """

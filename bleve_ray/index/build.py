@@ -356,6 +356,32 @@ def _geo_tokens(col: pa.ChunkedArray):
     )
 
 
+def _geoshape_tokens(col: pa.ChunkedArray):
+    """GeoJSON shape column (string/dict values) -> quadtree covering-cell
+    tokens (document/field_geoshape.go role; cell scheme in
+    index/geo_shapes.py).  Shape parsing + cover is inherently per-row
+    (variable-geometry recursion); the per-doc loop here is the
+    vectorization floor for this field type."""
+    from .geo_shapes import shape_tokens
+
+    vals = col.to_pylist()
+    n_rows = len(vals)
+    flat: list = []
+    di: list = []
+    field_len = np.zeros(n_rows, dtype=np.int64)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        toks = shape_tokens(v)
+        flat.extend(toks)
+        di.extend([i] * len(toks))
+        field_len[i] = len(toks)
+    terms = pa.array(flat, type=pa.string())
+    doc_idx = np.asarray(di, dtype=np.int64)
+    positions = np.zeros(len(doc_idx), dtype=np.int32)
+    return terms, doc_idx, positions, field_len
+
+
 # (field, term, num_shards) -> shard cache: terms follow a Zipf law, so in
 # steady state nearly every lookup hits; sha1 runs once per distinct term
 # per worker process.  Bounded to keep worker heaps flat.
@@ -517,6 +543,10 @@ class ReadAnalyzeInvert:
                 continue
             if fcfg.field_type == "geo":
                 terms, doc_idx, positions, field_len = _geo_tokens(
+                    fcol
+                )
+            elif fcfg.field_type == "geoshape":
+                terms, doc_idx, positions, field_len = _geoshape_tokens(
                     fcol
                 )
             elif fcfg.field_type == "boolean":
@@ -1132,7 +1162,10 @@ def build_index(
     # geo queries need the source lon/lat for exact boundary filtering
     # (the reference's DocValueReader path, search_geoboundingbox.go:78)
     for fname, fcfg in options.fields.items():
-        if fcfg.field_type == "geo" and fname not in options.docvalue_fields:
+        if (
+            fcfg.field_type in ("geo", "geoshape")
+            and fname not in options.docvalue_fields
+        ):
             options.docvalue_fields.append(fname)
     os.makedirs(index_dir, exist_ok=True)
     man = manifest_mod.load(index_dir) if resume else None

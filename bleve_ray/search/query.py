@@ -1180,8 +1180,55 @@ class GeoShapeQuery(Query):
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
+        fcfg = (reader.options.get("fields") or {}).get(field) or {}
+        if fcfg.get("field_type") == "geoshape":
+            return self._shape_field_searcher(reader, field, options)
         q = dataclasses.replace(self, field=field)._to_query(self.shape)
         return q.searcher(reader, mapping, options)
+
+    def _shape_field_searcher(self, reader, field: str, options):
+        """geoshape FIELD path (search_geoshape.go NewGeoShapeSearcher):
+        query cover cells -> candidate tokens (each cover cell's
+        descendants are a dictionary prefix range; its ancestors are the
+        token's proper prefixes) -> MultiTermSearcher -> exact relation
+        filter on the docvalue GeoJSON (buildRelationFilterOnShapes
+        role, planar predicates in index/geo_shapes.py)."""
+        import numpy as np
+
+        from ..index.geo_shapes import (
+            SHAPE_TOKEN_PREFIX,
+            cover_cells,
+            parse_geojson,
+            shape_relation,
+        )
+
+        qprims = parse_geojson(self.shape)
+        if not qprims:
+            return MatchNoneSearcher()
+        paths = cover_cells(qprims, max_level=12, max_cells=32)
+        tokens = set()
+        for p in paths:
+            tok = SHAPE_TOKEN_PREFIX + p
+            tokens.update(reader.terms_with_prefix(field, tok))
+            for k in range(len(p)):
+                tokens.add(SHAPE_TOKEN_PREFIX + p[:k])
+        if not tokens:
+            return MatchNoneSearcher()
+        inner = MultiTermSearcher(
+            reader, sorted(tokens), field, self.boost, options
+        )
+        rel = self.relation.lower()
+
+        def rel_ok(docnums):
+            vals = reader.docvalues_for(docnums, [field])[field]
+            keep = np.zeros(len(docnums), dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                keep[i] = shape_relation(parse_geojson(v), qprims, rel)
+            return keep
+
+        return FilteringSearcher(inner, rel_ok)
 
 
 @dataclass
