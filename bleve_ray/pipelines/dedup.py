@@ -380,31 +380,66 @@ def minhash_batch(batch: pa.Table, scheme: str = "fnv") -> pa.Table:
 MAX_BUCKET_DOCS = 64
 
 
+NUM_PAIR_BUCKETS = 256
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-    n = len(docs)
-    if n > MAX_BUCKET_DOCS:
+    """Pair emission for ONE coarse hash bucket holding MANY (band,
+    band_hash) LSH buckets: sort rows by (band, band_hash, doc_id), then
+    for each offset d emit the (row, row+d) pairs that share a run --
+    fully vectorized, <= MAX_BUCKET_DOCS iterations total, no per-LSH-
+    bucket Python work (round-2 verdict: map_groups over millions of
+    near-singleton groups paid ~1 task-dispatch per 2-row group)."""
+    band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = group["band_hash"].to_numpy(zero_copy_only=False)
+    did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((did, bh, band))
+    band_s, bh_s, did_s = band[order], bh[order], did[order]
+    n = len(did_s)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        }
+    )
+    if n < 2:
+        return empty
+    newrun = np.empty(n, dtype=bool)
+    newrun[0] = True
+    newrun[1:] = (band_s[1:] != band_s[:-1]) | (bh_s[1:] != bh_s[:-1])
+    run_id = np.cumsum(newrun)
+    starts = np.flatnonzero(newrun)
+    lens = np.diff(np.concatenate((starts, [n])))
+    over = lens > MAX_BUCKET_DOCS
+    if over.any():
         import logging
 
         logging.getLogger("bleve_ray.dedup").warning(
-            "LSH bucket band=%s hash=%s has %d docs > cap %d: "
-            "dropping %d potential pairs",
-            group["band"][0].as_py(),
-            group["band_hash"][0].as_py(),
-            n,
+            "%d LSH buckets exceed cap %d (max %d docs): dropping %d "
+            "potential pairs",
+            int(over.sum()),
             MAX_BUCKET_DOCS,
-            n * (n - 1) // 2,
+            int(lens.max()),
+            int((lens[over] * (lens[over] - 1) // 2).sum()),
         )
-        n = 0
-    if n > 1:
-        ia, ib = np.triu_indices(n, k=1)
-        a, b = docs[ia], docs[ib]
-    else:
-        a = b = np.array([], dtype=np.int64)
+        keep = np.repeat(~over, lens)
+        run_id, did_s = run_id[keep], did_s[keep]
+        n = len(did_s)
+        if n < 2:
+            return empty
+        lens = lens[~over]
+    a_parts, b_parts = [], []
+    for d in range(1, int(lens.max())):
+        m = run_id[: n - d] == run_id[d:]
+        if m.any():
+            a_parts.append(did_s[: n - d][m])
+            b_parts.append(did_s[d:][m])
+    if not a_parts:
+        return empty
     return pa.table(
         {
-            "doc_a": pa.array(a, type=pa.int64()),
-            "doc_b": pa.array(b, type=pa.int64()),
+            "doc_a": pa.array(np.concatenate(a_parts), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(b_parts), type=pa.int64()),
         }
     )
 
@@ -427,8 +462,21 @@ def minhash_pairs_ds(sf_dir: str, scheme: str = "fnv"):
         batch_format="pyarrow",
         batch_size=2048,
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    def add_pk(b: pa.Table) -> pa.Table:
+        bh = b["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bd = b["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (bh ^ (bd * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(
+                NUM_PAIR_BUCKETS
+            )
+        return b.append_column("pk", pa.array(pk.astype(np.int64)))
+
+    # coarse-bucket shuffle (one small-int key) + vectorized in-group run
+    # pairing instead of a groupby over millions of tiny LSH buckets
+    pairs = (
+        bands.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     # distinct pairs (a band collision can repeat across bands)
     distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
