@@ -23,10 +23,55 @@ import pyarrow.compute as pc
 from .analyzers import Analyzer
 
 
+def _arrow_batch_tokens(
+    col: pa.Array,
+) -> Optional[Tuple[pa.Array, np.ndarray]]:
+    """Batch-level UAX#29 tokenization for an ASCII Arrow string column
+    (the UnicodeTokenizer grammar; see analysis/tokenizers.py ASCII
+    collapse).  Returns (flat token array, int64 doc offsets) with tokens
+    never materialized as Python strings, or None when some doc needs the
+    exact per-doc path (non-ASCII text, or a superset run whose internal
+    mid-chars break the word grammar -- e.g. ``a,b`` must split).
+
+    Pipeline: one RE2 split on the superset char class, utf8_trim of the
+    leading/trailing mid-chars ('.:,; -- '_' is ExtendNumLet and legally
+    edge-joins), then an anchored grammar check only to DETECT the rare
+    hard cases.  Equivalence with the per-doc findall is locked by
+    tests/test_freq_batch.py's differential sweep."""
+    from .tokenizers import ASCII_WORD_ANCHORED
+
+    filled = pc.fill_null(col, "")
+    if not pc.all(pc.string_is_ascii(filled)).as_py():
+        return None
+    splits = pc.split_pattern_regex(
+        filled, pattern="[^A-Za-z0-9_'.:,;]+"
+    )
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = pc.list_flatten(splits)
+    loffs = np.asarray(splits.offsets).astype(np.int64)
+    trimmed = pc.utf8_trim(flat, "'.:,;")
+    # pure ExtendNumLet/punct residue ("___", "_._") is not a word
+    # segment (UAX#29: no LNSEQ) -- require an alphanumeric
+    keep = pc.match_substring_regex(trimmed, "[A-Za-z0-9]")
+    hard = pc.and_(
+        pc.match_substring_regex(trimmed, "['.:,;]"),
+        pc.invert(pc.match_substring_regex(trimmed, ASCII_WORD_ANCHORED)),
+    )
+    if pc.any(pc.and_(hard, keep)).as_py():
+        return None
+    keep_np = np.asarray(keep)
+    cs = np.concatenate(([0], np.cumsum(keep_np)))
+    doc_offs = cs[loffs]
+    return trimmed.filter(keep), doc_offs
+
+
 def analyze_batch(
-    texts: Sequence[Optional[str]], analyzer: Analyzer
+    texts, analyzer: Analyzer
 ) -> Tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
-    """Analyze a batch of docs.
+    """Analyze a batch of docs (list of strings OR an Arrow string array
+    -- pass the Arrow column straight through so the batch tokenizer
+    stays zero-copy).
 
     Returns ``(terms, doc_idx, positions, field_len)`` where
 
@@ -36,9 +81,51 @@ def analyze_batch(
     - field_len: int64 per doc = token count AFTER the filter chain
       (reference document/field_text.go:104 sets length = len(analyzed tokens))
     """
+    is_arrow = isinstance(texts, (pa.Array, pa.ChunkedArray))
     n_docs = len(texts)
     if analyzer.fast_path and (analyzer.char_filters == () or not analyzer.char_filters):
+        from .tokenizers import UnicodeTokenizer
+
         tok = analyzer.tokenizer
+        if isinstance(tok, UnicodeTokenizer):
+            col = texts if is_arrow else pa.array(texts, type=pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            batch = _arrow_batch_tokens(col)
+            if batch is not None:
+                terms, doc_offs = batch
+                total = int(doc_offs[-1])
+                counts = doc_offs[1:] - doc_offs[:-1]
+                doc_idx = np.repeat(
+                    np.arange(n_docs, dtype=np.int64), counts
+                )
+                positions = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(doc_offs[:-1], counts)
+                    + 1
+                ).astype(np.int32)
+                if analyzer.lowercase:
+                    terms = pc.ascii_lower(terms)
+                if analyzer.stop_set is not None:
+                    keep = np.asarray(
+                        pc.invert(
+                            pc.is_in(
+                                terms,
+                                value_set=pa.array(
+                                    sorted(analyzer.stop_set)
+                                ),
+                            )
+                        )
+                    )
+                    terms = terms.filter(pa.array(keep))
+                    doc_idx = doc_idx[keep]
+                    positions = positions[keep]
+                field_len = np.bincount(
+                    doc_idx, minlength=n_docs
+                ).astype(np.int64)
+                return terms, doc_idx, positions, field_len
+        if is_arrow:
+            texts = texts.to_pylist()
         toks_per_doc = [
             tok.findall(t) if t is not None else [] for t in texts
         ]
@@ -72,6 +159,8 @@ def analyze_batch(
             positions = positions[keep]
     else:
         # exact per-doc chain fallback (custom filter chains)
+        if is_arrow:
+            texts = texts.to_pylist()
         flat = []
         di = []
         pos = []

@@ -112,6 +112,11 @@ _A_NPART = r"[0-9]+(?:[,;.'][0-9]+)*"
 _A_LNSEQ = rf"(?:{_A_LPART}|{_A_NPART})+"
 _A_WORD = rf"_*{_A_LNSEQ}(?:_+{_A_LNSEQ})*_*"
 ASCII_WORD_RE = re.compile(_A_WORD)
+# anchored RE2-compatible form: the batch tokenizer (freq.py
+# _arrow_batch_tokens) uses it to DETECT trimmed superset runs whose
+# internal mid-chars still satisfy the word grammar (e.g. "don't",
+# "1,000") vs the rare ones that must split (e.g. "a,b")
+ASCII_WORD_ANCHORED = rf"^(?:{_A_WORD})$"
 
 # NOTE on the ASCII mid-char collapse: ASCII "." is MidNumLet which joins
 # letters too (WB6/7 allow MidNumLet between AHLetters) -> "e.g" is one
@@ -151,7 +156,9 @@ def _ascii_findall(text: str) -> List[str]:
     for t in _ASCII_FAST_RE.findall(text):
         if needs_fix(t):
             out.extend(findall(t))
-        else:
+        elif t.strip("_"):
+            # mid-char-free run is a word iff it has an alphanumeric;
+            # pure ExtendNumLet runs ("_", "___") are not segments
             out.append(t)
     return out
 

@@ -538,8 +538,7 @@ class ReadAnalyzeInvert:
         all_terms, all_doc_idx, all_field_len = [], [], None
         for fname, fcfg in opts.fields.items():
             fcol = resolve_field_column(tbl, fname)
-            texts = fcol.to_pylist() if fcol is not None else []
-            if not texts:
+            if fcol is None or len(fcol) == 0:
                 continue
             if fcfg.field_type == "geo":
                 terms, doc_idx, positions, field_len = _geo_tokens(
@@ -564,7 +563,7 @@ class ReadAnalyzeInvert:
             else:
                 analyzer = self.analyzers[fname]
                 terms, doc_idx, positions, field_len = analyze_batch(
-                    texts, analyzer
+                    fcol, analyzer
                 )
             if opts.enable_all_field and fcfg.field_type == "text":
                 all_terms.append(terms)
