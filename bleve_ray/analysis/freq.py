@@ -22,6 +22,48 @@ import pyarrow.compute as pc
 
 from .analyzers import Analyzer
 
+# frozenset -> pa.Array value_set for pc.is_in (built once per stop list,
+# not once per batch)
+_STOP_PA_CACHE: dict = {}
+
+
+def _stop_value_set(stop_set: frozenset) -> pa.Array:
+    arr = _STOP_PA_CACHE.get(stop_set)
+    if arr is None:
+        arr = pa.array(sorted(stop_set), type=pa.string())
+        _STOP_PA_CACHE[stop_set] = arr
+    return arr
+
+
+# byte-class tables for the ASCII UAX#29 collapse (see tokenizers.py):
+# superset run chars, and the mid chars that only join under the grammar
+_SUPERSET_BYTE = np.zeros(256, dtype=bool)
+for _c in b"'.:,;_":
+    _SUPERSET_BYTE[_c] = True
+for _lo, _hi in ((48, 58), (65, 91), (97, 123)):  # 0-9 A-Z a-z
+    _SUPERSET_BYTE[_lo:_hi] = True
+_MID_BYTE = np.zeros(256, dtype=bool)
+for _c in b"'.:,;":
+    _MID_BYTE[_c] = True
+# junk = chars that never make a token a word on their own (mid + '_')
+_JUNK_BYTE = _MID_BYTE.copy()
+_JUNK_BYTE[ord("_")] = True
+
+
+def _string_view(arr: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """(data bytes, int64 char offsets) view of an ASCII string array,
+    normalized for slice offset -- zero-copy except the offset cast."""
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    buf_offs = np.frombuffer(bufs[1], dtype=off_dt)
+    o0 = int(buf_offs[arr.offset])
+    oN = int(buf_offs[arr.offset + len(arr)])
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[o0:oN]
+    offs = (buf_offs[arr.offset : arr.offset + len(arr) + 1] - o0).astype(
+        np.int64
+    )
+    return data, offs
+
 
 def _arrow_batch_tokens(
     col: pa.Array,
@@ -33,37 +75,85 @@ def _arrow_batch_tokens(
     exact per-doc path (non-ASCII text, or a superset run whose internal
     mid-chars break the word grammar -- e.g. ``a,b`` must split).
 
-    Pipeline: one RE2 split on the superset char class, utf8_trim of the
-    leading/trailing mid-chars ('.:,; -- '_' is ExtendNumLet and legally
-    edge-joins), then an anchored grammar check only to DETECT the rare
-    hard cases.  Equivalence with the per-doc findall is locked by
-    tests/test_freq_batch.py's differential sweep."""
+    Pipeline: numpy byte-class mask -> run boundaries (tokens = superset
+    runs, split at doc boundaries), utf8_trim of the leading/trailing
+    mid-chars ('.:,; -- '_' is ExtendNumLet and legally edge-joins), then
+    an anchored grammar check on ONLY the mid-char-bearing tokens to
+    DETECT the rare hard cases.  Equivalence with the per-doc findall is
+    locked by tests/test_freq_batch.py's differential sweep."""
     from .tokenizers import ASCII_WORD_ANCHORED
 
     filled = pc.fill_null(col, "")
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    n = len(filled)
     if not pc.all(pc.string_is_ascii(filled)).as_py():
         return None
-    splits = pc.split_pattern_regex(
-        filled, pattern="[^A-Za-z0-9_'.:,;]+"
+    empty = (
+        pa.array([], type=pa.string()),
+        np.zeros(n + 1, dtype=np.int64),
     )
-    if isinstance(splits, pa.ChunkedArray):
-        splits = splits.combine_chunks()
-    flat = pc.list_flatten(splits)
-    loffs = np.asarray(splits.offsets).astype(np.int64)
+    if n == 0:
+        return empty
+    data, offs = _string_view(filled)
+    if len(data) == 0:
+        return empty
+    mask = _SUPERSET_BYTE[data]
+    d = np.diff(mask.view(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if mask[0]:
+        starts = np.concatenate(([0], starts))
+    if mask[-1]:
+        ends = np.concatenate((ends, [len(data)]))
+    # a doc boundary inside a run still breaks the token
+    inner = offs[1:-1]
+    if len(inner):
+        p = inner[(inner > 0) & (inner < len(data))]
+        cut = np.unique(p[mask[p] & mask[p - 1]])
+        if len(cut):
+            starts = np.sort(np.concatenate((starts, cut)))
+            ends = np.sort(np.concatenate((ends, cut)))
+    if len(starts) == 0:
+        return empty
+    tok_offs = np.zeros(len(starts) + 1, dtype=np.int32)
+    np.cumsum(ends - starts, out=tok_offs[1:])
+    flat = pa.StringArray.from_buffers(
+        len(starts),
+        pa.py_buffer(tok_offs),
+        pa.py_buffer(np.ascontiguousarray(data[mask])),
+    )
     trimmed = pc.utf8_trim(flat, "'.:,;")
+    tdata, toffs = _string_view(trimmed)
+    lens = toffs[1:] - toffs[:-1]
     # pure ExtendNumLet/punct residue ("___", "_._") is not a word
-    # segment (UAX#29: no LNSEQ) -- require an alphanumeric
-    keep = pc.match_substring_regex(trimmed, "[A-Za-z0-9]")
-    hard = pc.and_(
-        pc.match_substring_regex(trimmed, "['.:,;]"),
-        pc.invert(pc.match_substring_regex(trimmed, ASCII_WORD_ANCHORED)),
-    )
-    if pc.any(pc.and_(hard, keep)).as_py():
-        return None
-    keep_np = np.asarray(keep)
-    cs = np.concatenate(([0], np.cumsum(keep_np)))
-    doc_offs = cs[loffs]
-    return trimmed.filter(keep), doc_offs
+    # segment (UAX#29: no LNSEQ) -- require an alphanumeric.  Junk/mid
+    # bytes are rare, so locate them with flatnonzero + searchsorted
+    # instead of a byte-level cumsum (cheaper and smaller allocations).
+    jp = np.flatnonzero(_JUNK_BYTE[tdata])
+    if len(jp):
+        junk_cnt = np.bincount(
+            np.searchsorted(toffs, jp, side="right") - 1,
+            minlength=len(trimmed),
+        )
+        keep_np = junk_cnt < lens
+    else:
+        keep_np = lens > 0
+    mp = jp[_MID_BYTE[tdata[jp]]] if len(jp) else jp
+    if len(mp):
+        mid_tok = np.unique(np.searchsorted(toffs, mp, side="right") - 1)
+        hard_idx = mid_tok[keep_np[mid_tok]]
+    else:
+        hard_idx = mp
+    if len(hard_idx):
+        sel = trimmed.take(pa.array(hard_idx, type=pa.int64()))
+        ok = pc.match_substring_regex(sel, ASCII_WORD_ANCHORED)
+        if not pc.all(ok).as_py():
+            return None
+    cs = np.zeros(len(keep_np) + 1, dtype=np.int64)
+    np.cumsum(keep_np, out=cs[1:])
+    doc_offs = cs[np.searchsorted(starts, offs, side="left")]
+    return trimmed.filter(pa.array(keep_np)), doc_offs
 
 
 def analyze_batch(
@@ -111,8 +201,8 @@ def analyze_batch(
                         pc.invert(
                             pc.is_in(
                                 terms,
-                                value_set=pa.array(
-                                    sorted(analyzer.stop_set)
+                                value_set=_stop_value_set(
+                                    analyzer.stop_set
                                 ),
                             )
                         )
@@ -150,7 +240,7 @@ def analyze_batch(
                 pc.invert(
                     pc.is_in(
                         terms,
-                        value_set=pa.array(sorted(analyzer.stop_set)),
+                        value_set=_stop_value_set(analyzer.stop_set),
                     )
                 )
             )
