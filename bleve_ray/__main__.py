@@ -131,6 +131,13 @@ def main(argv=None):
     sy.add_argument("definitions_json",
                     help='[{"synonyms": [...]}, {"input": [...], ...}]')
     sy.add_argument("--analyzer", default="")
+    sy.add_argument(
+        "--collection",
+        default="",
+        help="index the definitions as thesaurus-segment DOCUMENTS in "
+             "this synonym collection (IndexSynonym); ids are "
+             "syn-<n> in list order, or each def's 'id' key",
+    )
 
     um = sub.add_parser(
         "update-mapping",
@@ -164,6 +171,23 @@ def main(argv=None):
 
         idx = Index.open(args.index_dir)
         defs = json.loads(args.definitions_json)
+        if args.collection:
+            from .index.thesaurus import add_synonym_documents
+
+            docs = [
+                (d.pop("id", f"syn-{i}"), d) for i, d in enumerate(defs)
+            ]
+            man = add_synonym_documents(
+                args.index_dir,
+                args.collection,
+                docs,
+                args.analyzer,
+                man=idx.reader.manifest,
+            )
+            print(json.dumps({"definitions": len(docs),
+                              "collection": args.collection,
+                              "epoch": man.epoch}))
+            return
         idx.define_synonyms(defs, analyzer_name=args.analyzer)
         print(json.dumps({"definitions": len(defs),
                           "epoch": idx.reader.manifest.epoch + 1}))

@@ -75,6 +75,11 @@ class Manifest:
     # SetInternal/GetInternal KV (reference index.go SetInternal: app
     # metadata stored transactionally with the index)
     internal: Dict[str, str] = field(default_factory=dict)
+    # index-time synonym thesaurus segments per source (IndexSynonym,
+    # index_impl.go:336; segment semantics in index/thesaurus.py) and
+    # tombstoned synonym doc ids per source
+    thesaurus: Dict[str, List[dict]] = field(default_factory=dict)
+    thesaurus_deleted: Dict[str, List[str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = {
@@ -88,6 +93,8 @@ class Manifest:
             "deleted_path": self.deleted_path,
             "deleted_count": self.deleted_count,
             "internal": self.internal,
+            "thesaurus": self.thesaurus,
+            "thesaurus_deleted": self.thesaurus_deleted,
         }
         return json.dumps(d, indent=1, sort_keys=True)
 
@@ -105,6 +112,8 @@ class Manifest:
             deleted_path=d.get("deleted_path"),
             deleted_count=d.get("deleted_count", 0),
             internal=d.get("internal", {}),
+            thesaurus=d.get("thesaurus", {}),
+            thesaurus_deleted=d.get("thesaurus_deleted", {}),
         )
 
     def completed_partition_ids(self) -> set:
@@ -178,6 +187,9 @@ def copy_to(index_dir: str, dest_dir: str) -> "Manifest":
         raise FileNotFoundError(f"no manifest in {index_dir}")
     os.makedirs(dest_dir, exist_ok=True)
     rels = [s.path for s in man.segments] + [d.path for d in man.docmeta]
+    rels += [
+        e["path"] for entries in man.thesaurus.values() for e in entries
+    ]
     dv = os.path.join(index_dir, "docvalues")
     if os.path.isdir(dv):
         rels += [

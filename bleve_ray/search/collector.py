@@ -31,9 +31,22 @@ class IndexMapping:
     scoring_model: str = "bm25"
     # query-time synonym expansion (SynonymDefinition, index.go:358-390)
     synonyms: Optional[object] = None
+    # index-time thesaurus segments: source name -> ThesaurusReader
+    # (snapshot_index_thes.go), plus the field->source association
+    # (mapping/field.go:85 SynonymSource, mapping/index.go:54
+    # DefaultSynonymSource)
+    thesauri: Dict[str, object] = dc_field(default_factory=dict)
+    synonym_sources: Dict[str, str] = dc_field(default_factory=dict)
+    default_synonym_source: str = ""
 
     def analyzer_for(self, field: str) -> str:
         return self.analyzers.get(field, "standard")
+
+    def synonym_source_for(self, field: str) -> str:
+        return (
+            self.synonym_sources.get(field)
+            or self.default_synonym_source
+        )
 
     def set_synonyms(self, definitions, analyzer=None) -> None:
         from .synonyms import Thesaurus
@@ -355,6 +368,18 @@ class Index:
         )
         if mapping is None:
             self._load_persisted_synonyms()
+        self._load_thesauri()
+
+    def _load_thesauri(self) -> None:
+        """Open a ThesaurusReader per source committed in the manifest
+        (index-time synonym segments, index/thesaurus.py)."""
+        from ..index.thesaurus import ThesaurusReader
+
+        man = self.reader.manifest
+        for source in getattr(man, "thesaurus", {}) or {}:
+            self.mapping.thesauri[source] = ThesaurusReader(
+                self.reader.index_dir, man, source
+            )
 
     def _load_persisted_synonyms(self) -> None:
         """Synonym sources persist WITH the index (reference
@@ -396,6 +421,48 @@ class Index:
 
             analyzer = analyzer_named(analyzer_name)
         self.mapping.set_synonyms(definitions, analyzer)
+
+    def index_synonym(
+        self,
+        doc_id: str,
+        collection: str,
+        definition: dict,
+        analyzer_name: str = "",
+    ) -> None:
+        """Index one synonym definition DOCUMENT into a thesaurus segment
+        (reference index_impl.go:336 IndexSynonym): re-indexing the same
+        id replaces its definition; the segment commits a manifest epoch."""
+        from ..index.thesaurus import ThesaurusReader, add_synonym_documents
+
+        man = add_synonym_documents(
+            self.reader.index_dir,
+            collection,
+            [(doc_id, definition)],
+            analyzer_name,
+            man=self.reader.manifest,
+        )
+        self.reader.manifest = man
+        self.mapping.thesauri[collection] = ThesaurusReader(
+            self.reader.index_dir, man, collection
+        )
+
+    def delete_synonym(self, doc_id: str, collection: str) -> None:
+        """Tombstone a synonym definition document."""
+        from ..index.thesaurus import (
+            ThesaurusReader,
+            delete_synonym_document,
+        )
+
+        man = delete_synonym_document(
+            self.reader.index_dir,
+            collection,
+            doc_id,
+            man=self.reader.manifest,
+        )
+        self.reader.manifest = man
+        self.mapping.thesauri[collection] = ThesaurusReader(
+            self.reader.index_dir, man, collection
+        )
 
     @staticmethod
     def open(index_dir: str) -> "Index":

@@ -48,7 +48,9 @@ class TermQuery(Query):
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
-        th = getattr(mapping, "synonyms", None)
+        from .synonyms import thesaurus_for
+
+        th = thesaurus_for(mapping, field)
         if th is not None:
             from .synonyms import synonym_term_searcher
 
@@ -81,7 +83,9 @@ class MatchQuery(Query):
         tokens = analyzer.analyze(self.match)
         if not tokens:
             return MatchNoneSearcher()
-        th = getattr(mapping, "synonyms", None)
+        from .synonyms import thesaurus_for
+
+        th = thesaurus_for(mapping, field)
         if self.fuzziness not in (0, "0", None):
             tqs = [
                 FuzzyQuery(
@@ -155,6 +159,31 @@ class MultiPhraseQuery(Query):
         return PhraseSearcher(reader, self.terms, field, self.boost, options)
 
 
+def _key_synonym_searcher(
+    reader, mapping, options, field, boost, base, key_match
+):
+    """ExtractSynonyms for multi-term queries (reference
+    search/query/query.go:700-775 addSynonymsForTermWithMatchType):
+    thesaurus KEYS matching the query's own prefix/fuzzy/regexp criterion
+    contribute their synonyms as extra term searchers at boost/2, OR-ed
+    with the dictionary expansion (min_match=0 like NewSynonymSearcher)."""
+    from .synonyms import thesaurus_for
+
+    th = thesaurus_for(mapping, field)
+    syn_terms: List[str] = []
+    if th is not None:
+        for k in key_match(th):
+            syn_terms.extend(th.synonyms_of(k))
+    if not syn_terms:
+        return base if base is not None else MatchNoneSearcher()
+    children = [] if base is None else [base]
+    children.extend(
+        TermSearcher(reader, s, field, boost / 2.0, options)
+        for s in sorted(set(syn_terms))
+    )
+    return DisjunctionSearcher(children, min_match=0)
+
+
 @dataclass
 class PrefixQuery(Query):
     prefix: str
@@ -164,9 +193,20 @@ class PrefixQuery(Query):
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
         terms = reader.terms_with_prefix(field, self.prefix)
-        if not terms:
-            return MatchNoneSearcher()
-        return MultiTermSearcher(reader, terms, field, self.boost, options)
+        base = (
+            MultiTermSearcher(reader, terms, field, self.boost, options)
+            if terms
+            else None
+        )
+        return _key_synonym_searcher(
+            reader,
+            mapping,
+            options,
+            field,
+            self.boost,
+            base,
+            lambda th: th.keys_prefix(self.prefix),
+        )
 
 
 @dataclass
@@ -337,9 +377,20 @@ class FuzzyQuery(Query):
                 if abs(len(t) - tl) <= fuzz
                 and within_distance(self.term, t, fuzz)
             ]
-        if not cands:
-            return MatchNoneSearcher()
-        return MultiTermSearcher(reader, cands, field, self.boost, options)
+        base = (
+            MultiTermSearcher(reader, cands, field, self.boost, options)
+            if cands
+            else None
+        )
+        return _key_synonym_searcher(
+            reader,
+            mapping,
+            options,
+            field,
+            self.boost,
+            base,
+            lambda th: th.keys_fuzzy(self.term, fuzz, self.prefix_length),
+        )
 
 
 _REGEX_SPECIAL = set(".^$*+?{}[]|()\\")
@@ -455,9 +506,20 @@ class RegexpQuery(Query):
         else:
             cand = reader.terms_in_range(field, None, None)
         terms = sorted(t for t in cand if pat.fullmatch(t))
-        if not terms:
-            return MatchNoneSearcher()
-        return MultiTermSearcher(reader, terms, field, self.boost, options)
+        base = (
+            MultiTermSearcher(reader, terms, field, self.boost, options)
+            if terms
+            else None
+        )
+        return _key_synonym_searcher(
+            reader,
+            mapping,
+            options,
+            field,
+            self.boost,
+            base,
+            lambda th: th.keys_regexp(self.regexp),
+        )
 
 
 @dataclass

@@ -58,6 +58,52 @@ class Thesaurus:
     def __len__(self) -> int:
         return len(self._map)
 
+    # ThesaurusKeys iterators (same surface as index.thesaurus.
+    # ThesaurusReader so the query path treats both uniformly)
+    def keys(self) -> List[str]:
+        return sorted(self._map)
+
+    def keys_prefix(self, prefix: str) -> List[str]:
+        return [k for k in self.keys() if k.startswith(prefix)]
+
+    def keys_fuzzy(
+        self, term: str, fuzziness: int, prefix_len: int = 0
+    ) -> List[str]:
+        from .levenshtein import within_distance
+
+        pre = term[:prefix_len]
+        return [
+            k
+            for k in self.keys()
+            if k.startswith(pre) and within_distance(term, k, fuzziness)
+        ]
+
+    def keys_regexp(self, pattern: str) -> List[str]:
+        import re
+
+        rx = re.compile(pattern)
+        return [k for k in self.keys() if rx.fullmatch(k)]
+
+
+def thesaurus_for(mapping, field: str):
+    """Resolve the thesaurus for a field: a per-field synonym source
+    (index-time thesaurus segments, mapping/document.go:126
+    synonymSourceForPath) wins, then the default source, then the legacy
+    single manifest-KV thesaurus."""
+    ths = getattr(mapping, "thesauri", None)
+    if ths:
+        src = None
+        srcs = getattr(mapping, "synonym_sources", None)
+        if srcs:
+            src = srcs.get(field)
+        if not src:
+            src = getattr(mapping, "default_synonym_source", "")
+        if not src and len(ths) == 1:
+            src = next(iter(ths))
+        if src and src in ths:
+            return ths[src]
+    return getattr(mapping, "synonyms", None)
+
 
 def synonym_term_searcher(reader, term, field, boost, options, thesaurus):
     """NewSynonymSearcher: disjunction of the term (boost) and each
