@@ -1182,6 +1182,34 @@ def _q_synonym_docs(sf_dir: str):
     )
 
 
+def _q_thesaurus_docs(sf_dir: str):
+    """Index-time synonym thesaurus segments (reference index_impl.go:336
+    IndexSynonym; thesaurus-key matching per query.go:700-775
+    ExtractSynonyms): a definition DOCUMENT is indexed into the docs
+    index's 'docs-syn' collection (idempotent across runs), associated
+    via default_synonym_source, and queried through a PREFIX that
+    matches only the thesaurus KEY (the key never occurs in any
+    document), so every hit comes from the key's synonyms."""
+    import pyarrow as pa
+
+    idx = _documents_index(sf_dir)
+    if "docs-syn" not in (idx.reader.manifest.thesaurus or {}):
+        idx.index_synonym(
+            "syn-1",
+            "docs-syn",
+            {"input": ["zzsignalterm"], "synonyms": ["vector", "window"]},
+            "ascii_alnum_lower",
+        )
+    idx.mapping.default_synonym_source = "docs-syn"
+    r = idx.search(
+        {"query": {"prefix": "zzsignal", "field": "text"},
+         "size": 1_000_000, "score": "none"}
+    )
+    return pa.table(
+        {"doc_id": pa.array(sorted(h.id for h in r.hits), type=pa.string())}
+    )
+
+
 def _q_top_customers(sf_dir: str):
     """Relational join pipeline: per-customer order counts (hash
     aggregate) joined to customer names via a BROADCAST small side
@@ -1440,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_docs": _q_bool_docs,
         "ip_cidr_docs": _q_ip_cidr_docs,
         "synonym_docs": _q_synonym_docs,
+        "thesaurus_docs": _q_thesaurus_docs,
         "top_customers": _q_top_customers,
         "facet_lang_filtered": _q_facet_lang_filtered,
         "facet_nchars_ranges": _q_facet_nchars_ranges,
@@ -1912,6 +1941,17 @@ WHERE ((doc_id // 256) % 256) = 1
 ORDER BY CAST(doc_id AS VARCHAR)
 """,
         "synonym_docs": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM toks WHERE term IN ('vector', 'window')
+ORDER BY doc_id
+""",
+        # the prefix matches only the thesaurus key, so hits == docs
+        # containing either of the key's synonyms
+        "thesaurus_docs": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
   FROM documents

@@ -72,11 +72,15 @@ def main(argv=None):
     s.add_argument("query_string")
     s.add_argument("--size", type=int, default=10)
     s.add_argument("--from", dest="from_", type=int, default=0)
+    s.add_argument("--synonym-source", default="",
+                   help="default synonym source (thesaurus collection)")
 
     q = sub.add_parser("query")
     q.add_argument("index_dir")
     q.add_argument("query_json")
     q.add_argument("--size", type=int, default=10)
+    q.add_argument("--synonym-source", default="",
+                   help="default synonym source (thesaurus collection)")
 
     fm = sub.add_parser("forcemerge")
     fm.add_argument("index_dir")
@@ -387,12 +391,16 @@ def main(argv=None):
                           "segments": len(man.segments), "terms": n_terms}))
         sys.exit(0 if ok else 1)
     elif args.cmd == "search":
+        if args.synonym_source:
+            idx.mapping.default_synonym_source = args.synonym_source
         res = idx.search(
             {"query": {"query": args.query_string}, "size": args.size,
              "from": args.from_}
         )
         print(json.dumps(res.to_dict(), indent=1))
     elif args.cmd == "query":
+        if args.synonym_source:
+            idx.mapping.default_synonym_source = args.synonym_source
         res = idx.search(
             {"query": json.loads(args.query_json), "size": args.size}
         )

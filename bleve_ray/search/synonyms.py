@@ -98,8 +98,9 @@ def thesaurus_for(mapping, field: str):
             src = srcs.get(field)
         if not src:
             src = getattr(mapping, "default_synonym_source", "")
-        if not src and len(ths) == 1:
-            src = next(iter(ths))
+        # no implicit source: like the reference, a thesaurus applies
+        # only when the mapping associates it with the field (or sets
+        # the default source) -- indexed collections alone change nothing
         if src and src in ths:
             return ths[src]
     return getattr(mapping, "synonyms", None)
