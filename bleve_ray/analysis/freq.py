@@ -67,13 +67,16 @@ def _string_view(arr: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
 
 def _arrow_batch_tokens(
     col: pa.Array,
-) -> Optional[Tuple[pa.Array, np.ndarray]]:
-    """Batch-level UAX#29 tokenization for an ASCII Arrow string column
-    (the UnicodeTokenizer grammar; see analysis/tokenizers.py ASCII
-    collapse).  Returns (flat token array, int64 doc offsets) with tokens
-    never materialized as Python strings, or None when some doc needs the
+) -> Tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Batch-level UAX#29 tokenization for an Arrow string column (the
+    UnicodeTokenizer grammar; see analysis/tokenizers.py ASCII collapse).
+    Returns ``(flat token array, int64 doc offsets, bad_docs)`` with
+    tokens never materialized as Python strings.  Docs that need the
     exact per-doc path (non-ASCII text, or a superset run whose internal
-    mid-chars break the word grammar -- e.g. ``a,b`` must split).
+    mid-chars break the word grammar -- e.g. ``a,b`` must split) are
+    listed in ``bad_docs`` and contribute ZERO tokens here; the caller
+    runs the per-doc tokenizer on just those and merges -- so one exotic
+    doc no longer sends the whole batch down the slow path.
 
     Pipeline: numpy byte-class mask -> run boundaries (tokens = superset
     runs, split at doc boundaries), utf8_trim of the leading/trailing
@@ -87,11 +90,20 @@ def _arrow_batch_tokens(
     if isinstance(filled, pa.ChunkedArray):
         filled = filled.combine_chunks()
     n = len(filled)
-    if not pc.all(pc.string_is_ascii(filled)).as_py():
-        return None
+    bad = np.flatnonzero(
+        np.invert(np.asarray(pc.string_is_ascii(filled)))
+    ).astype(np.int64)
+    if len(bad):
+        # blank the non-ASCII docs: they tokenize per-doc in the caller
+        sel = np.ones(n, dtype=bool)
+        sel[bad] = False
+        filled = pc.if_else(pa.array(sel), filled, "")
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
     empty = (
         pa.array([], type=pa.string()),
         np.zeros(n + 1, dtype=np.int64),
+        bad,
     )
     if n == 0:
         return empty
@@ -147,13 +159,29 @@ def _arrow_batch_tokens(
         hard_idx = mp
     if len(hard_idx):
         sel = trimmed.take(pa.array(hard_idx, type=pa.int64()))
-        ok = pc.match_substring_regex(sel, ASCII_WORD_ANCHORED)
-        if not pc.all(ok).as_py():
-            return None
+        ok = np.asarray(
+            pc.match_substring_regex(sel, ASCII_WORD_ANCHORED)
+        )
+        if not ok.all():
+            # per-DOC decline: blank the offending docs and re-run once
+            # (blanking only removes tokens, so the second pass is
+            # hard-free by construction)
+            hard_docs = np.unique(
+                np.searchsorted(
+                    offs, starts[hard_idx[~ok]], side="right"
+                )
+                - 1
+            )
+            sel2 = np.ones(n, dtype=bool)
+            sel2[hard_docs] = False
+            refill = pc.if_else(pa.array(sel2), filled, "")
+            terms2, doc_offs2, _ = _arrow_batch_tokens(refill)
+            all_bad = np.union1d(bad, hard_docs).astype(np.int64)
+            return terms2, doc_offs2, all_bad
     cs = np.zeros(len(keep_np) + 1, dtype=np.int64)
     np.cumsum(keep_np, out=cs[1:])
     doc_offs = cs[np.searchsorted(starts, offs, side="left")]
-    return trimmed.filter(pa.array(keep_np)), doc_offs
+    return trimmed.filter(pa.array(keep_np)), doc_offs, bad
 
 
 def analyze_batch(
@@ -181,39 +209,69 @@ def analyze_batch(
             col = texts if is_arrow else pa.array(texts, type=pa.string())
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            batch = _arrow_batch_tokens(col)
-            if batch is not None:
-                terms, doc_offs = batch
-                total = int(doc_offs[-1])
-                counts = doc_offs[1:] - doc_offs[:-1]
-                doc_idx = np.repeat(
-                    np.arange(n_docs, dtype=np.int64), counts
+            terms, doc_offs, bad = _arrow_batch_tokens(col)
+            total = int(doc_offs[-1])
+            counts = doc_offs[1:] - doc_offs[:-1]
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            positions = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(doc_offs[:-1], counts)
+                + 1
+            ).astype(np.int32)
+            if len(bad):
+                # exact per-doc tokenize for ONLY the declined docs, then
+                # stable-merge by doc index (docs are disjoint, so the
+                # within-doc token order of each side is preserved)
+                bad_texts = col.take(pa.array(bad)).to_pylist()
+                flat_b: List[str] = []
+                di_b: List[int] = []
+                pos_list: List[np.ndarray] = []
+                for j, t in zip(bad, bad_texts):
+                    toks = tok.findall(t) if t else []
+                    flat_b.extend(toks)
+                    di_b.extend([int(j)] * len(toks))
+                    pos_list.append(
+                        np.arange(1, len(toks) + 1, dtype=np.int32)
+                    )
+                if flat_b:
+                    pos_b = np.concatenate(pos_list)
+                    terms = pa.concat_arrays(
+                        [
+                            terms.combine_chunks()
+                            if isinstance(terms, pa.ChunkedArray)
+                            else terms,
+                            pa.array(flat_b, type=pa.string()),
+                        ]
+                    )
+                    doc_idx = np.concatenate(
+                        [doc_idx, np.asarray(di_b, dtype=np.int64)]
+                    )
+                    positions = np.concatenate([positions, pos_b])
+                    order = np.argsort(doc_idx, kind="stable")
+                    terms = terms.take(pa.array(order))
+                    doc_idx = doc_idx[order]
+                    positions = positions[order]
+            if analyzer.lowercase:
+                # bad docs may be non-ASCII; utf8_lower covers both
+                terms = (
+                    pc.utf8_lower(terms) if len(bad) else pc.ascii_lower(terms)
                 )
-                positions = (
-                    np.arange(total, dtype=np.int64)
-                    - np.repeat(doc_offs[:-1], counts)
-                    + 1
-                ).astype(np.int32)
-                if analyzer.lowercase:
-                    terms = pc.ascii_lower(terms)
-                if analyzer.stop_set is not None:
-                    keep = np.asarray(
-                        pc.invert(
-                            pc.is_in(
-                                terms,
-                                value_set=_stop_value_set(
-                                    analyzer.stop_set
-                                ),
-                            )
+            if analyzer.stop_set is not None:
+                keep = np.asarray(
+                    pc.invert(
+                        pc.is_in(
+                            terms,
+                            value_set=_stop_value_set(analyzer.stop_set),
                         )
                     )
-                    terms = terms.filter(pa.array(keep))
-                    doc_idx = doc_idx[keep]
-                    positions = positions[keep]
-                field_len = np.bincount(
-                    doc_idx, minlength=n_docs
-                ).astype(np.int64)
-                return terms, doc_idx, positions, field_len
+                )
+                terms = terms.filter(pa.array(keep))
+                doc_idx = doc_idx[keep]
+                positions = positions[keep]
+            field_len = np.bincount(
+                doc_idx, minlength=n_docs
+            ).astype(np.int64)
+            return terms, doc_idx, positions, field_len
         if is_arrow:
             texts = texts.to_pylist()
         toks_per_doc = [

@@ -1,8 +1,9 @@
 """Differential lock between the batch Arrow tokenizer fast path
 (freq._arrow_batch_tokens) and the exact per-doc UnicodeTokenizer chain:
 both must produce identical (terms, doc_idx, positions, field_len) for
-the standard analyzer, and the batch path must decline (return None)
-whenever a doc would tokenize differently."""
+the standard analyzer, and the batch path must decline PER DOC (list the
+doc in bad_docs with zero batch tokens) whenever that doc would tokenize
+differently -- one exotic doc must not degrade the rest of the batch."""
 
 import numpy as np
 import pyarrow as pa
@@ -81,12 +82,15 @@ def test_batch_path_used_for_clean_ascii():
         )
     ]
     col = pa.array([d or "" for d in clean])
-    assert _arrow_batch_tokens(col) is not None
+    _, _, bad = _arrow_batch_tokens(col)
+    assert len(bad) == 0
 
 
-def test_batch_declines_hard_grammar():
+def test_batch_declines_hard_grammar_per_doc():
     for d in HARD_DOCS:
-        assert _arrow_batch_tokens(pa.array([d])) is None, d
+        terms, offs, bad = _arrow_batch_tokens(pa.array([d]))
+        assert bad.tolist() == [0], d
+        assert len(terms) == 0
     # and the full analyze_batch still gets them right via fallback
     an = analyzer_named("standard")
     terms, di, pos, fl = analyze_batch(HARD_DOCS, an)
@@ -96,8 +100,9 @@ def test_batch_declines_hard_grammar():
     assert pos.tolist() == ep
 
 
-def test_batch_declines_non_ascii():
-    assert _arrow_batch_tokens(pa.array(NON_ASCII)) is None
+def test_batch_declines_non_ascii_per_doc():
+    _, _, bad = _arrow_batch_tokens(pa.array(NON_ASCII))
+    assert bad.tolist() == [0, 1]
     an = analyzer_named("standard")
     tok = UnicodeTokenizer()
     terms, di, pos, fl = analyze_batch(NON_ASCII, an)
@@ -106,6 +111,28 @@ def test_batch_declines_non_ascii():
         want.extend(x.lower() for x in tok.findall(t))
     want = [w for w in want if w not in an.stop_set]
     assert terms.to_pylist() == want
+
+
+def test_mixed_batch_merges_declined_docs_in_order():
+    """One hard doc + one non-ASCII doc inside a clean batch: the merged
+    output must equal the pure per-doc chain exactly (same terms, same
+    doc indexes, same positions)."""
+    mixed = [
+        "clean words here",
+        "a,b hard split",     # hard grammar -> per-doc
+        "café au lait",       # non-ASCII -> per-doc
+        "more clean 1,000 don't",
+        "",
+        "tail doc",
+    ]
+    an = analyzer_named("standard")
+    terms, di, pos, fl = analyze_batch(mixed, an)
+    et, ed, ep = _exact(mixed, an)
+    assert terms.to_pylist() == et
+    assert di.tolist() == ed
+    assert pos.tolist() == ep
+    _, _, bad = _arrow_batch_tokens(pa.array(mixed))
+    assert bad.tolist() == [1, 2]
 
 
 def test_arrow_input_equals_list_input():
@@ -129,9 +156,9 @@ def test_random_punctuation_soup_parity():
     for trial in range(200):
         n = int(rng.integers(1, 40))
         s = "".join(rng.choice(alphabet, size=n))
-        got = _arrow_batch_tokens(pa.array([s]))
-        if got is None:
+        terms, offs, bad = _arrow_batch_tokens(pa.array([s]))
+        if len(bad):
+            assert len(terms) == 0
             continue
-        terms, offs = got
         assert terms.to_pylist() == tok.findall(s), repr(s)
         assert offs.tolist() == [0, len(terms)]
