@@ -1799,10 +1799,14 @@ toks AS (
         "term_search_bm25": _sql_term_search("vector"),
         "search_after_page2": _sql_term_search("vector", k=10, offset=10),
         "tfidf_top10": _sql_tfidf_search("vector"),
+        # the engine's fuzzy automata allow adjacent transpositions like
+        # the reference (snapshot_index.go:58-62); at k=1 restricted-OSA
+        # == full Damerau-Levenshtein, so duckdb's damerau_levenshtein is
+        # exact
         "fuzzy_docs": f"""
 WITH {toks_cte}
 SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
-FROM toks WHERE levenshtein(term, 'vektor') <= 1
+FROM toks WHERE damerau_levenshtein(term, 'vektor') <= 1
 ORDER BY doc_id
 """,
         "regexp_docs": f"""

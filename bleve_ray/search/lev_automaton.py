@@ -11,10 +11,14 @@ parquet row groups whose [term_min, term_max] interval contains no
 accepted string are never read.
 
 Standard public construction (Lucene's fuzzy automaton / the well-known
-"Levenshtein automata" powerset technique): NFA states are (offset i,
-edits e) positions; the DFA is built on demand with subsumption-reduced
-frozensets memoized per (state, char-class).
-"""
+"Levenshtein automata" powerset technique, Schulz-Mihov): NFA states are
+(offset i, edits e, in_transposition) positions; the DFA is built on
+demand with subsumption-reduced frozensets memoized per (state,
+char-class).  Transpositions are ON by default, matching the reference
+(index/scorch/snapshot_index.go:58-62 builds its automata with
+transpositions=true): an adjacent swap costs one edit, modeled by a
+t-position (i, e, 1) = "consumed body[i+1], awaiting body[i], lands at
+i+2"."""
 
 from __future__ import annotations
 
@@ -22,17 +26,24 @@ from typing import Dict, FrozenSet, List, Optional, Tuple
 
 _MAX_CP = 0x10FFFF
 
-State = FrozenSet[Tuple[int, int]]  # {(offset, edits)}
+State = FrozenSet[Tuple[int, int, int]]  # {(offset, edits, in_transposition)}
 
 
 class LevAutomaton:
-    """Accepts strings within Levenshtein distance <= k of ``term``
-    (unit-cost insert/delete/substitute, like the reference's automaton;
-    no transpositions)."""
+    """Accepts strings within edit distance <= k of ``term``
+    (unit-cost insert/delete/substitute, plus adjacent transposition when
+    ``transpositions`` -- the reference's configuration)."""
 
-    def __init__(self, term: str, k: int, prefix: str = ""):
+    def __init__(
+        self,
+        term: str,
+        k: int,
+        prefix: str = "",
+        transpositions: bool = True,
+    ):
         self.term = term
         self.k = k
+        self.transpositions = transpositions
         # required literal prefix (prefix_length semantics,
         # search_fuzzy.go:93-120): accepted strings are prefix + w with
         # lev(w, term[len(prefix):]) <= k
@@ -40,25 +51,29 @@ class LevAutomaton:
         self.body = term[len(prefix):] if prefix else term
         self.n = len(self.body)
         self._step_cache: Dict[Tuple[State, str], State] = {}
-        self._start: State = self._reduce([(0, 0)])
+        self._start: State = self._reduce([(0, 0, 0)])
 
     # --- NFA -> DFA ------------------------------------------------------
 
-    def _reduce(self, positions: List[Tuple[int, int]]) -> State:
-        """Drop subsumed positions: (i,e) subsumes (j,f) when f>e and
-        |j-i| <= f-e (anything (j,f) can accept, (i,e) can too)."""
+    def _reduce(self, positions: List[Tuple[int, int, int]]) -> State:
+        """Drop subsumed standard positions: (i,e) subsumes (j,f) when f>e
+        and |j-i| <= f-e (anything (j,f) can accept, (i,e) can too).
+        T-positions are kept as-is (conservative; reduction is purely an
+        optimization)."""
+        std = [p for p in positions if not p[2]]
+        tpos = [p for p in positions if p[2]]
         keep = []
-        for p in positions:
-            i, e = p
+        for p in std:
+            i, e, _ = p
             subsumed = False
-            for q in positions:
-                j, f = q
+            for q in std:
+                j, f, _ = q
                 if q != p and f < e and abs(i - j) <= e - f:
                     subsumed = True
                     break
             if not subsumed:
                 keep.append(p)
-        return frozenset(keep)
+        return frozenset(keep + tpos)
 
     def _char_class(self, c: str) -> str:
         """Transitions depend only on whether/where c occurs in the next
@@ -71,36 +86,52 @@ class LevAutomaton:
         hit = self._step_cache.get(key)
         if hit is not None:
             return hit
-        nxt: List[Tuple[int, int]] = []
+        nxt: List[Tuple[int, int, int]] = []
         n, k, body = self.n, self.k, self.body
-        for i, e in state:
+        for i, e, t in state:
+            if t:
+                # completing a transposition: awaiting body[i]
+                if body[i] == c:
+                    nxt.append((i + 2, e, 0))
+                continue
             if i < n and body[i] == c:
-                nxt.append((i + 1, e))  # match
+                nxt.append((i + 1, e, 0))  # match
             if e < k:
-                nxt.append((i, e + 1))  # insertion of c
+                nxt.append((i, e + 1, 0))  # insertion of c
                 if i < n:
-                    nxt.append((i + 1, e + 1))  # substitution
+                    nxt.append((i + 1, e + 1, 0))  # substitution
                 # delete d body chars then match c
                 for d in range(1, k - e + 1):
                     if i + d < n and body[i + d] == c:
-                        nxt.append((i + d + 1, e + d))
+                        nxt.append((i + d + 1, e + d, 0))
+                if (
+                    self.transpositions
+                    and i + 1 < n
+                    and body[i + 1] == c
+                    and body[i] != c
+                ):
+                    # adjacent swap: consumed body[i+1], await body[i]
+                    nxt.append((i, e + 1, 1))
         out = self._reduce(list(set(nxt)))
         self._step_cache[key] = out
         return out
 
     def is_final(self, state: State) -> bool:
-        return any(self.n - i <= self.k - e for i, e in state)
+        return any(
+            not t and self.n - i <= self.k - e for i, e, t in state
+        )
 
     def _next_edge(self, state: State, after: Optional[str]) -> Optional[str]:
         """Smallest char strictly greater than ``after`` (or the smallest
         at all when None) with a live transition out of ``state``."""
         floor = -1 if after is None else ord(after)
-        if any(e < self.k for _, e in state):
+        if any(e < self.k and not t for _, e, t in state):
             # insert/substitute: EVERY char has a transition
             return chr(floor + 1) if floor + 1 <= _MAX_CP else None
         best = None
-        for i, e in state:
-            # only exact matches step (all positions have e == k here)
+        for i, e, t in state:
+            # exact matches step; t-positions step only on their awaited
+            # char body[i]
             if i < self.n:
                 c = self.body[i]
                 if ord(c) > floor and (best is None or c < best):

@@ -1,12 +1,20 @@
-"""Bounded Levenshtein distance check (the role of the reference's
-Levenshtein automaton over the term dictionary, search/levenshtein.go +
+"""Bounded edit-distance check (the role of the reference's Levenshtein
+automaton over the term dictionary, search/levenshtein.go +
 search_fuzzy.go:26 MaxFuzziness=2).  A banded DP with early exit is O(k*n)
-per candidate -- fine for dictionary-scan expansion."""
+per candidate -- fine for dictionary-scan expansion.
+
+The reference builds its automata WITH transpositions
+(index/scorch/snapshot_index.go:58-62 NewLevenshteinAutomatonBuilder(d,
+true)), i.e. restricted Damerau-Levenshtein (adjacent transposition is
+one edit, edited substrings never overlap); that is the default here.
+"""
 
 from __future__ import annotations
 
 
-def within_distance(a: str, b: str, k: int) -> bool:
+def within_distance(
+    a: str, b: str, k: int, transpositions: bool = True
+) -> bool:
     if a == b:
         return True
     la, lb = len(a), len(b)
@@ -14,7 +22,8 @@ def within_distance(a: str, b: str, k: int) -> bool:
         return False
     if k == 0:
         return False
-    # banded DP
+    # banded DP (optimal string alignment when transpositions=True)
+    prev2 = None
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
         # Out-of-band cells must read as > k, never 0: a 0 leaks into the
@@ -27,9 +36,21 @@ def within_distance(a: str, b: str, k: int) -> bool:
         best = i if i <= k else k + 1
         for j in range(lo, hi + 1):
             cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            best = min(best, cur[j])
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+                and prev2[j - 2] + 1 < d
+            ):
+                d = prev2[j - 2] + 1
+            cur[j] = d
+            if d < best:
+                best = d
         if best > k:
             return False
+        prev2 = prev
         prev = cur
     return prev[lb] <= k

@@ -129,12 +129,73 @@ def token_stream_to_phrase(tokens) -> List[List[str]]:
     return phrase
 
 
+def _fuzzy_candidate_terms(reader, term, fuzz, prefix_length, field):
+    """Dictionary terms within edit distance (the FuzzySearcher expansion,
+    search_fuzzy.go); shared by FuzzyQuery and fuzzy phrases."""
+    prefix = term[:prefix_length]
+    if hasattr(reader, "terms_matching_automaton"):
+        from .lev_automaton import LevAutomaton
+
+        aut = LevAutomaton(term, fuzz, prefix=prefix)
+        return reader.terms_matching_automaton(field, aut)
+    from .levenshtein import within_distance
+
+    terms = (
+        reader.terms_with_prefix(field, prefix)
+        if prefix
+        else reader.terms_in_range(field, None, None)
+    )
+    tl = len(term)
+    return [
+        t
+        for t in terms
+        if abs(len(t) - tl) <= fuzz and within_distance(term, t, fuzz)
+    ]
+
+
+def _expand_phrase_slots(reader, mapping, field, phrase, fuzziness):
+    """Per-slot expansion for fuzzy/synonym phrases (reference
+    search_phrase.go:95-200 NewMultiPhraseSearcher: each slot term becomes
+    a fuzzy expansion [prefix hardcoded 0], and the FieldTermSynonymMap
+    adds synonyms of the term AND of fuzzy-matching thesaurus keys as
+    acceptable terms at that position)."""
+    from .synonyms import thesaurus_for
+
+    th = thesaurus_for(mapping, field)
+    fuzzy_on = fuzziness not in (0, "0", None)
+    if th is None and not fuzzy_on:
+        return phrase
+    out: List[List[str]] = []
+    for slot in phrase:
+        terms = [t for t in slot if t != ""]
+        if not terms:
+            out.append(slot)
+            continue
+        expanded: List[str] = []
+        for t in terms:
+            expanded.append(t)
+            fuzz = resolve_fuzziness(fuzziness, t) if fuzzy_on else 0
+            if fuzz:
+                expanded.extend(
+                    _fuzzy_candidate_terms(reader, t, fuzz, 0, field)
+                )
+            if th is not None:
+                expanded.extend(th.synonyms_of(t))
+                if fuzz:
+                    for k in th.keys_fuzzy(t, fuzz, 0):
+                        expanded.extend(th.synonyms_of(k))
+        out.append(sorted(set(expanded)))
+    return out
+
+
 @dataclass
 class MatchPhraseQuery(Query):
     match_phrase: str
     field: str = ""
     analyzer: str = ""
     boost: float = 1.0
+    # match_phrase.go:43-48: per-slot fuzzy expansion (prefix fixed at 0)
+    fuzziness: object = 0
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
@@ -144,7 +205,13 @@ class MatchPhraseQuery(Query):
         tokens = analyzer.analyze(self.match_phrase)
         if not tokens:
             return MatchNoneSearcher()
-        phrase = token_stream_to_phrase(tokens)
+        phrase = _expand_phrase_slots(
+            reader,
+            mapping,
+            field,
+            token_stream_to_phrase(tokens),
+            self.fuzziness,
+        )
         return PhraseSearcher(reader, phrase, field, self.boost, options)
 
 
@@ -153,10 +220,14 @@ class MultiPhraseQuery(Query):
     terms: List[List[str]]
     field: str = ""
     boost: float = 1.0
+    fuzziness: object = 0
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
-        return PhraseSearcher(reader, self.terms, field, self.boost, options)
+        phrase = _expand_phrase_slots(
+            reader, mapping, field, self.terms, self.fuzziness
+        )
+        return PhraseSearcher(reader, phrase, field, self.boost, options)
 
 
 def _key_synonym_searcher(
@@ -352,31 +423,13 @@ class FuzzyQuery(Query):
             # empty candidate expansion degenerates to the exact term
             # (search_fuzzy.go:100-108)
             return TermSearcher(reader, self.term, field, self.boost, options)
-        prefix = self.term[: self.prefix_length]
-        if hasattr(reader, "terms_matching_automaton"):
-            # Levenshtein automaton intersected with the sorted dictionary
-            # (search/levenshtein.go + vellum FST walk): row groups with no
-            # accepted string in their term interval are never read, and
-            # the in-group seek loop visits O(matches) terms
-            from .lev_automaton import LevAutomaton
-
-            aut = LevAutomaton(self.term, fuzz, prefix=prefix)
-            cands = reader.terms_matching_automaton(field, aut)
-        else:
-            from .levenshtein import within_distance
-
-            terms = (
-                reader.terms_with_prefix(field, prefix)
-                if prefix
-                else reader.terms_in_range(field, None, None)
-            )
-            tl = len(self.term)
-            cands = [
-                t
-                for t in terms
-                if abs(len(t) - tl) <= fuzz
-                and within_distance(self.term, t, fuzz)
-            ]
+        # Levenshtein automaton intersected with the sorted dictionary
+        # (search/levenshtein.go + vellum FST walk): row groups with no
+        # accepted string in their term interval are never read, and
+        # the in-group seek loop visits O(matches) terms
+        cands = _fuzzy_candidate_terms(
+            reader, self.term, fuzz, self.prefix_length, field
+        )
         base = (
             MultiTermSearcher(reader, cands, field, self.boost, options)
             if cands
@@ -648,6 +701,7 @@ def parse_query(d: Dict) -> Query:
             field=d.get("field", ""),
             analyzer=d.get("analyzer", ""),
             boost=boost,
+            fuzziness=d.get("fuzziness", 0),
         )
     if "fuzziness" in d and "term" in d:
         return FuzzyQuery(
@@ -669,7 +723,12 @@ def parse_query(d: Dict) -> Query:
         terms = d["terms"]
         if terms and isinstance(terms[0], str):
             terms = [[t] for t in terms]
-        return MultiPhraseQuery(terms, field=d.get("field", ""), boost=boost)
+        return MultiPhraseQuery(
+            terms,
+            field=d.get("field", ""),
+            boost=boost,
+            fuzziness=d.get("fuzziness", 0),
+        )
     if "conjuncts" in d:
         return ConjunctionQuery(
             [parse_query(c) for c in d["conjuncts"]], boost=boost

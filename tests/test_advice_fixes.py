@@ -45,7 +45,46 @@ def test_levenshtein_matches_full_dp():
         a = "".join(rng.choices(al, k=rng.randint(0, 7)))
         b = "".join(rng.choices(al, k=rng.randint(0, 7)))
         for k in (0, 1, 2):
-            assert within_distance(a, b, k) == (_lev(a, b) <= k), (a, b, k)
+            assert within_distance(a, b, k, transpositions=False) == (
+                _lev(a, b) <= k
+            ), (a, b, k)
+
+
+def _osa(a, b):
+    """Full optimal-string-alignment DP (restricted Damerau)."""
+    d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        d[i][0] = i
+    for j in range(len(b) + 1):
+        d[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            cost = a[i - 1] != b[j - 1]
+            d[i][j] = min(
+                d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[-1][-1]
+
+
+def test_transposition_distance_matches_osa_dp():
+    """Default mode is the reference's (snapshot_index.go:58-62 builds
+    Levenshtein automata with transpositions=true)."""
+    assert within_distance("smrat", "smart", 1)
+    assert not within_distance("smrat", "smart", 1, transpositions=False)
+    rng = random.Random(11)
+    al = "abcx"
+    for _ in range(1500):
+        a = "".join(rng.choices(al, k=rng.randint(0, 7)))
+        b = "".join(rng.choices(al, k=rng.randint(0, 7)))
+        for k in (0, 1, 2):
+            assert within_distance(a, b, k) == (_osa(a, b) <= k), (a, b, k)
 
 
 def test_parse_dt_nanos_exact():
