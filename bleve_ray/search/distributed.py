@@ -261,6 +261,59 @@ class IndexAlias:
     def add(self, index: Index) -> None:
         self.indexes.append(index)
 
+    def _leaf_indexes(self) -> List[Index]:
+        out: List[Index] = []
+        for idx in self.indexes:
+            if isinstance(idx, IndexAlias):
+                out.extend(idx._leaf_indexes())
+            else:
+                out.append(idx)
+        return out
+
+    def _synonym_presearch(self):
+        """Alias synonym presearch (pre_search.go synonym processor +
+        index_alias_impl.go preSearch flow): synonym DOCUMENTS are
+        distributed across members like regular documents, so each
+        member holds a PARTIAL thesaurus; expansion must use the union.
+        Returns {source: UnionThesaurus} for sources seen on >1 member
+        (a single holder needs no merge)."""
+        from .synonyms import UnionThesaurus
+
+        per_src: Dict[str, list] = {}
+        for idx in self._leaf_indexes():
+            ths = getattr(idx.mapping, "thesauri", None) or {}
+            for src, r in ths.items():
+                per_src.setdefault(src, []).append(r)
+        return {
+            src: UnionThesaurus(rs)
+            for src, rs in per_src.items()
+            if len(rs) > 1
+        }
+
+    def _searched_members(self):
+        """Member search pass with union thesauri injected into every
+        leaf mapping for the duration (restored after)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            union = self._synonym_presearch()
+            leaves = self._leaf_indexes() if union else []
+            saved = []
+            for leaf in leaves:
+                saved.append(leaf.mapping.thesauri)
+                leaf.mapping.thesauri = {
+                    **leaf.mapping.thesauri,
+                    **union,
+                }
+            try:
+                yield
+            finally:
+                for leaf, s in zip(leaves, saved):
+                    leaf.mapping.thesauri = s
+
+        return ctx()
+
     def search(self, request: dict) -> SearchResult:
         import time as _t
 
@@ -298,7 +351,8 @@ class IndexAlias:
             sub_req["pre_search_data"] = {
                 "bm25_stats": self._bm25_presearch()
             }
-        results = [idx.search(sub_req) for idx in self.indexes]
+        with self._searched_members():
+            results = [idx.search(sub_req) for idx in self.indexes]
         merged = []
         for ri, r in enumerate(results):
             for h in r.hits:

@@ -85,6 +85,51 @@ class Thesaurus:
         return [k for k in self.keys() if rx.fullmatch(k)]
 
 
+class UnionThesaurus:
+    """Union view over several members' thesauri for the same source --
+    the alias synonym-presearch role (reference pre_search.go synonym
+    processor): synonym documents are distributed across alias members
+    like regular documents, so query expansion must see the UNION."""
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+
+    def synonyms_of(self, term: str) -> List[str]:
+        out: Set[str] = set()
+        for p in self.parts:
+            out.update(p.synonyms_of(term))
+        return sorted(out)
+
+    def keys(self) -> List[str]:
+        out: Set[str] = set()
+        for p in self.parts:
+            out.update(p.keys())
+        return sorted(out)
+
+    def keys_prefix(self, prefix: str) -> List[str]:
+        out: Set[str] = set()
+        for p in self.parts:
+            out.update(p.keys_prefix(prefix))
+        return sorted(out)
+
+    def keys_fuzzy(
+        self, term: str, fuzziness: int, prefix_len: int = 0
+    ) -> List[str]:
+        out: Set[str] = set()
+        for p in self.parts:
+            out.update(p.keys_fuzzy(term, fuzziness, prefix_len))
+        return sorted(out)
+
+    def keys_regexp(self, pattern: str) -> List[str]:
+        out: Set[str] = set()
+        for p in self.parts:
+            out.update(p.keys_regexp(pattern))
+        return sorted(out)
+
+    def __len__(self) -> int:
+        return len(self.keys())
+
+
 def thesaurus_for(mapping, field: str):
     """Resolve the thesaurus for a field: a per-field synonym source
     (index-time thesaurus segments, mapping/document.go:126

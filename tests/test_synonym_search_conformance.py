@@ -201,3 +201,86 @@ def test_synonym_search_conformance(syn_index, query, expect):
     res = syn_index.search({"query": query, "size": 30})
     got = sorted(h.id for h in res.hits)
     assert got == sorted(expect), f"{query} -> {got}"
+
+
+@pytest.fixture(scope="module")
+def syn_alias_members(ray_session, tmp_path_factory):
+    """The reference's alias variant (search_test.go:4392-4470): docs AND
+    synonym docs interleaved into member indexes (batches of 5 over the
+    shuffled combined id list), so each member holds a PARTIAL corpus and
+    a PARTIAL thesaurus."""
+    import random
+
+    root = tmp_path_factory.mktemp("synalias")
+    combined = sorted(DOCUMENTS) + sorted(SYNONYM_DOCUMENTS)
+    random.Random(42).shuffle(combined)
+    batches = [combined[i : i + 5] for i in range(0, len(combined), 5)]
+    members = []
+    for bi, batch in enumerate(batches):
+        doc_ids = [i for i in batch if i in DOCUMENTS]
+        syn_ids = [i for i in batch if i in SYNONYM_DOCUMENTS]
+        src = str(root / f"docs{bi}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, type=pa.string()),
+                    "text": pa.array([DOCUMENTS[i] for i in doc_ids]),
+                }
+            ),
+            src,
+        )
+        d = str(root / f"idx{bi}")
+        build_index(
+            [src],
+            d,
+            IndexOptions(
+                fields={"text": FieldConfig(analyzer="en", positions=True)},
+                doc_id_fields=["doc_id"],
+                num_shards=1,
+                bucket_bits=6,
+            ),
+        )
+        if syn_ids:
+            add_synonym_documents(
+                d,
+                "english",
+                [(i, SYNONYM_DOCUMENTS[i]) for i in syn_ids],
+                "en",
+            )
+        idx = Index.open(d)
+        idx.mapping.synonym_sources["text"] = "english"
+        members.append(idx)
+    return members
+
+
+@pytest.mark.parametrize(
+    "query,expect", TEST_QUERIES, ids=[f"q{i}" for i in range(len(TEST_QUERIES))]
+)
+def test_synonym_alias_conformance(syn_alias_members, query, expect):
+    """Alias synonym presearch: every member sees the UNION of all
+    members' partial thesauri, so alias hits == single-index hits."""
+    from bleve_ray.search.distributed import IndexAlias
+
+    alias = IndexAlias(syn_alias_members)
+    res = alias.search({"query": query, "size": 30})
+    got = sorted(h.id for h in res.hits)
+    assert got == sorted(expect), f"{query} -> {got}"
+
+
+def test_synonym_nested_alias_conformance(syn_alias_members):
+    """Two-level alias (alias of aliases) with the extra member attached
+    to the last inner alias, per the reference's multi-level variant."""
+    from bleve_ray.search.distributed import IndexAlias
+
+    members = syn_alias_members
+    inner = [
+        IndexAlias(members[i * 2 : i * 2 + 2])
+        for i in range(len(members) // 2)
+    ]
+    if len(members) % 2:
+        inner[-1].add(members[-1])
+    alias = IndexAlias(inner)
+    for query, expect in TEST_QUERIES:
+        res = alias.search({"query": query, "size": 30})
+        got = sorted(h.id for h in res.hits)
+        assert got == sorted(expect), f"{query} -> {got}"
