@@ -15,13 +15,21 @@ from __future__ import annotations
 def within_distance(
     a: str, b: str, k: int, transpositions: bool = True
 ) -> bool:
+    return bounded_distance(a, b, k, transpositions) <= k
+
+
+def bounded_distance(
+    a: str, b: str, k: int, transpositions: bool = True
+) -> int:
+    """Edit distance when <= k, else k+1 (used for the fuzzy
+    per-candidate boost 1/(distance+1), search_multi_term.go:193-194)."""
     if a == b:
-        return True
+        return 0
     la, lb = len(a), len(b)
     if abs(la - lb) > k:
-        return False
+        return k + 1
     if k == 0:
-        return False
+        return k + 1
     # banded DP (optimal string alignment when transpositions=True)
     prev2 = None
     prev = list(range(lb + 1))
@@ -50,7 +58,7 @@ def within_distance(
             if d < best:
                 best = d
         if best > k:
-            return False
+            return k + 1
         prev2 = prev
         prev = cur
-    return prev[lb] <= k
+    return min(prev[lb], k + 1)

@@ -159,32 +159,42 @@ def _expand_phrase_slots(reader, mapping, field, phrase, fuzziness):
     a fuzzy expansion [prefix hardcoded 0], and the FieldTermSynonymMap
     adds synonyms of the term AND of fuzzy-matching thesaurus keys as
     acceptable terms at that position)."""
+    from .levenshtein import bounded_distance
     from .synonyms import thesaurus_for
 
     th = thesaurus_for(mapping, field)
     fuzzy_on = fuzziness not in (0, "0", None)
     if th is None and not fuzzy_on:
         return phrase
-    out: List[List[str]] = []
+    out: List[List[tuple]] = []
     for slot in phrase:
         terms = [t for t in slot if t != ""]
         if not terms:
             out.append(slot)
             continue
-        expanded: List[str] = []
+        # term -> max boost multiplier: the query term itself at 1,
+        # fuzzy candidates at 1/(distance+1) (makeBatchSearchersBoosted),
+        # synonym-derived terms at 1/2 (NewSynonymSearcher)
+        mult: dict = {}
+
+        def _add(t, m):
+            if m > mult.get(t, 0.0):
+                mult[t] = m
+
         for t in terms:
-            expanded.append(t)
+            _add(t, 1.0)
             fuzz = resolve_fuzziness(fuzziness, t) if fuzzy_on else 0
             if fuzz:
-                expanded.extend(
-                    _fuzzy_candidate_terms(reader, t, fuzz, 0, field)
-                )
+                for c in _fuzzy_candidate_terms(reader, t, fuzz, 0, field):
+                    _add(c, 1.0 / (bounded_distance(t, c, fuzz) + 1))
             if th is not None:
-                expanded.extend(th.synonyms_of(t))
+                for s in th.synonyms_of(t):
+                    _add(s, 0.5)
                 if fuzz:
                     for k in th.keys_fuzzy(t, fuzz, 0):
-                        expanded.extend(th.synonyms_of(k))
-        out.append(sorted(set(expanded)))
+                        for s in th.synonyms_of(k):
+                            _add(s, 0.5)
+        out.append(sorted(mult.items()))
     return out
 
 
@@ -430,8 +440,18 @@ class FuzzyQuery(Query):
         cands = _fuzzy_candidate_terms(
             reader, self.term, fuzz, self.prefix_length, field
         )
+        from .levenshtein import bounded_distance
+
+        dists = [bounded_distance(self.term, t, fuzz) for t in cands]
         base = (
-            MultiTermSearcher(reader, cands, field, self.boost, options)
+            MultiTermSearcher(
+                reader,
+                cands,
+                field,
+                self.boost,
+                options,
+                edit_distances=dists,
+            )
             if cands
             else None
         )

@@ -648,27 +648,45 @@ class PhraseSearcher(Searcher):
     def __init__(self, reader, phrase: List[List[str]], field: str, boost: float, options):
         self.reader = reader
         self.field = field
-        # slot offsets of non-empty slots; empty slots ([]) are gaps
+        # slot offsets of non-empty slots; empty slots ([]) are gaps.
+        # Slot entries are terms or (term, boost_multiplier) pairs --
+        # fuzzy/synonym phrase expansion weights candidates like the
+        # reference (1/(editDistance+1), synonyms at 1/2)
         self.slots: List[List[str]] = []
+        boosts: List[List[float]] = []
         self.offsets: List[int] = []
         for i, slot in enumerate(phrase):
-            terms = [t for t in slot if t != ""]
+            terms = []
+            mults = []
+            for t in slot:
+                if isinstance(t, tuple):
+                    t, m = t
+                else:
+                    m = 1.0
+                if t != "":
+                    terms.append(t)
+                    mults.append(m)
             if terms:
                 self.slots.append(terms)
+                boosts.append(mults)
                 self.offsets.append(i)
         child_opts = options.with_positions()
         children: List[Searcher] = []
-        for terms in self.slots:
+        for terms, mults in zip(self.slots, boosts):
             if len(terms) == 1:
                 children.append(
-                    TermSearcher(reader, terms[0], field, boost, child_opts)
+                    TermSearcher(
+                        reader, terms[0], field, boost * mults[0], child_opts
+                    )
                 )
             else:
                 children.append(
                     DisjunctionSearcher(
                         [
-                            TermSearcher(reader, t, field, boost, child_opts)
-                            for t in terms
+                            TermSearcher(
+                                reader, t, field, boost * m, child_opts
+                            )
+                            for t, m in zip(terms, mults)
                         ],
                         min_match=1,
                     )
@@ -791,10 +809,29 @@ class DocIDSearcher(Searcher):
 
 class MultiTermSearcher(DisjunctionSearcher):
     """search_multi_term.go: disjunction over a term list (prefix/regexp/
-    fuzzy/range expansions), min=0."""
+    fuzzy/range expansions), min=0.  ``edit_distances`` applies the fuzzy
+    per-candidate boost 1/(distance+1) (makeBatchSearchersBoosted,
+    search_multi_term.go:179-203)."""
 
-    def __init__(self, reader, terms: Sequence[str], field: str, boost: float, options):
-        super().__init__(
-            [TermSearcher(reader, t, field, boost, options) for t in terms],
-            min_match=0,
-        )
+    def __init__(
+        self,
+        reader,
+        terms: Sequence[str],
+        field: str,
+        boost: float,
+        options,
+        edit_distances: Optional[Sequence[int]] = None,
+    ):
+        if edit_distances is None:
+            children = [
+                TermSearcher(reader, t, field, boost, options)
+                for t in terms
+            ]
+        else:
+            children = [
+                TermSearcher(
+                    reader, t, field, boost / (d + 1), options
+                )
+                for t, d in zip(terms, edit_distances)
+            ]
+        super().__init__(children, min_match=0)

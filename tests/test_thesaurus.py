@@ -172,6 +172,36 @@ def test_thesaurus_key_prefix_fuzzy_regexp(built):
     assert rx.total_hits == direct.total_hits
 
 
+def test_thesaurus_term_reader_vectors(built):
+    """Port of TestThesaurusTermReader (search_test.go:3809-3996):
+    exact synonyms-per-term expectations over four definitions with the
+    simple analyzer."""
+    src = "ttr-english"
+    defs = [
+        ("synDoc1", {"synonyms": ["quick", "fast", "speedy"]}),
+        ("synDoc2", {"input": ["color", "colour"],
+                     "synonyms": ["red", "green", "blue", "yellow", "brown"]}),
+        ("synDoc3", {"input": ["animal", "creature"],
+                     "synonyms": ["fox", "wolf", "cat", "dog", "rabbit"]}),
+        ("synDoc4", {"synonyms": ["eats", "jumps", "runs", "barks", "hops"]}),
+    ]
+    add_synonym_documents(built, src, defs, "simple")
+    r = ThesaurusReader(built, manifest_mod.load(built), src)
+    vectors = [
+        ("quick", ["fast", "speedy"]),
+        ("red", []),
+        ("color", ["red", "green", "blue", "yellow", "brown"]),
+        ("colour", ["red", "green", "blue", "yellow", "brown"]),
+        ("animal", ["fox", "wolf", "cat", "dog", "rabbit"]),
+        ("creature", ["fox", "wolf", "cat", "dog", "rabbit"]),
+        ("fox", []),
+        ("eats", ["jumps", "runs", "barks", "hops"]),
+        ("jumps", ["eats", "runs", "barks", "hops"]),
+    ]
+    for term, want in vectors:
+        assert r.synonyms_of(term) == sorted(want), term
+
+
 def test_copy_to_carries_thesaurus(built, tmp_path):
     from bleve_ray.index.manifest import copy_to
 
