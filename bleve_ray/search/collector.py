@@ -62,6 +62,8 @@ class Hit:
     fields: Optional[Dict] = None
     fragments: Optional[Dict] = None
     expl: Optional[Dict] = None  # explanation tree ("explain": true)
+    # clause index -> pre-coord score (DisjunctionQuery score breakdown)
+    score_breakdown: Optional[Dict] = None
     locations: Optional[Dict] = None  # {field:{term:[{pos,start,end}]}}
 
 
@@ -93,6 +95,8 @@ class SearchResult:
                 hd["explanation"] = h.expl
             if h.locations is not None:
                 hd["locations"] = h.locations
+            if h.score_breakdown is not None:
+                hd["score_breakdown"] = h.score_breakdown
             d["hits"].append(hd)
         if self.facets is not None:
             d["facets"] = self.facets
@@ -884,6 +888,14 @@ class Index:
             # scores are unchanged)
             for h in result.hits:
                 h.expl = searcher.explain(int(h.docnum), h.id)
+        if getattr(searcher, "retrieve_score_breakdown", False):
+            # DisjunctionQuery.RetrieveScoreBreakdown (search.go:172
+            # DocumentMatch.ScoreBreakdown): clause index -> that
+            # clause's pre-coord score contribution
+            for h in result.hits:
+                h.score_breakdown = searcher.score_breakdown(
+                    int(h.docnum)
+                )
         if request.get("includeLocations"):
             for h in result.hits:
                 h.locations = searcher.locations(int(h.docnum))

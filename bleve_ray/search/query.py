@@ -630,10 +630,16 @@ class DisjunctionQuery(Query):
     disjuncts: Sequence[Query] = ()
     min: int = 0
     boost: float = 1.0
+    # RetrieveScoreBreakdown (disjunction.go): per-hit clause-index ->
+    # score map on the DocumentMatch
+    retrieve_score_breakdown: bool = False
 
     def searcher(self, reader, mapping, options):
         children = [q.searcher(reader, mapping, options) for q in self.disjuncts]
-        return DisjunctionSearcher(children, min_match=self.min)
+        s = DisjunctionSearcher(children, min_match=self.min)
+        if self.retrieve_score_breakdown:
+            s.retrieve_score_breakdown = True
+        return s
 
 
 @dataclass
@@ -756,6 +762,9 @@ def parse_query(d: Dict) -> Query:
     if "disjuncts" in d:
         return DisjunctionQuery(
             [parse_query(c) for c in d["disjuncts"]],
+            retrieve_score_breakdown=bool(
+                d.get("retrieve_score_breakdown")
+            ),
             min=d.get("min", 0),
             boost=boost,
         )

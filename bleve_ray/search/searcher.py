@@ -360,6 +360,17 @@ class DisjunctionSearcher(Searcher):
             [raw, Explanation(coord, f"coord({len(kids)}/{total})")],
         )
 
+    def score_breakdown(self, docnum: int) -> dict:
+        """Clause index -> that clause's (pre-coord) score at docnum
+        (DocumentMatch.ScoreBreakdown, search.go:172; populated by the
+        disjunction slice/heap searchers when RetrieveScoreBreakdown)."""
+        out = {}
+        for i, c in enumerate(self.children):
+            e = c.explain(docnum)
+            if e is not None:
+                out[i] = e["value"]
+        return out
+
     def locations(self, docnum: int):
         return _merge_locations(c.locations(docnum) for c in self.children)
 
