@@ -354,11 +354,15 @@ class DisjunctionSearcher(Searcher):
         total = len(self.children)
         raw = Explanation(sum(k["value"] for k in kids), "sum of:", kids)
         coord = len(kids) / float(total)
-        return Explanation(
+        out = Explanation(
             raw["value"] * coord,
             "product of:",
             [raw, Explanation(coord, f"coord({len(kids)}/{total})")],
         )
+        # search.Explanation.PartialMatch (search/search.go): a
+        # disjunction hit that satisfied fewer than all clauses
+        out["partial_match"] = len(kids) < total
+        return out
 
     def score_breakdown(self, docnum: int) -> dict:
         """Clause index -> that clause's (pre-coord) score at docnum

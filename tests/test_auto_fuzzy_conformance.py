@@ -110,3 +110,53 @@ def test_auto_fuzzy_conformance(fuzzy_index, query, expect):
     )
     got = [h.id for h in res.hits]
     assert got == expect, f"{query} -> {got}"
+
+
+def test_match_query_partial_match_flag(ray_session, tmp_path_factory):
+    """Port of TestMatchQueryPartialMatch (search_test.go:1263-1420):
+    the root explanation carries partial_match = matched fewer than all
+    disjunct clauses; full matches carry False."""
+    root = tmp_path_factory.mktemp("partial")
+    src = str(root / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["doc1", "doc2"]),
+                "description": pa.array(
+                    [
+                        "Patrick is first name Stewart is last name",
+                        "Manager given name is Patrick",
+                    ]
+                ),
+            }
+        ),
+        src,
+    )
+    d = str(root / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={"description": FieldConfig(analyzer="standard",
+                                               positions=True)},
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=6,
+        ),
+    )
+    idx = Index.open(d)
+
+    def partials(query):
+        res = idx.search({"query": query, "size": 10, "explain": True})
+        return {h.id: h.expl.get("partial_match") for h in res.hits}
+
+    # 1: doc1 full (both terms), doc2 partial (only 'patrick')
+    p = partials({"match": "patrick stewart", "field": "description"})
+    assert p == {"doc1": False, "doc2": True}
+    # 2: fuzzy 2 -- doc1 partial, doc2 full
+    p = partials({"match": "paltric manner", "field": "description",
+                  "fuzziness": 2})
+    assert p == {"doc1": True, "doc2": False}
+    # 3: single term -- both full
+    p = partials({"match": "patrick", "field": "description"})
+    assert p == {"doc1": False, "doc2": False}
