@@ -245,6 +245,23 @@ def _numeric_tokens(
 
     typ = col.type
     n_rows = len(col)
+    if _pa.types.is_list(typ) or _pa.types.is_large_list(typ):
+        # multi-valued numeric field ("tags": [1,2,3] -- the reference
+        # indexes each array element as its own numeric field value,
+        # mapping/document.go processProperty on arrays): flatten and
+        # map each value back to its parent row
+        arr = col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
+        counts = np.asarray(
+            pc.fill_null(pc.list_value_length(arr), 0), dtype=np.int64
+        )
+        parent = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        flat = pc.list_flatten(arr)
+        vt, vd, vp, _vf = _numeric_tokens(
+            _pa.chunked_array([flat]), field_type, datetime_parser
+        )
+        doc_idx = parent[vd]
+        field_len = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        return vt, doc_idx, vp, field_len
     if field_type == "datetime" and (
         _pa.types.is_string(typ) or _pa.types.is_large_string(typ)
     ):

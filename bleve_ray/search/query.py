@@ -645,11 +645,16 @@ class DisjunctionQuery(Query):
 @dataclass
 class BooleanQuery(Query):
     """boolean.go: must -> conjunction, should -> disjunction(minShould,
-    default 0 -- boolean.go:71-74), must_not -> disjunction."""
+    default 0 -- boolean.go:71-74), must_not -> disjunction, filter ->
+    score-neutral membership restriction (boolean.go:173-263: the filter
+    child runs with Score=none and wraps the result in a
+    FilteringSearcher, so scores equal the same query without the
+    filter)."""
 
     must: Optional[Query] = None
     should: Optional[Query] = None
     must_not: Optional[Query] = None
+    filter: Optional[Query] = None
     boost: float = 1.0
 
     def searcher(self, reader, mapping, options):
@@ -660,7 +665,31 @@ class BooleanQuery(Query):
             if self.must_not
             else None
         )
-        return BooleanSearcher(m, s, mn)
+        predicate = None
+        if self.filter is not None:
+            from dataclasses import replace as _dc_replace
+
+            fopts = _dc_replace(options, score="none")
+            fsearcher = self.filter.searcher(reader, mapping, fopts)
+            member = fsearcher.search().docnums
+
+            def predicate(docnums):
+                import numpy as _np
+
+                return _np.isin(docnums, member)
+
+        if m is None and s is None and mn is None:
+            if predicate is None:
+                return MatchNoneSearcher()
+            from .searcher import MatchAllSearcher
+
+            return FilteringSearcher(
+                MatchAllSearcher(reader, 1.0), predicate
+            )
+        bs = BooleanSearcher(m, s, mn)
+        if predicate is not None:
+            return FilteringSearcher(bs, predicate)
+        return bs
 
 
 @dataclass
@@ -768,7 +797,12 @@ def parse_query(d: Dict) -> Query:
             min=d.get("min", 0),
             boost=boost,
         )
-    if "must" in d or "should" in d or "must_not" in d:
+    if (
+        "must" in d
+        or "should" in d
+        or "must_not" in d
+        or "filter" in d
+    ):
         def _sub(key, min_default):
             v = d.get(key)
             if v is None:
@@ -776,7 +810,7 @@ def parse_query(d: Dict) -> Query:
             if isinstance(v, dict) and ("conjuncts" in v or "disjuncts" in v):
                 return parse_query(v)
             if isinstance(v, list):
-                if key == "must":
+                if key in ("must", "filter"):
                     return ConjunctionQuery([parse_query(c) for c in v])
                 return DisjunctionQuery(
                     [parse_query(c) for c in v], min=min_default
@@ -787,6 +821,7 @@ def parse_query(d: Dict) -> Query:
             must=_sub("must", 0),
             should=_sub("should", d.get("min_should", 0)),
             must_not=_sub("must_not", 0),
+            filter=_sub("filter", 0),
             boost=boost,
         )
     if "top_left" in d and "bottom_right" in d:
