@@ -342,11 +342,18 @@ class IndexReader:
         if cached is None:
             t = pq.read_table(path).sort_by("docnum")
             nums = np.asarray(t["docnum"], dtype=np.int64)
-            cols = {
-                c: np.asarray(t[c].to_pylist(), dtype=object)
-                for c in t.column_names
-                if c != "docnum"
-            }
+            cols = {}
+            for c in t.column_names:
+                if c == "docnum":
+                    continue
+                vals = t[c].to_pylist()
+                # 1-D object array ALWAYS: np.asarray on uniform-length
+                # list values (geo [lon,lat] pairs, embeddings) would
+                # silently build a 2-D array and break the fancy-index
+                # gather below
+                arr = np.empty(len(vals), dtype=object)
+                arr[:] = vals
+                cols[c] = arr
             cached = (nums, cols)
             self._dv_cache[path] = cached
         return cached
