@@ -347,10 +347,16 @@ class NumericRangeQuery(Query):
         return MultiTermSearcher(reader, terms, field, self.boost, options)
 
 
+_DT_MIN_NANOS = -(1 << 63)  # ~1677-09-21, time.Time UnixNano range
+_DT_MAX_NANOS = (1 << 63) - 1  # ~2262-04-11
+
+
 @dataclass
 class DateRangeQuery(Query):
     """document/field_datetime.go semantics: datetimes indexed as unix-nano
-    int64 trie terms; range query = NumericRangeQuery over nanos."""
+    int64 trie terms; range query = NumericRangeQuery over nanos.  A
+    ``date_time_parser`` names a registry parser for the query's OWN
+    start/end strings (date_range_string.go DateRangeStringQuery)."""
 
     start: Optional[str] = None
     end: Optional[str] = None
@@ -358,13 +364,50 @@ class DateRangeQuery(Query):
     inclusive_start: bool = True
     inclusive_end: bool = False
     boost: float = 1.0
+    date_time_parser: str = ""
+
+    def _bound_nanos(self, value, which: str) -> int:
+        if self.date_time_parser:
+            from ..analysis.datetime_parsers import resolve_datetime_parser
+
+            ns = resolve_datetime_parser(self.date_time_parser)(str(value))
+            if ns is None:
+                raise ValueError(
+                    "unable to parse datetime with any of the layouts, "
+                    f"date time parser name: {self.date_time_parser}"
+                )
+        else:
+            try:
+                ns = _parse_dt_nanos(value)
+            except (ValueError, OverflowError) as e:
+                raise ValueError(
+                    f"invalid/unsupported date range, {which}: {value}"
+                ) from e
+        if not (_DT_MIN_NANOS <= ns <= _DT_MAX_NANOS):
+            # beyond time.Time's UnixNano range (date_range.go validation)
+            raise ValueError(
+                f"invalid/unsupported date range, {which}: {value}"
+            )
+        return ns
 
     def searcher(self, reader, mapping, options):
         from ..index.numeric import range_bounds_from_floats, split_int64_range
 
         field = self.field or mapping.default_field
-        lo = _parse_dt_nanos(self.start) if self.start else -(1 << 63)
-        hi = _parse_dt_nanos(self.end) if self.end else (1 << 63) - 1
+        if self.start is None and self.end is None:
+            raise ValueError(
+                "date range query must specify at least one of start/end"
+            )
+        lo = (
+            self._bound_nanos(self.start, "start")
+            if self.start
+            else -(1 << 63)
+        )
+        hi = (
+            self._bound_nanos(self.end, "end")
+            if self.end
+            else (1 << 63) - 1
+        )
         if self.start and not self.inclusive_start:
             lo += 1
         if self.end and not self.inclusive_end:
@@ -893,6 +936,8 @@ def parse_query(d: Dict) -> Query:
             inclusive_start=d.get("inclusive_start", True),
             inclusive_end=d.get("inclusive_end", False),
             boost=boost,
+            date_time_parser=d.get("datetime_parser", "")
+            or d.get("date_time_parser", ""),
         )
     if "ids" in d:
         return DocIDQuery(d["ids"], boost=boost)
