@@ -140,6 +140,11 @@ class IndexOptions:
                     "analyzer": v.analyzer,
                     "positions": v.positions,
                     "field_type": v.field_type,
+                    **(
+                        {"datetime_parser": v.datetime_parser}
+                        if v.datetime_parser
+                        else {}
+                    ),
                 }
                 for k, v in self.fields.items()
             },
@@ -163,6 +168,7 @@ class IndexOptions:
                     analyzer=v.get("analyzer", "standard"),
                     positions=v.get("positions", True),
                     field_type=v.get("field_type", "text"),
+                    datetime_parser=v.get("datetime_parser"),
                 )
                 for k, v in d["fields"].items()
             },

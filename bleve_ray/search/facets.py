@@ -68,12 +68,41 @@ def _normalize_date_ranges(facet_requests: Dict[str, dict]) -> Dict[str, dict]:
         if "date_ranges" not in fr:
             out[name] = fr
             continue
-        parse = resolve_datetime_parser(fr.get("datetime_parser", "iso"))
         nranges = []
         for r in fr["date_ranges"]:
-            lo = parse(r["start"]) if r.get("start") is not None else None
-            hi = parse(r["end"]) if r.get("end") is not None else None
-            nranges.append({"name": r.get("name"), "lo": lo, "hi": hi,
+            # per-range parser override (AddDateTimeRangeStringWithParser,
+            # search.go dateTimeRange) falling back to the facet-level
+            # parser, then the reference's default QueryDateTimeParser
+            pname = (
+                r.get("datetime_parser")
+                or fr.get("datetime_parser")
+                or "dateTimeOptional"
+            )
+            parse = resolve_datetime_parser(pname)
+            rname = r.get("name")
+            if r.get("start") is None and r.get("end") is None:
+                raise ValueError(
+                    "date range query must specify either start, end or "
+                    f"both for date range name '{rname}'"
+                )
+            lo = hi = None
+            for which in ("start", "end"):
+                v = r.get(which)
+                if v is None:
+                    continue
+                ns = parse(v)
+                if ns is None:
+                    raise ValueError(
+                        f"ParseDates err: error parsing {which} date "
+                        f"'{v}' for date range name '{rname}': unable to "
+                        "parse datetime with any of the layouts, using "
+                        f"date time parser named {pname}"
+                    )
+                if which == "start":
+                    lo = ns
+                else:
+                    hi = ns
+            nranges.append({"name": rname, "lo": lo, "hi": hi,
                             "start": r.get("start"), "end": r.get("end")})
         out[name] = {**fr, "_date_nanos_ranges": nranges}
     return out
@@ -97,10 +126,23 @@ def compute_facets(
     dv = reader.docvalues_for(docnums, fields)
     out = {}
     for name, fr in facet_requests.items():
+        fr = _attach_field_parser(reader, fr)
         values = dv[fr["field"]]
         partial = _partial_counts(fr, values)
         out[name] = _finalize_facet(fr, [partial])
     return out
+
+
+def _attach_field_parser(reader, fr: dict) -> dict:
+    """Date-range facets over a custom-format datetime FIELD must convert
+    the stored docvalue strings with the field's own index-time parser
+    (facet_builder_datetime.go reads the already-parsed index values; our
+    docvalues keep the original strings)."""
+    if "_date_nanos_ranges" not in fr or "_field_dt_parser" in fr:
+        return fr
+    fcfg = (reader.options.get("fields") or {}).get(fr["field"]) or {}
+    spec = fcfg.get("datetime_parser")
+    return {**fr, "_field_dt_parser": spec} if spec else fr
 
 
 def _partial_counts(fr: dict, values: List) -> dict:
@@ -119,7 +161,19 @@ def _partial_counts(fr: dict, values: List) -> dict:
             counts.append(int(np.count_nonzero((arr >= lo) & (arr < hi))))
         return {"missing": missing, "n": len(values), "ranges": counts}
     if "_date_nanos_ranges" in fr:
-        arr = np.array([_value_nanos(v) for v in values], dtype=np.float64)
+        conv = _value_nanos
+        if fr.get("_field_dt_parser"):
+            from ..analysis.datetime_parsers import resolve_datetime_parser
+
+            fparse = resolve_datetime_parser(fr["_field_dt_parser"])
+
+            def conv(v):
+                if isinstance(v, str):
+                    ns = fparse(v)
+                    return np.nan if ns is None else float(ns)
+                return _value_nanos(v)
+
+        arr = np.array([conv(v) for v in values], dtype=np.float64)
         missing = int(np.isnan(arr).sum())
         counts = []
         for r in fr["_date_nanos_ranges"]:
@@ -238,7 +292,10 @@ def _compute_facets_distributed(
     fields = sorted({fr["field"] for fr in facet_requests.values()})
     files = reader._dv_files()
     sorted_dn = np.sort(docnums)
-    reqs = dict(facet_requests)
+    reqs = {
+        name: _attach_field_parser(reader, fr)
+        for name, fr in facet_requests.items()
+    }
 
     @ray.remote
     def _facet_task(path: str, dn_slice: np.ndarray) -> Dict[str, dict]:

@@ -123,3 +123,66 @@ def test_date_range_string_errors(date_index, q, msg):
     with pytest.raises(ValueError, match=msg.replace("/", "/").replace(
             "(", "\\(").replace(")", "\\)")):
         date_index.search({"query": q, "size": 10})
+
+
+DATE_FACET_CASES = [
+    # (start, end, parser, expected count)
+    ("2001-08-20 18:00:00", "2001-08-20 18:10:00", "", 2),
+    ("20/08/2001 6:00PM", "20/08/2001 6:10PM", "queryDT", 2),
+    ("20/08/2001 15:00:00", "2001/08/20 6:10PM", "customDT", 2),
+    (None, "2001/08/20 6:15PM", "customDT", 3),
+    ("20/08/2001 6:15PM", None, "queryDT", 2),
+]
+
+
+@pytest.mark.parametrize(
+    "start,end,parser,count", DATE_FACET_CASES,
+    ids=[f"f{i}" for i in range(len(DATE_FACET_CASES))],
+)
+def test_date_facet_custom_parser(date_index, start, end, parser, count):
+    """Port of TestDateRangeFacetQueriesWithCustomDateTimeParser
+    (search_test.go:2903-3125): per-range datetime_parser override with
+    the reference's dateTimeOptional default."""
+    rng = {"name": "test"}
+    if start is not None:
+        rng["start"] = start
+    if end is not None:
+        rng["end"] = end
+    if parser:
+        rng["datetime_parser"] = parser
+    res = date_index.search(
+        {
+            "query": {"match_all": {}},
+            "size": 0,
+            "facets": {
+                "dateFacet": {"field": "date", "size": 100,
+                              "date_ranges": [rng]}
+            },
+        }
+    )
+    terms = res.facets["dateFacet"]["date_ranges"]
+    assert terms[0]["count"] == count, terms
+
+
+@pytest.mark.parametrize(
+    "rng,msg",
+    [
+        ({"name": "test", "datetime_parser": "queryDT"},
+         "must specify either start, end or both"),
+        ({"name": "test", "start": "20/08/2001 6:15PM"},
+         "using date time parser named dateTimeOptional"),
+    ],
+    ids=["no-bounds", "default-parser-reject"],
+)
+def test_date_facet_errors(date_index, rng, msg):
+    with pytest.raises(ValueError, match=msg):
+        date_index.search(
+            {
+                "query": {"match_all": {}},
+                "size": 0,
+                "facets": {
+                    "dateFacet": {"field": "date", "size": 100,
+                                  "date_ranges": [rng]}
+                },
+            }
+        )
