@@ -67,6 +67,12 @@ def _make_unix(scale: int):
     def parse(v) -> Optional[int]:
         if v is None:
             return None
+        # exact integer path first: float would lose precision above
+        # 2^53 (nanosecond timestamps are ~10^18)
+        try:
+            return int(v) * scale
+        except (TypeError, ValueError):
+            pass
         try:
             return int(float(v) * scale)
         except (TypeError, ValueError):
@@ -95,6 +101,7 @@ register_datetime_parser("unix_nano", _make_unix(1))
 # DateTimeParserConstructor config.  dateTimeOptional ships ready-made.
 from .go_layout import (  # noqa: E402
     make_go_flexible_parser,
+    make_isostyle_parser,
     make_optional_parser,
     make_percent_parser,
     make_sanitized_parser,
@@ -121,6 +128,12 @@ def register_sanitized_parser(name: str, layouts: List[str]) -> None:
     register_datetime_parser(name, make_sanitized_parser(layouts))
 
 
+def register_isostyle_parser(name: str, layouts: List[str]) -> None:
+    """Register an isostyle instance (iso.go Name='isostyle' +
+    ISO/java-DateTimeFormatter layouts config)."""
+    register_datetime_parser(name, make_isostyle_parser(layouts))
+
+
 def resolve_datetime_parser(spec: str):
     """Resolve a parser SPEC that travels inside serialized options to Ray
     workers (a driver-side register_* call never reaches worker
@@ -129,6 +142,7 @@ def resolve_datetime_parser(spec: str):
     - a registered name ("iso", "flexible", "dateTimeOptional", ...)
     - "percent:FMT[|FMT...]"   -> percentstyle instance
     - "golayout:LAYOUT[|...]"  -> sanitizedgo instance (validated)
+    - "isostyle:LAYOUT[|...]"  -> isostyle instance (java-ish layouts)
     - "strptime:LAYOUT[|...]"  -> flexible strptime instance
     """
     if ":" in spec:
@@ -138,6 +152,8 @@ def resolve_datetime_parser(spec: str):
             return make_percent_parser(formats)
         if kind == "golayout":
             return make_sanitized_parser(formats)
+        if kind == "isostyle":
+            return make_isostyle_parser(formats)
         if kind == "strptime":
             return make_flexible_parser(formats)
         raise KeyError(f"unknown datetime parser spec kind: {kind}")

@@ -323,6 +323,109 @@ def make_percent_parser(format_strings: List[str]):
     )
 
 
+# --- isostyle: java-DateTimeFormatter-ish layouts -> Go layout -------------
+# (reference analysis/datetime/iso/iso.go:43-226)
+
+_ISO_ELEMENTS: Dict[str, Dict[int, str]] = {
+    "M": {4: "January", 3: "Jan", 2: "01", 1: "1"},
+    "d": {2: "02", 1: "2"},
+    "a": {2: "pm", 1: "PM"},
+    "H": {2: "15", 1: "15"},
+    "m": {2: "04", 1: "4"},
+    "s": {2: "05", 1: "5"},
+    "X": {5: "Z07:00:00", 4: "Z070000", 3: "Z07:00", 2: "Z0700", 1: "Z07"},
+    "x": {5: "-07:00:00", 4: "-070000", 3: "-07:00", 2: "-0700", 1: "-07"},
+}
+
+
+def iso_layout_to_go(layout: str) -> str:
+    """ISO-style layout string -> Go layout (iso.go:124-226
+    parseISOString): quoted sections are literals, letter runs map per
+    the element table, unknown specifiers raise."""
+    out: List[str] = []
+    i, n = 0, len(layout)
+    while i < n:
+        ch = layout[i]
+        if ch == "'":
+            if i + 1 < n and layout[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            j = i + 1
+            while j < n and layout[j] != "'":
+                out.append(layout[j])
+                j += 1
+            if j == n:
+                raise ValueError(
+                    "invalid format string, expected text literal "
+                    "delimiter: '"
+                )
+            i = j + 1
+            continue
+        if ch.isalpha() and ch.isascii():
+            count = 1
+            while i + count < n and layout[i + count] == ch:
+                count += 1
+            mapped = _ISO_ELEMENTS.get(ch, {}).get(count)
+            if mapped is not None:
+                out.append(mapped)
+            elif ch in ("y", "u", "Y"):
+                out.append("06" if count == 2 else "2006".rjust(count, "0"))
+            elif ch in ("h", "K"):
+                if count == 2:
+                    out.append("03")
+                elif count == 1:
+                    out.append("3")
+                else:
+                    raise ValueError(
+                        "invalid format string, unknown format "
+                        f"specifier: {ch * count}"
+                    )
+            elif ch == "E":
+                if count == 4:
+                    out.append("Monday")
+                elif count <= 3:
+                    out.append("Mon")
+                else:
+                    raise ValueError(
+                        "invalid format string, unknown format "
+                        f"specifier: {ch * count}"
+                    )
+            elif ch == "S":
+                if count > 9:
+                    raise ValueError(
+                        "invalid format string, unknown format "
+                        f"specifier: {ch * count}"
+                    )
+                out.append("0" * count)
+            elif ch == "z":
+                if count < 5:
+                    out.append("MST")
+                else:
+                    raise ValueError(
+                        "invalid format string, unknown format "
+                        f"specifier: {ch * count}"
+                    )
+            else:
+                raise ValueError(
+                    "invalid format string, unknown format "
+                    f"specifier: {ch * count}"
+                )
+            i += count
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def make_isostyle_parser(layouts: List[str]):
+    """isostyle (iso.go Name='isostyle'): each ISO layout converts to a
+    Go layout up front."""
+    return make_go_flexible_parser(
+        [iso_layout_to_go(la) for la in layouts]
+    )
+
+
 def make_sanitized_parser(layouts: List[str]):
     """sanitizedgo: layouts validated against the magic-token set."""
     for la in layouts:

@@ -424,18 +424,27 @@ class DateRangeQuery(Query):
 
 def _parse_dt_nanos(s) -> int:
     import datetime as _dt
+    import re as _re
 
     if isinstance(s, (int, float)):
         return int(s)
-    d = _dt.datetime.fromisoformat(str(s).replace("Z", "+00:00"))
+    txt = str(s).replace("Z", "+00:00")
+    # fromisoformat keeps only microseconds; peel the fraction off and
+    # account for all 9 nano digits exactly
+    frac_ns = 0
+    m = _re.search(r"\.(\d+)", txt)
+    if m:
+        frac_ns = int(m.group(1).ljust(9, "0")[:9])
+        txt = txt[: m.start()] + txt[m.end():]
+    d = _dt.datetime.fromisoformat(txt)
     if d.tzinfo is None:
         d = d.replace(tzinfo=_dt.timezone.utc)
     # exact integer arithmetic (reference indexes exact UnixNano); float
     # d.timestamp() can lose a microsecond to rounding at boundaries
     epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
     delta = d - epoch
-    whole_us = (delta.days * 86400 + delta.seconds) * 1_000_000
-    return (whole_us + delta.microseconds) * 1000
+    whole_s = delta.days * 86400 + delta.seconds
+    return whole_s * 1_000_000_000 + frac_ns
 
 
 def resolve_fuzziness(fuzz, term: str) -> int:
