@@ -48,7 +48,13 @@ def _merge_locations(dicts):
         for f, terms in d.items():
             tgt = out.setdefault(f, {})
             for t, locs in terms.items():
-                tgt.setdefault(t, []).extend(locs)
+                cur = tgt.setdefault(t, [])
+                for loc in locs:
+                    # dedupe identical locations from overlapping
+                    # branches (reference issue 1168: disjunction of the
+                    # same term must not double its locations)
+                    if loc not in cur:
+                        cur.append(loc)
     return out or None
 
 

@@ -1,0 +1,178 @@
+"""Small reference golden-vector ports:
+- TestIPRangeQuery (search_test.go:2244-2286)
+- TestGeoShapePolygonContainsPoint (:2288-2452)
+- TestDuplicateLocationsIssue1168 (:1559-1597)
+- TestBooleanMustSingleMatchNone / MustNotSingleMatchNone (:1599-1745)
+- TestSearchScoreNone (:1875-1922)
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bleve_ray.index import FieldConfig, IndexOptions, build_index
+from bleve_ray.search import Index
+
+
+def _mk(tmp, cols, fields, **opts):
+    src = str(tmp / "d.parquet")
+    pq.write_table(pa.table(cols), src)
+    d = str(tmp / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(fields=fields, doc_id_fields=["doc_id"],
+                     num_shards=1, bucket_bits=6, **opts),
+    )
+    return Index.open(d)
+
+
+def test_ip_range_query(ray_session, tmp_path_factory):
+    idx = _mk(
+        tmp_path_factory.mktemp("ipq"),
+        {"doc_id": pa.array(["doc"]),
+         "ip_content": pa.array(["192.168.10.11"])},
+        {"ip_content": FieldConfig(field_type="ip", positions=False)},
+    )
+    res = idx.search(
+        {"query": {"cidr": "192.168.10.0/24", "field": "ip_content"},
+         "size": 10}
+    )
+    assert [h.id for h in res.hits] == ["doc"]
+
+
+POLY1 = {
+    "type": "Polygon",
+    "coordinates": [[
+        [4.8089, 46.9307], [4.8223, 46.8915], [4.8149, 46.886],
+        [4.8252, 46.8647], [4.8305, 46.8531], [4.8506, 46.8509],
+        [4.8574, 46.8621], [4.8576, 46.8769], [4.8753, 46.8774],
+        [4.8909, 46.8519], [4.8837, 46.8485], [4.9014, 46.8318],
+        [4.9067, 46.8179], [4.8986, 46.8122], [4.9081, 46.7969],
+        [4.9535, 46.8254], [4.9577, 46.8053], [5.0201, 46.821],
+        [5.0357, 46.8207], [5.0656, 46.8434], [5.0955, 46.8411],
+        [5.1149, 46.8435], [5.1259, 46.8395], [5.1433, 46.8463],
+        [5.1415, 46.8589], [5.1533, 46.873], [5.138, 46.8843],
+        [5.1525, 46.9012], [5.1485, 46.9165], [5.1582, 46.926],
+        [5.1882, 46.9251], [5.2039, 46.9129], [5.2223, 46.9175],
+        [5.2168, 46.926], [5.2338, 46.9316], [5.228, 46.9505],
+        [5.2078, 46.9722], [5.2117, 46.98], [5.1961, 46.9783],
+        [5.1663, 46.9638], [5.1213, 46.9634], [5.1086, 46.9596],
+        [5.0729, 46.9604], [5.0731, 46.9668], [5.0493, 46.9817],
+        [5.0034, 46.9722], [4.9852, 46.9585], [4.9479, 46.9664],
+        [4.8943, 46.9663], [4.8937, 46.951], [4.8534, 46.9458],
+        [4.8089, 46.9307],
+    ]],
+}
+POLY2 = {
+    "type": "Polygon",
+    "coordinates": [[
+        [2.2266, 48.7816], [2.2266, 48.7761], [2.2288, 48.7745],
+        [2.2717, 48.7905], [2.2799, 48.8109], [2.3013, 48.8251],
+        [2.2894, 48.8283], [2.2726, 48.8144], [2.2518, 48.8164],
+        [2.255, 48.8101], [2.2348, 48.7954], [2.2266, 48.7816],
+    ]],
+}
+
+
+def test_geoshape_polygon_contains_point(ray_session, tmp_path_factory):
+    import json
+
+    idx = _mk(
+        tmp_path_factory.mktemp("shapecontains"),
+        {"doc_id": pa.array(["doc1", "doc2"]),
+         "geometry": pa.array([json.dumps(POLY1), json.dumps(POLY2)])},
+        {"geometry": FieldConfig(field_type="geoshape", positions=False)},
+    )
+    for coords, expect in [
+        ([5, 46.9], ["doc1"]),
+        ([1.5, 48.2], []),
+    ]:
+        res = idx.search(
+            {
+                "query": {
+                    "geometry": {
+                        "shape": {"type": "Point", "coordinates": coords},
+                        "relation": "contains",
+                    },
+                    "field": "geometry",
+                },
+                "size": 10,
+                "score": "none",
+            }
+        )
+        assert sorted(h.id for h in res.hits) == expect, coords
+
+
+def test_duplicate_locations_issue_1168(ray_session, tmp_path_factory):
+    idx = _mk(
+        tmp_path_factory.mktemp("dup1168"),
+        {"doc_id": pa.array(["x"]), "name": pa.array(["marty"])},
+        {"name": FieldConfig(analyzer="keyword", positions=True)},
+        store_fields=["name"],
+    )
+    res = idx.search(
+        {
+            "query": {"disjuncts": [
+                {"term": "marty", "field": "name"},
+                {"term": "marty", "field": "name"},
+            ]},
+            "size": 10,
+            "includeLocations": True,
+        }
+    )
+    assert len(res.hits) == 1
+    locs = res.hits[0].locations["name"]["marty"]
+    assert len(locs) == 1, locs
+
+
+def test_boolean_must_single_match_none(ray_session, tmp_path_factory):
+    """boolean with a must that matches nothing yields no hits even when
+    should matches; must_not of match-none changes nothing."""
+    idx = _mk(
+        tmp_path_factory.mktemp("bmn"),
+        {"doc_id": pa.array(["doc1"]),
+         "field1": pa.array(["one two three"])},
+        {"field1": FieldConfig(analyzer="standard", positions=True)},
+    )
+    res = idx.search(
+        {
+            "query": {
+                "must": [{"term": "zzzabsent", "field": "field1"}],
+                "should": [{"term": "one", "field": "field1"}],
+            },
+            "size": 10,
+        }
+    )
+    assert res.total_hits == 0
+    res = idx.search(
+        {
+            "query": {
+                "must": [{"term": "one", "field": "field1"}],
+                "must_not": [{"term": "zzzabsent", "field": "field1"}],
+            },
+            "size": 10,
+        }
+    )
+    assert res.total_hits == 1
+
+
+def test_search_score_none(ray_session, tmp_path_factory):
+    """score:"none" returns hits with zero scores (search.go options
+    Score=none skips scoring entirely)."""
+    idx = _mk(
+        tmp_path_factory.mktemp("scorenone"),
+        {"doc_id": pa.array(["doc1", "doc2"]),
+         "country": pa.array(["united states", "united kingdom"])},
+        {"country": FieldConfig(analyzer="standard", positions=True)},
+    )
+    res = idx.search(
+        {"query": {"term": "united", "field": "country"},
+         "size": 10, "score": "none"}
+    )
+    assert res.total_hits == 2
+    assert all(h.score == 0.0 for h in res.hits)
+    scored = idx.search(
+        {"query": {"term": "united", "field": "country"}, "size": 10}
+    )
+    assert all(h.score > 0 for h in scored.hits)
