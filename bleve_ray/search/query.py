@@ -738,6 +738,11 @@ class BooleanQuery(Query):
             return FilteringSearcher(
                 MatchAllSearcher(reader, 1.0), predicate
             )
+        if m is None and s is None and mn is not None:
+            # only mustNot: start from MatchAll (boolean.go:249-255)
+            from .searcher import MatchAllSearcher
+
+            m = MatchAllSearcher(reader, 1.0)
         bs = BooleanSearcher(m, s, mn)
         if predicate is not None:
             return FilteringSearcher(bs, predicate)

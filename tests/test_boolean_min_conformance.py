@@ -72,3 +72,154 @@ def test_disjunction_min_propagation(ray_session, tmp_path_factory):
         {"query": {"disjuncts": [inner], "min": 1}, "size": 10}
     )
     assert res.total_hits == 0
+
+
+def test_nested_boolean_searchers(ray_session, tmp_path_factory):
+    """Port of TestNestedBooleanSearchers (search_test.go:617-737):
+    conjunction of boolean{must: conjunction[disjunction[match,match]]}
+    and boolean{must: conjunction[match]} over dotted struct paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.analysis.analyzers import make_custom_analyzer
+    from bleve_ray.analysis.token_filters import lowercase_filter
+    from bleve_ray.analysis.tokenizers import WhitespaceTokenizer
+    from bleve_ray.search import Index as _Index
+
+    make_custom_analyzer(
+        "ws_lower", WhitespaceTokenizer(), [lowercase_filter]
+    )
+    tmp = tmp_path_factory.mktemp("nestedbool")
+    n = 100
+    hostnames = [f"planner_hostname_{i % 5}" for i in range(n)]
+    regions = [f"planner_us-east-{i % 5}" for i in range(n)]
+    expected = sum(
+        1
+        for h, r in zip(hostnames, regions)
+        if h in ("planner_hostname_1", "planner_hostname_2")
+        and r == "planner_us-east-1"
+    )
+    src = str(tmp / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([str(i) for i in range(n)]),
+                "hostname": pa.array(hostnames),
+                "metadata": pa.array(
+                    [{"region": r} for r in regions],
+                    type=pa.struct([("region", pa.string())]),
+                ),
+            }
+        ),
+        src,
+    )
+    d = str(tmp / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={
+                "hostname": FieldConfig(analyzer="ws_lower",
+                                        positions=True),
+                "metadata.region": FieldConfig(analyzer="ws_lower",
+                                               positions=True),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=8,
+        ),
+    )
+    idx = _Index.open(d)
+    res = idx.search(
+        {
+            "query": {
+                "conjuncts": [
+                    {"must": {"conjuncts": [
+                        {"disjuncts": [
+                            {"match": "planner_hostname_1",
+                             "field": "hostname"},
+                            {"match": "planner_hostname_2",
+                             "field": "hostname"},
+                        ]}
+                    ]}},
+                    {"must": {"conjuncts": [
+                        {"match": "planner_us-east-1",
+                         "field": "metadata.region"}
+                    ]}},
+                ]
+            },
+            "size": 100,
+        }
+    )
+    assert expected == len(res.hits) == res.total_hits
+
+
+def test_multiple_nested_must_not_after_update(ray_session,
+                                               tmp_path_factory):
+    """Port of TestMultipleNestedBooleanMustNotSearchersOnScorch
+    (search_test.go:928-1070): must[ bool{must_not: type in [9,9]},
+    bool{must_not: hasRole=true} ] over a corpus where one doc was
+    UPDATED (re-indexed) -- exactly that doc survives both exclusions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.search import Index as _Index
+
+    tmp = tmp_path_factory.mktemp("mustnotupd")
+    ids = ["1-child-0",
+           "16d6fa37-48fd-4dea-8b3d-a52bddf73951",
+           "18fa9eb2-8b1f-46f0-8b56-b4c551213f78",
+           "3085855b-d74b-474a-86c3-9bf3e4504382",
+           "38ef5d28-0f85-4fb0-8a94-dd20751c3364"]
+    src = str(tmp / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "id": pa.array(ids),
+                "hasRole": pa.array([False] * 5),
+                "roles": pa.array(["R1", None, None, None, None]),
+                "type": pa.array([0.0, 9.0, 9.0, 9.0, 9.0]),
+            }
+        ),
+        src,
+    )
+    d = str(tmp / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={
+                "id": FieldConfig(analyzer="keyword", positions=False),
+                "hasRole": FieldConfig(field_type="boolean",
+                                       positions=False),
+                "roles": FieldConfig(analyzer="keyword", positions=False),
+                "type": FieldConfig(field_type="numeric",
+                                    positions=False),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=8,
+            index_id_field=True,
+        ),
+    )
+    idx = _Index.open(d)
+    # update the first doc: drop its roles value (re-index semantics)
+    idx.index("1-child-0", {"id": "1-child-0", "hasRole": False,
+                            "roles": None, "type": 0.0})
+    res = idx.search(
+        {
+            "query": {
+                "must": [
+                    {"must_not": [
+                        {"min": 9.0, "max": 9.0, "inclusive_min": True,
+                         "inclusive_max": True, "field": "type"}
+                    ]},
+                    {"must_not": [{"bool": True, "field": "hasRole"}]},
+                ]
+            },
+            "size": 100,
+        }
+    )
+    assert res.total_hits == 1
+    assert res.hits[0].id == "1-child-0"
