@@ -56,6 +56,37 @@ def _value_nanos(v) -> float:
     return np.nan
 
 
+def _validate_facet(fr: dict) -> None:
+    """FacetRequest.Validate (search.go): ranges must carry at least one
+    bound, names must be unique, and a facet is either numeric- or
+    date-ranged, never both."""
+    if "numeric_ranges" in fr and "date_ranges" in fr:
+        raise ValueError(
+            "facet can only contain numeric ranges or date ranges, "
+            "not both"
+        )
+    names: set = set()
+    for r in fr.get("numeric_ranges", []):
+        rname = r.get("name")
+        if rname in names:
+            raise ValueError(
+                f"numeric ranges contains duplicate name '{rname}'"
+            )
+        names.add(rname)
+        if r.get("min") is None and r.get("max") is None:
+            raise ValueError(
+                "numeric range query must specify either min, max or "
+                f"both for range name '{rname}'"
+            )
+    for r in fr.get("date_ranges", []):
+        rname = r.get("name")
+        if rname in names:
+            raise ValueError(
+                f"date ranges contains duplicate name '{rname}'"
+            )
+        names.add(rname)
+
+
 def _normalize_date_ranges(facet_requests: Dict[str, dict]) -> Dict[str, dict]:
     """Parse date_ranges start/end strings to nanos bounds once, before
     (possibly distributed) counting (reference search.go dateTimeRange.
@@ -65,6 +96,7 @@ def _normalize_date_ranges(facet_requests: Dict[str, dict]) -> Dict[str, dict]:
 
     out = {}
     for name, fr in facet_requests.items():
+        _validate_facet(fr)
         if "date_ranges" not in fr:
             out[name] = fr
             continue

@@ -176,3 +176,74 @@ def test_search_score_none(ray_session, tmp_path_factory):
         {"query": {"term": "united", "field": "country"}, "size": 10}
     )
     assert all(h.score > 0 for h in scored.hits)
+
+
+def test_sorted_faceted_query(ray_session, tmp_path_factory):
+    """Port of TestSortedFacetedQuery (search_test.go:64-142): facet
+    counts are computed over ALL matches even when the request also
+    sorts by a field."""
+    idx = _mk(
+        tmp_path_factory.mktemp("sortfacet"),
+        {"doc_id": pa.array(["1", "2", "3"]),
+         "country": pa.array(["india"] * 3),
+         "content": pa.array(["k", "l", "k"])},
+        {"country": FieldConfig(analyzer="en", positions=True),
+         "content": FieldConfig(analyzer="en", positions=True)},
+        docvalue_fields=["content"],
+    )
+    res = idx.search(
+        {
+            "query": {"match_phrase": "india", "field": "country"},
+            "size": 10,
+            "sort": [{"by": "field", "field": "content"}],
+            "facets": {"content_facet": {"field": "content", "size": 100}},
+        }
+    )
+    terms = {t["term"]: t["count"]
+             for t in res.facets["content_facet"]["terms"]}
+    assert terms == {"k": 2, "l": 1}
+
+
+def test_facet_request_validation(ray_session, tmp_path_factory):
+    """Port of TestFacetNumericDateRangeRequests (search_test.go:387-528):
+    range bounds required, unique names, and no mixing numeric with date
+    ranges in one facet."""
+    idx = _mk(
+        tmp_path_factory.mktemp("facetval"),
+        {"doc_id": pa.array(["1"]), "n": pa.array([5.0])},
+        {"n": FieldConfig(field_type="numeric", positions=False)},
+        docvalue_fields=["n"],
+    )
+
+    def run(facet):
+        return idx.search(
+            {"query": {"match_all": {}}, "size": 0,
+             "facets": {"f": facet}}
+        )
+
+    # successes
+    run({"field": "n", "size": 1,
+         "numeric_ranges": [{"name": "t", "min": 5.0, "max": 6.0}]})
+    run({"field": "n", "size": 1,
+         "numeric_ranges": [{"name": "t", "min": 5.0}]})
+    run({"field": "n", "size": 1,
+         "numeric_ranges": [{"name": "t", "max": 5.0}]})
+    # failures
+    with pytest.raises(ValueError, match="must specify either min, max"):
+        run({"field": "n", "size": 1,
+             "numeric_ranges": [{"name": "testName"}]})
+    with pytest.raises(ValueError,
+                       match="numeric ranges contains duplicate name"):
+        run({"field": "n", "size": 1,
+             "numeric_ranges": [{"name": "t", "min": 1.0},
+                                {"name": "t", "max": 2.0}]})
+    with pytest.raises(ValueError,
+                       match="date ranges contains duplicate name"):
+        run({"field": "n", "size": 1,
+             "date_ranges": [{"name": "t", "start": "2001-01-01"},
+                             {"name": "t", "end": "2002-01-01"}]})
+    with pytest.raises(ValueError,
+                       match="numeric ranges or date ranges, not both"):
+        run({"field": "n", "size": 1,
+             "numeric_ranges": [{"name": "a", "min": 1.0}],
+             "date_ranges": [{"name": "b", "start": "2001-01-01"}]})
