@@ -247,3 +247,66 @@ def test_facet_request_validation(ray_session, tmp_path_factory):
         run({"field": "n", "size": 1,
              "numeric_ranges": [{"name": "a", "min": 1.0}],
              "date_ranges": [{"name": "b", "start": "2001-01-01"}]})
+
+
+def test_highlighting_with_regexp_char_filter(ray_session,
+                                              tmp_path_factory):
+    """Port of TestSearchHighlightingWithRegexpReplacement
+    (search_test.go:1972-2035): a regexp char filter rewrites the text
+    before tokenizing on BOTH the index and query sides, so the match
+    still lands."""
+    from bleve_ray.analysis.analyzers import make_custom_analyzer
+    from bleve_ray.analysis.char_filters import make_regexp_char_filter
+    from bleve_ray.analysis.tokenizers import UnicodeTokenizer
+
+    make_custom_analyzer(
+        "regexp_replace",
+        UnicodeTokenizer(),
+        char_filters=[make_regexp_char_filter(r"([a-z])\s+(\d)",
+                                              r"ooooo\1-\2")],
+    )
+    idx = _mk(
+        tmp_path_factory.mktemp("rxhl"),
+        {"doc_id": pa.array(["doc"]), "status": pa.array(["fool 10"])},
+        {"status": FieldConfig(analyzer="regexp_replace",
+                               positions=True)},
+        store_fields=["status"],
+    )
+    res = idx.search(
+        {"query": {"match": "fool 10", "field": "status"},
+         "size": 10, "highlight": {"style": "ansi"}, "fields": ["*"]}
+    )
+    assert res.total_hits == 1
+
+
+def test_highlighting_with_html_char_filter(ray_session,
+                                            tmp_path_factory):
+    """Port of TestHightlightingWithHTMLCharacterFilter
+    (search_test.go:2166-2242): match inside HTML markup; the location's
+    byte offsets point into the ORIGINAL stored text."""
+    from bleve_ray.analysis.analyzers import make_custom_analyzer
+    from bleve_ray.analysis.char_filters import html_char_filter
+    from bleve_ray.analysis.tokenizers import UnicodeTokenizer
+
+    make_custom_analyzer(
+        "custom-html", UnicodeTokenizer(),
+        char_filters=[html_char_filter],
+    )
+    content = "<div> Welcome to blevesearch. </div>"
+    idx = _mk(
+        tmp_path_factory.mktemp("htmlhl"),
+        {"doc_id": pa.array(["doc"]), "content": pa.array([content])},
+        {"content": FieldConfig(analyzer="custom-html", positions=True)},
+        store_fields=["content"],
+    )
+    res = idx.search(
+        {"query": {"match": "blevesearch", "field": "content"},
+         "size": 10, "includeLocations": True, "fields": ["*"]}
+    )
+    assert len(res.hits) == 1
+    locs = res.hits[0].locations["content"]["blevesearch"]
+    assert len(locs) == 1
+    assert locs[0]["pos"] == 3
+    assert locs[0]["start"] == content.index("blevesearch")
+    assert locs[0]["end"] == (content.index("blevesearch")
+                              + len("blevesearch"))
