@@ -223,3 +223,66 @@ def test_multiple_nested_must_not_after_update(ray_session,
     )
     assert res.total_hits == 1
     assert res.hits[0].id == "1-child-0"
+
+
+def test_boolean_search_bug_1185(ray_session, tmp_path_factory):
+    """Port of TestBooleanSearchBug1185 (search_test.go:1746-1872):
+    conjunction(typeQ, bool{must_not: bool{must_not: regexp}}) must equal
+    boolean{must: typeQ, must_not: bool{must_not: regexp}} -- the classic
+    double-negation equivalence over docs with/without the owner field."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.search import Index as _Index
+
+    rows = [
+        ("17112", "marty", "A Demo Type"),
+        ("17139", None, "A Demo Type"),
+        ("177777", None, "x"),
+        ("177778", None, "A Demo Type"),
+        ("17140", None, "A Demo Type"),
+        ("17000", "marty", "x"),
+        ("17141", None, "A Demo Type"),
+        ("17428", "marty", "A Demo Type"),
+        ("17113", "marty", "x"),
+    ]
+    tmp = tmp_path_factory.mktemp("bug1185")
+    src = str(tmp / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "owner": pa.array([r[1] for r in rows]),
+                "type": pa.array([r[2] for r in rows]),
+            }
+        ),
+        src,
+    )
+    d = str(tmp / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={
+                "owner": FieldConfig(analyzer="keyword", positions=False),
+                "type": FieldConfig(analyzer="standard", positions=True),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=8,
+        ),
+    )
+    idx = _Index.open(d)
+    match_type = {"match_phrase": "A Demo Type", "field": "type"}
+    no_owner = {"must_not": [{"regexp": ".+", "field": "owner"}]}
+    not_no_owner = {"must_not": [no_owner]}
+    r1 = idx.search(
+        {"query": {"conjuncts": [match_type, not_no_owner]}, "size": 100}
+    )
+    r2 = idx.search(
+        {"query": {"must": [match_type], "must_not": [no_owner]},
+         "size": 100}
+    )
+    assert {h.id for h in r1.hits} == {h.id for h in r2.hits} == {
+        "17112", "17428"
+    }
