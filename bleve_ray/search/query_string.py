@@ -77,6 +77,14 @@ def parse_query_string(s: str) -> Query:
             head, _, rest = text.partition(":")
             if head and not head.startswith(("<", ">")):
                 field = head
+                if rest[:1] in ("-", "+", "~", "^", ":"):
+                    # the yacc grammar rejects operators right after the
+                    # field separator (query_string_parser_test.go
+                    # invalid set: field:-text, field:^text, ...)
+                    raise ValueError(
+                        f"query string parse error at {pos}: "
+                        f"unexpected {rest[0]!r} after field separator"
+                    )
                 if rest == "" and pos < len(s) and s[pos] == '"':
                     # field:"phrase..." -- the quote starts a new token
                     m2 = _TOKEN_RE.match(s, pos)
@@ -104,6 +112,25 @@ def parse_query_string(s: str) -> Query:
                 body = wm.group("body")
                 boost = float(wm.group("boost")) if wm.group("boost") else 1.0
                 fuzz = int(wm.group("fuzz")) if wm.group("fuzz") else 0
+                if not body:
+                    # bare boost/fuzz markers ("^", "^5", "~2") have no
+                    # term to modify
+                    raise ValueError(
+                        f"query string parse error at {pos}: modifier "
+                        f"without a term in {text!r}"
+                    )
+                if re.search(r"(?<!\\)[\^~]", body):
+                    # unescaped modifier chars not in suffix position
+                    # (lexer-reserved; the reference rejects cat^3\\: etc)
+                    raise ValueError(
+                        f"query string parse error at {pos}: unexpected "
+                        f"modifier inside {text!r}"
+                    )
+                if _number_overflows(body):
+                    raise ValueError(
+                        f"query string parse error at {pos}: numeric "
+                        "literal out of range"
+                    )
                 if "*" in body or "?" in body:
                     q = WildcardQuery(body, field=field, boost=boost)
                 elif fuzz:
@@ -179,6 +206,11 @@ def _range_clause(s: str, pos: int, text: str, field: str):
         num = float(operand)
     except ValueError:
         raise ValueError(f"invalid range operand: {operand!r}")
+    import math as _math
+
+    if _math.isinf(num):
+        # strconv.ParseFloat overflow is an error in the reference lexer
+        raise ValueError(f"numeric literal out of range: {operand!r}")
     if op == ">":
         return (
             NumericRangeQuery(
@@ -190,6 +222,19 @@ def _range_clause(s: str, pos: int, text: str, field: str):
         NumericRangeQuery(max=num, field=field, inclusive_max=inclusive),
         pos,
     )
+
+
+def _number_overflows(body: str) -> bool:
+    """A bare numeric literal too large for float64 is a lexer error in
+    the reference (strconv.ParseFloat overflow)."""
+    if not re.fullmatch(r"-?\d+(?:\.\d+)?", body):
+        return False
+    import math as _math
+
+    try:
+        return _math.isinf(float(body))
+    except ValueError:
+        return False
 
 
 def _push(q, mode, must, must_not, should):

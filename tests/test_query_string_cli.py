@@ -326,3 +326,25 @@ def test_query_string_ranges_phrases_boosts():
     assert q.boost == 3.0
     q = p("f:/re.*/")
     assert isinstance(q, RegexpQuery) and q.field == "f"
+
+
+def test_query_string_invalid_inputs_rejected():
+    """Port of TestQuerySyntaxParserInvalid
+    (query_string_parser_test.go:892-930): modifier-only terms,
+    operators after the field separator, unterminated phrases, stray
+    escapes after boost/fuzz, and float64-overflowing numeric literals
+    are parse errors."""
+    import pytest as _pytest
+
+    from bleve_ray.search.query_string import parse_query_string
+
+    big = "9" * 372
+    bad = ["^", "^5", "field:-text", "field:+text", "field:>text",
+           "field:>=text", "field:<text", "field:<=text", "field:~text",
+           "field:^text", "field::text", '"this is the time',
+           "cat^3\\:", "cat^3\\0", "cat~3\\:", "cat~3\\0",
+           big, f"field:{big}", f"field:>{big}", f"field:>={big}",
+           f"field:<{big}", f"field:<={big}"]
+    for s in bad:
+        with _pytest.raises(ValueError):
+            parse_query_string(s)
