@@ -77,10 +77,14 @@ def parse_query_string(s: str) -> Query:
             head, _, rest = text.partition(":")
             if head and not head.startswith(("<", ">")):
                 field = head
-                if rest[:1] in ("-", "+", "~", "^", ":"):
+                if rest[:1] in ("-", "+", "~", "^", ":") and not (
+                    rest[:1] == "-"
+                    and re.fullmatch(r"-\d+(?:\.\d+)?", rest)
+                ):
                     # the yacc grammar rejects operators right after the
                     # field separator (query_string_parser_test.go
-                    # invalid set: field:-text, field:^text, ...)
+                    # invalid set: field:-text, field:^text, ...) --
+                    # except a negative NUMBER, which is a valid term
                     raise ValueError(
                         f"query string parse error at {pos}: "
                         f"unexpected {rest[0]!r} after field separator"
@@ -136,6 +140,27 @@ def parse_query_string(s: str) -> Query:
                 elif fuzz:
                     q = FuzzyQuery(
                         body, field=field, fuzziness=fuzz, boost=boost
+                    )
+                elif re.fullmatch(r"-?\d+(?:\.\d+)?", body):
+                    # a numeric term is match OR exact numeric equality
+                    # (query_string.y tNUMBER production: disjunction of
+                    # MatchQuery and inclusive NumericRangeQuery)
+                    from .query import NumericRangeQuery
+
+                    num = float(body)
+                    q = DisjunctionQuery(
+                        [
+                            MatchQuery(body, field=field, boost=boost),
+                            NumericRangeQuery(
+                                min=num,
+                                max=num,
+                                field=field,
+                                inclusive_min=True,
+                                inclusive_max=True,
+                                boost=boost,
+                            ),
+                        ],
+                        min=1,
                     )
                 else:
                     q = MatchQuery(body, field=field, boost=boost)

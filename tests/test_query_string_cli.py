@@ -348,3 +348,27 @@ def test_query_string_invalid_inputs_rejected():
     for s in bad:
         with _pytest.raises(ValueError):
             parse_query_string(s)
+
+
+def test_query_string_numeric_terms():
+    """query_string.y tNUMBER production: a numeric term parses to
+    match-OR-exact-numeric-equality; negative numbers are valid right
+    after the field separator (query_string_parser_test.go:291-532)."""
+    from bleve_ray.search.query import (
+        DisjunctionQuery,
+        MatchQuery,
+        NumericRangeQuery,
+    )
+    from bleve_ray.search.query_string import parse_query_string
+
+    for s, field, num in [("33", "", 33.0), ("field:33", "field", 33.0),
+                          ("field:-5", "field", -5.0)]:
+        q = parse_query_string(s)
+        assert isinstance(q, DisjunctionQuery), s
+        mq, nq = q.disjuncts
+        assert isinstance(mq, MatchQuery) and isinstance(
+            nq, NumericRangeQuery
+        )
+        assert nq.min == nq.max == num
+        assert nq.inclusive_min and nq.inclusive_max
+        assert mq.field == nq.field == field
