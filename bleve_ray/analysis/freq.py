@@ -201,6 +201,38 @@ def analyze_batch(
     """
     is_arrow = isinstance(texts, (pa.Array, pa.ChunkedArray))
     n_docs = len(texts)
+    # multi-valued text field (array values; reference mapping/document.go
+    # processProperty indexes each array element as its own field value,
+    # positions restarting per element): flatten, analyze the flat
+    # values, remap to parent rows
+    if is_arrow and (
+        pa.types.is_list(texts.type) or pa.types.is_large_list(texts.type)
+    ):
+        arr = (
+            texts.combine_chunks()
+            if isinstance(texts, pa.ChunkedArray)
+            else texts
+        )
+        counts = np.asarray(
+            pc.fill_null(pc.list_value_length(arr), 0), dtype=np.int64
+        )
+        parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        terms, doc_idx, positions, _ = analyze_batch(
+            pc.list_flatten(arr), analyzer
+        )
+        doc_idx = parent[doc_idx]
+        field_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        return terms, doc_idx, positions, field_len
+    if not is_arrow and any(isinstance(t, (list, tuple)) for t in texts):
+        wrapped = [
+            list(t)
+            if isinstance(t, (list, tuple))
+            else ([] if t is None else [t])
+            for t in texts
+        ]
+        return analyze_batch(
+            pa.array(wrapped, type=pa.list_(pa.string())), analyzer
+        )
     if analyzer.fast_path and (analyzer.char_filters == () or not analyzer.char_filters):
         from .tokenizers import UnicodeTokenizer
 

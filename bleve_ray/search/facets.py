@@ -213,6 +213,17 @@ def _partial_counts(fr: dict, values: List) -> dict:
             hi = np.inf if r["hi"] is None else r["hi"]
             counts.append(int(np.count_nonzero((arr >= lo) & (arr < hi))))
         return {"missing": missing, "n": len(values), "ranges": counts}
+    if any(isinstance(v, (list, tuple)) for v in values):
+        # array-valued docvalues: each element counts once per doc
+        # (facet_builder_terms.go over multi-value fields)
+        missing = sum(1 for v in values if v is None)
+        counts2: Dict[str, int] = {}
+        for v in values:
+            if v is None:
+                continue
+            for e in v if isinstance(v, (list, tuple)) else (v,):
+                counts2[str(e)] = counts2.get(str(e), 0) + 1
+        return {"missing": missing, "n": len(values), "terms": counts2}
     try:
         arr = pa.array(values)
         missing = arr.null_count

@@ -310,3 +310,37 @@ def test_highlighting_with_html_char_filter(ray_session,
     assert locs[0]["start"] == content.index("blevesearch")
     assert locs[0]["end"] == (content.index("blevesearch")
                               + len("blevesearch"))
+
+
+def test_multivalue_text_field(ray_session, tmp_path_factory):
+    """Array text fields (TestDocumentFieldArrayPositions family,
+    index_test.go:1547+): each element indexes as its own field value
+    with positions restarting per element; term facets count each
+    element."""
+    idx = _mk(
+        tmp_path_factory.mktemp("mvtext"),
+        {"doc_id": pa.array(["1", "2"]),
+         "tags": pa.array([["alpha beta", "gamma"], ["delta", "gamma"]],
+                          type=pa.list_(pa.string()))},
+        {"tags": FieldConfig(analyzer="standard", positions=True)},
+        docvalue_fields=["tags"],
+    )
+    r = idx.search({"query": {"term": "gamma", "field": "tags"},
+                    "size": 10})
+    assert sorted(h.id for h in r.hits) == ["1", "2"]
+    r = idx.search({"query": {"term": "beta", "field": "tags"},
+                    "size": 10})
+    assert [h.id for h in r.hits] == ["1"]
+    # phrase within one element matches; positions restart per element
+    r = idx.search(
+        {"query": {"match_phrase": "alpha beta", "field": "tags"},
+         "size": 10}
+    )
+    assert [h.id for h in r.hits] == ["1"]
+    # facet counts each element
+    r = idx.search(
+        {"query": {"match_all": {}}, "size": 0,
+         "facets": {"t": {"field": "tags", "size": 10}}}
+    )
+    terms = {t["term"]: t["count"] for t in r.facets["t"]["terms"]}
+    assert terms == {"alpha beta": 1, "gamma": 2, "delta": 1}
