@@ -344,3 +344,23 @@ def test_multivalue_text_field(ray_session, tmp_path_factory):
     )
     terms = {t["term"]: t["count"] for t in r.facets["t"]["terms"]}
     assert terms == {"alpha beta": 1, "gamma": 2, "delta": 1}
+
+
+def test_keyword_search_bug_207(ray_session, tmp_path_factory):
+    """Port of TestKeywordSearchBug207 (index_test.go:1652-1744): keyword
+    terms that are near-substrings of each other stay distinct, via term
+    query AND query string."""
+    idx = _mk(
+        tmp_path_factory.mktemp("kw207"),
+        {"doc_id": pa.array(["a", "b"]),
+         "Body": pa.array(["a555c3bb06f7a127cda000005",
+                           "555c3bb06f7a127cda000005"])},
+        {"Body": FieldConfig(analyzer="keyword", positions=False)},
+    )
+    for term, expect in [("a555c3bb06f7a127cda000005", "a"),
+                         ("555c3bb06f7a127cda000005", "b")]:
+        r = idx.search({"query": {"term": term, "field": "Body"},
+                        "size": 10})
+        assert r.total_hits == 1 and r.hits[0].id == expect
+        r = idx.search({"query": {"query": f"Body:{term}"}, "size": 10})
+        assert r.total_hits == 1 and r.hits[0].id == expect, term
