@@ -364,3 +364,21 @@ def test_keyword_search_bug_207(ray_session, tmp_path_factory):
         assert r.total_hits == 1 and r.hits[0].id == expect
         r = idx.search({"query": {"query": f"Body:{term}"}, "size": 10})
         assert r.total_hits == 1 and r.hits[0].id == expect, term
+
+
+def test_search_over_empty_keyword(ray_session, tmp_path_factory):
+    """Port of TestSearchScorchOverEmptyKeyword (search_test.go:865-926):
+    empty keyword field values neither break the build nor the count;
+    wildcard over the default field still finds everything."""
+    idx = _mk(
+        tmp_path_factory.mktemp("emptykw"),
+        {"doc_id": pa.array([str(i) for i in range(10)]),
+         "name": pa.array([f"test{i}" for i in range(10)]),
+         "id": pa.array([""] * 10)},
+        {"name": FieldConfig(analyzer="standard", positions=True),
+         "id": FieldConfig(analyzer="keyword", positions=False)},
+    )
+    assert idx.doc_count() == 10
+    res = idx.search({"query": {"wildcard": "test*", "field": "name"},
+                      "size": 40})
+    assert res.total_hits == 10
