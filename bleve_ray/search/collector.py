@@ -673,6 +673,9 @@ class Index:
                 continue
             for f, terms in h.locations.items():
                 text = dv.get(f, [None] * len(hits))[j]
+                if isinstance(text, (list, tuple)):
+                    self._fill_multivalue_offsets(f, text, terms)
+                    continue
                 if not isinstance(text, str) or not text:
                     continue
                 key = (f, j)
@@ -695,6 +698,39 @@ class Index:
                         se = spans.get(loc.get("pos"))
                         if se is not None:
                             loc["start"], loc["end"] = se
+
+    def _fill_multivalue_offsets(self, f: str, values, terms) -> None:
+        """Array-field locations: positions restart per element, so each
+        occurrence of (term, pos) maps to the next element whose analyzed
+        token at that position IS the term; offsets are within that
+        element and array_positions identifies it (search/search.go
+        Location.ArrayPositions)."""
+        from ..analysis.analyzers import analyzer_named
+
+        try:
+            ana = analyzer_named(self.mapping.analyzer_for(f))
+            elem_spans = []
+            for v in values:
+                spans = {}
+                if isinstance(v, str) and v:
+                    for tok in ana.analyze(v):
+                        spans.setdefault(
+                            tok.position, (tok.term, tok.start, tok.end)
+                        )
+                elem_spans.append(spans)
+        except Exception:
+            return
+        for term, locs in terms.items():
+            cursor: Dict[int, int] = {}
+            for loc in locs:
+                p = loc.get("pos")
+                for ei in range(cursor.get(p, 0), len(elem_spans)):
+                    se = elem_spans[ei].get(p)
+                    if se is not None and se[0] == term:
+                        loc["start"], loc["end"] = se[1], se[2]
+                        loc["array_positions"] = [ei]
+                        cursor[p] = ei + 1
+                        break
 
     def _knn_filter_docnums(self, kr: dict, options):
         """kNN pre-filtering (search_knn.go KNNRequest.FilterQuery):

@@ -382,3 +382,27 @@ def test_search_over_empty_keyword(ray_session, tmp_path_factory):
     res = idx.search({"query": {"wildcard": "test*", "field": "name"},
                       "size": 40})
     assert res.total_hits == 10
+
+
+def test_multivalue_locations_array_positions(ray_session,
+                                              tmp_path_factory):
+    """Array-field locations carry array_positions and per-element byte
+    offsets (TestTermVectorArrayPositions family, index_test.go:1746+)."""
+    idx = _mk(
+        tmp_path_factory.mktemp("mvloc"),
+        {"doc_id": pa.array(["1"]),
+         "tags": pa.array([["alpha beta", "gamma beta"]],
+                          type=pa.list_(pa.string()))},
+        {"tags": FieldConfig(analyzer="standard", positions=True)},
+        docvalue_fields=["tags"],
+    )
+    r = idx.search({"query": {"term": "beta", "field": "tags"},
+                    "size": 10, "includeLocations": True})
+    locs = r.hits[0].locations["tags"]["beta"]
+    assert len(locs) == 2
+    assert locs[0]["array_positions"] == [0]
+    assert locs[1]["array_positions"] == [1]
+    assert (locs[0]["start"], locs[0]["end"]) == (
+        "alpha beta".index("beta"), len("alpha beta"))
+    assert (locs[1]["start"], locs[1]["end"]) == (
+        "gamma beta".index("beta"), len("gamma beta"))
