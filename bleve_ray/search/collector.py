@@ -506,9 +506,12 @@ class Index:
         }
 
     def index(self, doc_id: str, doc: Dict) -> None:
-        """index.go Index(id, data): single-doc upsert (a 1-row Batch)."""
+        """index.go Index(id, data): single-doc upsert (a 1-row Batch).
+        Empty ids are rejected (index.go ErrorEmptyID)."""
         import pyarrow as pa
 
+        if not doc_id:
+            raise ValueError("document ID cannot be empty")
         ids = self.reader.options.get("doc_id_fields") or ["doc_id"]
         if len(ids) != 1:
             raise ValueError(
@@ -520,7 +523,9 @@ class Index:
         self.batch(upserts=pa.table({k: [v] for k, v in row.items()}))
 
     def delete(self, doc_id: str) -> None:
-        """index.go Delete(id)."""
+        """index.go Delete(id); empty ids rejected (ErrorEmptyID)."""
+        if not doc_id:
+            raise ValueError("document ID cannot be empty")
         self.batch(deletes=[doc_id])
 
     def batch(self, upserts=None, deletes=None) -> None:

@@ -406,3 +406,46 @@ def test_multivalue_locations_array_positions(ray_session,
         "alpha beta".index("beta"), len("alpha beta"))
     assert (locs[1]["start"], locs[1]["end"]) == (
         "gamma beta".index("beta"), len("gamma beta"))
+
+
+def test_stored_field_type_preserved(ray_session, tmp_path_factory):
+    """Port of TestStoredFieldPreserved (index_test.go:1121-1170):
+    stored text/bool/number field values come back with their original
+    types and values."""
+    idx = _mk(
+        tmp_path_factory.mktemp("storedpreserve"),
+        {"doc_id": pa.array(["a"]),
+         "name": pa.array(["Marty"]),
+         "desc": pa.array(["GopherCON India"]),
+         "bool": pa.array([True]),
+         "num": pa.array([1.0])},
+        {"name": FieldConfig(analyzer="standard", positions=True),
+         "desc": FieldConfig(analyzer="standard", positions=True),
+         "bool": FieldConfig(field_type="boolean", positions=False),
+         "num": FieldConfig(field_type="numeric", positions=False)},
+        store_fields=["name", "desc", "bool", "num"],
+    )
+    res = idx.search(
+        {"query": {"term": "marty", "field": "name"}, "size": 10,
+         "fields": ["name", "desc", "bool", "num"]}
+    )
+    assert len(res.hits) == 1
+    f = res.hits[0].fields
+    assert f["name"] == "Marty"
+    assert f["desc"] == "GopherCON India"
+    assert f["num"] == 1.0
+    assert f["bool"] is True
+
+
+def test_index_empty_doc_id_rejected(ray_session, tmp_path_factory):
+    """Port of TestIndexEmptyDocId (index_test.go:1876-1915): empty doc
+    ids are rejected for index and delete."""
+    idx = _mk(
+        tmp_path_factory.mktemp("emptyid"),
+        {"doc_id": pa.array(["a"]), "body": pa.array(["text"])},
+        {"body": FieldConfig(analyzer="standard", positions=True)},
+    )
+    with pytest.raises(ValueError):
+        idx.index("", {"body": "nodocid"})
+    with pytest.raises(ValueError):
+        idx.delete("")
