@@ -449,3 +449,35 @@ def test_index_empty_doc_id_rejected(ray_session, tmp_path_factory):
         idx.index("", {"body": "nodocid"})
     with pytest.raises(ValueError):
         idx.delete("")
+
+
+def test_repeated_upsert_batches_bug_1096(ray_session, tmp_path_factory):
+    """Port of TestBug1096 (index_test.go:2678-2748): re-upserting the
+    same doc ids across batches must not leave stale duplicates; a
+    wildcard over the ids finds each live doc exactly once."""
+    idx = _mk(
+        tmp_path_factory.mktemp("bug1096"),
+        {"doc_id": pa.array([str(j) for j in range(91)]),
+         "name": pa.array([str(j) for j in range(91)]),
+         "batch": pa.array(["0"] * 91)},
+        {"name": FieldConfig(analyzer="keyword", positions=False),
+         "batch": FieldConfig(analyzer="keyword", positions=False)},
+    )
+    for i in range(1, 3):
+        idx.batch(
+            upserts=pa.table(
+                {
+                    "doc_id": pa.array([str(j) for j in range(91)]),
+                    "name": pa.array([str(j) for j in range(91)]),
+                    "batch": pa.array([str(i)] * 91),
+                }
+            )
+        )
+    res = idx.search({"query": {"wildcard": "9*", "field": "name"},
+                      "size": 1000})
+    assert res.total_hits == 2, res.total_hits
+    assert sorted(h.id for h in res.hits) == ["9", "90"]
+    # and the surviving docs reflect the LAST upsert
+    res = idx.search({"query": {"term": "2", "field": "batch"},
+                      "size": 1000})
+    assert res.total_hits == 91
