@@ -481,3 +481,36 @@ def test_repeated_upsert_batches_bug_1096(ray_session, tmp_path_factory):
     res = idx.search({"query": {"term": "2", "field": "batch"},
                       "size": 1000})
     assert res.total_hits == 91
+
+
+def test_conjunction_score_none_same_hits(ray_session, tmp_path_factory):
+    """Port of TestOptimisedConjunctionSearchHits (index_test.go:
+    2827-2925): a conjunction with a fuzzy clause returns the SAME hit
+    count with score:"none" and with scoring on."""
+    idx = _mk(
+        tmp_path_factory.mktemp("optconj"),
+        {"doc_id": pa.array(["a", "b", "c", "d"]),
+         "country": pa.array(["united", "united", "india united",
+                              "United Kingdom"]),
+         "name": pa.array(["Mercure Hotel",
+                           "Mercure Altrincham Bowdon Hotel",
+                           "Sonoma Hotel", "Cresta Court Hotel"]),
+         "directions": pa.array(
+             ["B560 and B56 Follow signs to the M56",
+              "A570 and A57 Follow signs to the M56 Manchester Airport",
+              "Northwest", "junction of A560 and A56"])},
+        {"country": FieldConfig(analyzer="standard", positions=True),
+         "name": FieldConfig(analyzer="standard", positions=True),
+         "directions": FieldConfig(analyzer="standard", positions=True)},
+    )
+    cq = {"conjuncts": [
+        {"match": "united", "field": "country"},
+        {"match": "hotel", "field": "name"},
+        {"match": "56", "field": "directions", "fuzziness": 1},
+    ]}
+    without = idx.search({"query": cq, "size": 100, "score": "none"})
+    scored = idx.search({"query": cq, "size": 100})
+    assert without.total_hits == scored.total_hits > 0
+    assert sorted(h.id for h in without.hits) == sorted(
+        h.id for h in scored.hits
+    )
