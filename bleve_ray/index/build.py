@@ -363,6 +363,25 @@ def _geo_tokens(col: pa.ChunkedArray):
             pc.cast(arr.field("lat"), pa.float64()).fill_null(np.nan)
         )
         valid = np.asarray(arr.is_valid()) & ~np.isnan(lon) & ~np.isnan(lat)
+    elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # geo.go extractGeoPoint string forms: "lat,lon" or a geohash
+        from .geo import decode_geohash
+
+        valid = np.asarray(arr.is_valid())
+        lon = np.full(n_rows, np.nan)
+        lat = np.full(n_rows, np.nan)
+        for i, v in enumerate(arr.to_pylist()):
+            if not v:
+                continue
+            try:
+                if "," in v:
+                    a, b = v.split(",", 1)
+                    lat[i], lon[i] = float(a), float(b)
+                else:
+                    lat[i], lon[i] = decode_geohash(v)
+            except (ValueError, KeyError):
+                pass
+        valid &= ~np.isnan(lon) & ~np.isnan(lat)
     else:  # list<double> [lon, lat]
         valid = np.asarray(arr.is_valid())
         lon = np.full(n_rows, np.nan)

@@ -1026,6 +1026,18 @@ def _geo_values(reader, field, docnums):
             lon[i], lat[i] = float(v["lon"]), float(v["lat"])
         elif isinstance(v, (list, tuple)) and len(v) == 2:
             lon[i], lat[i] = float(v[0]), float(v[1])
+        elif isinstance(v, str) and v:
+            # "lat,lon" or geohash strings (geo.go extractGeoPoint)
+            try:
+                if "," in v:
+                    a, b = v.split(",", 1)
+                    lat[i], lon[i] = float(a), float(b)
+                else:
+                    from ..index.geo import decode_geohash
+
+                    lat[i], lon[i] = decode_geohash(v)
+            except (ValueError, KeyError):
+                pass
     return lon, lat
 
 

@@ -514,3 +514,38 @@ def test_conjunction_score_none_same_hits(ray_session, tmp_path_factory):
     assert sorted(h.id for h in without.hits) == sorted(
         h.id for h in scored.hits
     )
+
+
+def test_geohash_string_geo_points_issue_1301(ray_session,
+                                              tmp_path_factory):
+    """Port of TestGeoDistanceIssue1301 (search_test.go:1924-1970): geo
+    points given as GEOHASH strings index and match a distance query."""
+    idx = _mk(
+        tmp_path_factory.mktemp("geohash1301"),
+        {"doc_id": pa.array(["0", "1", "2"]),
+         "GEO": pa.array(["wecpkbeddsmf", "wecpk8tne453",
+                          "wecpkb80s09t"])},
+        {"GEO": FieldConfig(field_type="geo", positions=False)},
+    )
+    res = idx.search(
+        {"query": {"location": {"lon": 114.112603, "lat": 22.371154},
+                   "distance": "1km", "field": "GEO"},
+         "size": 10, "score": "none"}
+    )
+    assert res.total_hits == 3
+
+
+def test_latlon_string_geo_points(ray_session, tmp_path_factory):
+    """geo.go extractGeoPoint also accepts "lat,lon" strings."""
+    idx = _mk(
+        tmp_path_factory.mktemp("latlonstr"),
+        {"doc_id": pa.array(["a", "b"]),
+         "GEO": pa.array(["22.371154,114.112603", "0.0,0.0"])},
+        {"GEO": FieldConfig(field_type="geo", positions=False)},
+    )
+    res = idx.search(
+        {"query": {"location": {"lon": 114.112603, "lat": 22.371154},
+                   "distance": "1km", "field": "GEO"},
+         "size": 10, "score": "none"}
+    )
+    assert [h.id for h in res.hits] == ["a"]
