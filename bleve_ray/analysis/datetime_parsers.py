@@ -65,14 +65,19 @@ def make_flexible_parser(layouts: List[str]):
 
 def _make_unix(scale: int):
     def parse(v) -> Optional[int]:
-        if v is None:
+        if v is None or isinstance(v, bool):
             return None
-        # exact integer path first: float would lose precision above
-        # 2^53 (nanosecond timestamps are ~10^18)
-        try:
-            return int(v) * scale
-        except (TypeError, ValueError):
-            pass
+        # exact integer path ONLY for ints / int-strings: float would lose
+        # precision above 2^53 (nanosecond timestamps are ~10^18).  A real
+        # float (or float-string) keeps its fractional part: unix_sec(1.5)
+        # must equal unix_sec("1.5").
+        if isinstance(v, int):
+            return v * scale
+        if not isinstance(v, float):
+            try:
+                return int(v) * scale
+            except (TypeError, ValueError):
+                pass
         try:
             return int(float(v) * scale)
         except (TypeError, ValueError):

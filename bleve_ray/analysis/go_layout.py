@@ -41,10 +41,12 @@ _WDAYS_ABBR = [d[:3] for d in _WDAYS_FULL]
 # accept one or two (Go's fixed vs non-fixed getnum).
 _TOKENS: List[Tuple[str, str, Optional[str]]] = [
     ("2006", r"(\d{4})", "year4"),
-    ("January", "(" + "|".join(_MONTHS_FULL) + ")", "month_name"),
-    ("Monday", "(" + "|".join(_WDAYS_FULL) + ")", None),
-    ("Jan", "(" + "|".join(_MONTHS_ABBR) + ")", "month_abbr"),
-    ("Mon", "(" + "|".join(_WDAYS_ABBR) + ")", None),
+    # Go's time.Parse matches month/weekday names ASCII-case-insensitively
+    # (lookup via match() cutoff compare), so "04 JAN 2021" must parse.
+    ("January", "((?i:" + "|".join(_MONTHS_FULL) + "))", "month_name"),
+    ("Monday", "((?i:" + "|".join(_WDAYS_FULL) + "))", None),
+    ("Jan", "((?i:" + "|".join(_MONTHS_ABBR) + "))", "month_abbr"),
+    ("Mon", "((?i:" + "|".join(_WDAYS_ABBR) + "))", None),
     # timezone forms, longest first
     ("Z07:00:00", r"(Z|[+-]\d{2}:\d{2}:\d{2})", "tz"),
     ("Z070000", r"(Z|[+-]\d{6})", "tz"),
@@ -155,9 +157,13 @@ def compile_go_layout(layout: str) -> Callable[[str], Optional[int]]:
         if "month" in vals:
             month = int(vals["month"])
         elif "month_name" in vals:
-            month = _MONTHS_FULL.index(str(vals["month_name"])) + 1
+            month = (
+                _MONTHS_FULL.index(str(vals["month_name"]).capitalize()) + 1
+            )
         elif "month_abbr" in vals:
-            month = _MONTHS_ABBR.index(str(vals["month_abbr"])) + 1
+            month = (
+                _MONTHS_ABBR.index(str(vals["month_abbr"]).capitalize()) + 1
+            )
         if "day" in vals:
             day = int(vals["day"])
         hour = int(vals.get("hour24", 0) or 0)
@@ -305,7 +311,15 @@ def make_go_flexible_parser(layouts: List[str]):
             return None
         if isinstance(v, _dt.datetime):
             d = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
-            return int(d.timestamp() * 1_000_000) * 1000
+            # exact integer arithmetic: float timestamp() can lose a
+            # microsecond at representation boundaries
+            delta = d - _EPOCH
+            micros = (
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds
+            )
+            return micros * 1000
         s = str(v)
         for p in parsers:
             n = p(s)

@@ -513,7 +513,10 @@ def ivf_query(
     ]
     if not files:
         return []
-    ds = ray.data.read_parquet(files)
+    # explicit projection: the hive files carry only these two columns
+    # today, but the pruned-read idiom must survive anyone adding payload
+    # columns to the IVF layout later.
+    ds = ray.data.read_parquet(files, columns=["vec_id", "embedding"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
         m = np.asarray(

@@ -75,7 +75,13 @@ class DistributedIndexReader:
             actor_cls.remote(index_dir, shard_lists[i])
             for i in range(num_actors)
         ]
-        self._cache: Dict = {}
+        # LRU postings cache: bounded working set with eviction (a plain
+        # stop-at-N cap would silently stop caching after churn, degrading
+        # a long-lived query actor to uncached reads).
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict" = OrderedDict()
+        self._cache_cap = 256
 
     def _shard_of(self, field: str, term: str) -> int:
         import hashlib
@@ -90,13 +96,19 @@ class DistributedIndexReader:
 
         ck = (field, term, want_positions)
         if ck in self._cache:
+            self._cache.move_to_end(ck)
             return self._cache[ck]
         actor = self.actors[self._actor_of_shard[self._shard_of(field, term)]]
         res = ray.get(actor.posting.remote(field, term, want_positions))
         p = None if res is None else Posting(*res)
-        if len(self._cache) < 256:
-            self._cache[ck] = p
+        self._cache_put(ck, p)
         return p
+
+    def _cache_put(self, ck, p) -> None:
+        self._cache[ck] = p
+        self._cache.move_to_end(ck)
+        while len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
 
     def prefetch(self, requests) -> None:
         """Issue all posting fetches concurrently (one round-trip instead of
@@ -107,6 +119,7 @@ class DistributedIndexReader:
         for field, term, want_positions in requests:
             ck = (field, term, want_positions)
             if ck in self._cache:
+                self._cache.move_to_end(ck)
                 continue
             actor = self.actors[
                 self._actor_of_shard[self._shard_of(field, term)]
@@ -116,8 +129,7 @@ class DistributedIndexReader:
             )
         for ck, ref in refs:
             res = ray.get(ref)
-            if len(self._cache) < 256:
-                self._cache[ck] = None if res is None else Posting(*res)
+            self._cache_put(ck, None if res is None else Posting(*res))
 
     # stats / docmeta / dictionary: manifest + local files (tiny reads)
     def doc_count(self) -> int:

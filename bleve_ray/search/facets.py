@@ -215,8 +215,13 @@ def _partial_counts(fr: dict, values: List) -> dict:
         return {"missing": missing, "n": len(values), "ranges": counts}
     if any(isinstance(v, (list, tuple)) for v in values):
         # array-valued docvalues: each element counts once per doc
-        # (facet_builder_terms.go over multi-value fields)
-        missing = sum(1 for v in values if v is None)
+        # (facet_builder_terms.go over multi-value fields); a doc with
+        # ZERO field terms (empty array) is missing, like the reference
+        missing = sum(
+            1
+            for v in values
+            if v is None or (isinstance(v, (list, tuple)) and not v)
+        )
         counts2: Dict[str, int] = {}
         for v in values:
             if v is None:

@@ -178,3 +178,62 @@ def test_terms_with_prefix_includes_max_codepoint_continuation(
     idx = Index.open(idx_dir)
     terms = idx.reader.terms_with_prefix("tag", "pre")
     assert terms == ["prefix", "pre\U0010ffffmore"]
+
+
+# --- round-4 ADVICE fixes ---------------------------------------------------
+
+
+def test_unix_parser_float_vs_string_consistent():
+    """unix_sec(1.5) must equal unix_sec("1.5"): the exact-int path only
+    applies to ints / int-strings, not truncated floats."""
+    from bleve_ray.analysis.datetime_parsers import resolve_datetime_parser
+
+    p = resolve_datetime_parser("unix_sec")
+    assert p(1.5) == p("1.5") == 1_500_000_000
+    assert p(1) == p("1") == 1_000_000_000
+    # exact-int precision above 2^53 survives (nanosecond timestamps)
+    big = 9_007_199_254_740_993  # 2^53 + 1
+    pn = resolve_datetime_parser("unix_nano")
+    assert pn(big) == big
+    assert pn(str(big)) == big
+    assert pn(None) is None
+    assert pn(True) is None
+
+
+def test_go_layout_month_names_case_insensitive():
+    """Go time.Parse matches month/weekday names ASCII-case-insensitively."""
+    from bleve_ray.analysis.go_layout import compile_go_layout
+
+    p = compile_go_layout("02 Jan 2006")
+    want = p("04 Jan 2021")
+    assert want is not None
+    assert p("04 JAN 2021") == want
+    assert p("04 jan 2021") == want
+    p2 = compile_go_layout("Monday 02 January 2006")
+    want2 = p2("Monday 04 January 2021")
+    assert want2 is not None
+    assert p2("MONDAY 04 JANUARY 2021") == want2
+
+
+def test_go_flexible_datetime_object_exact_micros():
+    """datetime-object branch uses exact integer arithmetic, never float
+    timestamp()."""
+    from bleve_ray.analysis.go_layout import make_go_flexible_parser
+
+    p = make_go_flexible_parser(["2006-01-02"])
+    d = datetime.datetime(2262, 4, 11, 23, 47, 16, 854775)
+    assert p(d) == (
+        (d - datetime.datetime(1970, 1, 1)).days * 86_400_000_000_000
+        + (d - datetime.datetime(1970, 1, 1)).seconds * 1_000_000_000
+        + 854775 * 1000
+    )
+
+
+def test_terms_facet_empty_array_counts_missing():
+    """A doc whose array field has zero elements is missing, like the
+    reference facet builder."""
+    from bleve_ray.search.facets import _partial_counts
+
+    r = _partial_counts({}, ["a", None, [], ["b", "c"], ()])
+    assert r["missing"] == 3
+    assert r["terms"] == {"a": 1, "b": 1, "c": 1}

@@ -296,3 +296,24 @@ def test_alias_sort_by_geo_distance(ray_session, tmp_path):
         float(haversin_km(qlon, qlat, *all_pts[h.id])) for h in r.hits
     ]
     assert all(a <= b + 1e-9 for a, b in zip(dists, dists[1:]))
+
+
+def test_posting_cache_lru_evicts_not_stops(ray_session, built_index):
+    """Round-4 ADVICE: the postings cache must EVICT under churn, not stop
+    caching — after 10x working-set churn, new entries still get cached."""
+    idx_dir, _ = built_index
+    from bleve_ray.search.distributed import DistributedIndexReader
+
+    r = DistributedIndexReader(idx_dir, num_actors=2)
+    r._cache_cap = 8
+    terms = [t for t, _ in r.local.dictionary("content")][:80]
+    assert len(terms) >= 40, "corpus too small for churn test"
+    for t in terms:
+        r.posting("content", t)
+    assert len(r._cache) == 8
+    # the MOST RECENT 8 terms are cached: re-fetching them is a hit
+    hits = sum(1 for t in terms[-8:] if ("content", t, False) in r._cache)
+    assert hits == 8
+    # and a brand-new fetch still lands in the cache (not silently dropped)
+    r.posting("content", terms[0])
+    assert ("content", terms[0], False) in r._cache
