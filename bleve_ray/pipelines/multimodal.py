@@ -69,6 +69,17 @@ class DeterministicFakeDecoder:
         )
 
 
+def _uniform_indices(n_out: int, n_src: int) -> np.ndarray:
+    """Uniform sample/gather indices over [0, n_src) in EXACT integer
+    arithmetic (round-half-up of i*(n_src-1)/(n_out-1)), so the DuckDB
+    oracle can replay them: (2*i*(n_src-1) + (n_out-1)) // (2*(n_out-1)).
+    For spacing >= 1 (n_out <= n_src) the indices are strictly increasing."""
+    if n_out <= 1:
+        return np.zeros(1, dtype=np.int64)
+    i = np.arange(n_out, dtype=np.int64)
+    return (2 * i * (n_src - 1) + (n_out - 1)) // (2 * (n_out - 1))
+
+
 def _fake_decode_array(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic fake image decode: seeded (h, w) float32 array from
     the payload content hash (stands in for PIL/cv2 decode; everything
@@ -95,24 +106,39 @@ class FakeDecodeResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
 
-        out = []
+        out, src_hs, src_ws, rsums, csums = [], [], [], [], []
         for payload, meta in zip(
             batch["payload"].to_pylist(), batch["meta_json"].to_pylist()
         ):
             m = json.loads(meta or "{}")
             h, w = int(m.get("h", 64)), int(m.get("w", 64))
             arr = _fake_decode_array(payload, h, w)
-            rows = np.linspace(0, h - 1, self.out_h).round().astype(np.int64)
-            cols = np.linspace(0, w - 1, self.out_w).round().astype(np.int64)
+            rows = _uniform_indices(self.out_h, h)
+            cols = _uniform_indices(self.out_w, w)
             out.append(arr[rows][:, cols].reshape(-1))
+            src_hs.append(h)
+            src_ws.append(w)
+            rsums.append(int(rows.sum()))
+            csums.append(int(cols.sum()))
+        n = len(out)
         return pa.table(
             {
                 "item_id": batch["item_id"],
                 "pixels": pa.array(
                     [o.tolist() for o in out], type=pa.list_(pa.float32())
                 ),
-                "h": pa.array([self.out_h] * len(out), type=pa.int32()),
-                "w": pa.array([self.out_w] * len(out), type=pa.int32()),
+                "h": pa.array([self.out_h] * n, type=pa.int32()),
+                "w": pa.array([self.out_w] * n, type=pa.int32()),
+                # SQL-expressible resize evidence for the driver oracle:
+                # source dims + gather-index checksums (the pixel VALUES
+                # are the labeled fake decode, asserted in pytest instead)
+                "src_h": pa.array(src_hs, type=pa.int64()),
+                "src_w": pa.array(src_ws, type=pa.int64()),
+                "n_pixels": pa.array(
+                    [self.out_h * self.out_w] * n, type=pa.int32()
+                ),
+                "row_idx_sum": pa.array(rsums, type=pa.int64()),
+                "col_idx_sum": pa.array(csums, type=pa.int64()),
             }
         )
 
@@ -136,11 +162,7 @@ class FrameSampleStage:
         ):
             payload = payload or b""
             n_src = max(1, len(payload) // 16)
-            take = np.unique(
-                np.linspace(0, n_src - 1, min(self.n_frames, n_src))
-                .round()
-                .astype(np.int64)
-            )
+            take = _uniform_indices(min(self.n_frames, n_src), n_src)
             for fi in take:
                 seed = hashlib.blake2b(
                     payload + int(fi).to_bytes(4, "little"), digest_size=8
@@ -198,6 +220,41 @@ def sample_frames_ds(table: Optional[pa.Table] = None, n_frames: int = 4):
         batch_size=16,
         concurrency=2,
         batch_format="pyarrow",
+    )
+
+
+def media_table_from_documents(sf_dir: str, limit: int = 300) -> pa.Table:
+    """Deterministic media table DERIVED from the documents table so the
+    DuckDB oracle can reproduce every SQL-expressible output column:
+    payload = utf-8 text bytes (strlen(text) in SQL), media_type cycles
+    image/audio/video by doc_id % 3, meta dims h = 16 + doc_id % 48,
+    w = 16 + (doc_id*7) % 48."""
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t = t.filter(pc.less(t["doc_id"], limit))
+    ids = [int(i) for i in t["doc_id"].to_pylist()]
+    texts = t["text"].to_pylist()
+    types = ["image", "audio", "video"]
+    return pa.table(
+        {
+            "item_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array([types[i % 3] for i in ids]),
+            "payload": pa.array(
+                [(s or "").encode("utf-8") for s in texts], type=pa.binary()
+            ),
+            "meta_json": pa.array(
+                [
+                    json.dumps({"h": 16 + i % 48, "w": 16 + (i * 7) % 48})
+                    for i in ids
+                ]
+            ),
+        }
     )
 
 

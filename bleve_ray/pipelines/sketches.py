@@ -107,8 +107,11 @@ def distinct_users_hll_ds(sf_dir: str):
         return pa.table(
             {
                 "event_type": pa.array([group["key"][0].as_py()]),
+                # floor(x+0.5) rather than round(): identical half-way
+                # behavior in numpy and DuckDB (round() is half-to-even
+                # in python, half-away in SQL)
                 "approx_distinct_users": pa.array(
-                    [int(round(est))], type=pa.int64()
+                    [int(np.floor(est + 0.5))], type=pa.int64()
                 ),
             }
         )
