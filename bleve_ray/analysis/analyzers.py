@@ -463,6 +463,76 @@ def _make_ckb_pack():
     )
 
 
+def _make_snowball_packs():
+    """fi/hu/ro/tr (Snowball), pl (stempel trie), hr (Ljubešić-Pandžić
+    rules) full chains (reference analysis/lang/{fi,hu,ro,tr,pl,hr}/
+    analyzer_*.go; tr additionally runs the apostrophe filter before
+    lowercasing, hr the suffix-transformation before stemming)."""
+    from .lang_hr import croatian_stem, croatian_transform
+    from .lang_light import make_stem_filter
+    from .snowball_more import (
+        finnish_stem,
+        hungarian_stem,
+        romanian_stem,
+        turkish_stem,
+    )
+    from .stempel import polish_stem
+    from .stopwords_langs import (
+        FI_STOP_WORDS,
+        HR_STOP_WORDS,
+        HU_STOP_WORDS,
+        PL_STOP_WORDS,
+        RO_STOP_WORDS,
+        TR_STOP_WORDS,
+    )
+    from .token_filters import apostrophe_filter
+
+    for name, stop, stem in (
+        ("fi", FI_STOP_WORDS, finnish_stem),
+        ("hu", HU_STOP_WORDS, hungarian_stem),
+        ("ro", RO_STOP_WORDS, romanian_stem),
+        ("pl", PL_STOP_WORDS, polish_stem),
+    ):
+        register_analyzer(
+            Analyzer(
+                name=name,
+                tokenizer=UnicodeTokenizer(),
+                token_filters=[
+                    lowercase_filter,
+                    make_stop_filter(stop),
+                    make_stem_filter(stem),
+                ],
+                fast_path=False,
+            )
+        )
+    register_analyzer(
+        Analyzer(
+            name="tr",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                apostrophe_filter,
+                lowercase_filter,
+                make_stop_filter(TR_STOP_WORDS),
+                make_stem_filter(turkish_stem),
+            ],
+            fast_path=False,
+        )
+    )
+    register_analyzer(
+        Analyzer(
+            name="hr",
+            tokenizer=UnicodeTokenizer(),
+            token_filters=[
+                lowercase_filter,
+                make_stop_filter(HR_STOP_WORDS),
+                make_stem_filter(croatian_transform),
+                make_stem_filter(croatian_stem),
+            ],
+            fast_path=False,
+        )
+    )
+
+
 def _make_cjk_pack():
     from .token_filters import cjk_width_filter, make_cjk_bigram_filter
 
@@ -487,3 +557,4 @@ _make_ar_ru_packs()
 _make_more_packs()
 _make_ckb_pack()
 _make_cjk_pack()
+_make_snowball_packs()
