@@ -756,6 +756,71 @@ def _q_ann_ivf_persisted(sf_dir: str):
     )
 
 
+def _q_knn_ivf_request(sf_dir: str):
+    """The `knn` REQUEST path backed by the per-index IVF sidecar: build
+    an index over the embeddings table (vector docvalues), attach the
+    sidecar, then answer a knn search probing nprobe=10 of nlist=16
+    cells with exact re-rank (reference role: per-segment faiss,
+    search_knn.go).  Oracle = exact brute-force cosine; on this data the
+    probed cells contain the true top-k (same recall property the green
+    ann_ivf_topk entry relies on)."""
+    import hashlib as _hl
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.knn_ivf import build_knn_ivf
+    from bleve_ray.search import Index
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/bleve_ray_cache/knnivf_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "knn_ivf", "embedding",
+                                       "_ivf_meta.json")):
+        build_index(
+            [f"{sf_dir}/embeddings.parquet"],
+            idx_dir,
+            IndexOptions(
+                fields={
+                    "vec_id": FieldConfig(
+                        analyzer="keyword", positions=False,
+                        field_type="numeric",
+                    )
+                },
+                doc_id_fields=["vec_id"],
+                num_shards=2,
+                bucket_bits=6,
+                docvalue_fields=["embedding"],
+            ),
+        )
+        build_knn_ivf(idx_dir, "embedding", nlist=16)
+    qt = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    m = np.asarray(
+        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(qt), -1)
+    q = m[np.asarray(qt["vec_id"]) == 0][0]
+    idx = Index.open(idx_dir)
+    r = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [{"field": "embedding", "vector": q.tolist(),
+                     "k": 10, "nprobe": 10}],
+            "size": 10,
+        }
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array([int(h.id) for h in r.hits],
+                               type=pa.int64()),
+            "cosine": pa.array([f"{h.score:.6f}" for h in r.hits]),
+        }
+    )
+
+
 def _q_multimodal_resize(sf_dir: str):
     """Image resize stage over the documents-derived media table.  The
     oracle-checked columns are the SQL-expressible resize evidence
@@ -1413,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one green CORRECTNESS row across rounds) ---
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
+        "knn_ivf_request": _q_knn_ivf_request,
         "ann_lsh_buckets": ann.ann_lsh_buckets_ds,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -2305,6 +2371,14 @@ WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
        printf('%.6f', list_cosine_similarity(embedding, (SELECT qe FROM q))) AS sim
 FROM embeddings WHERE vec_id != 0
+ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
+LIMIT 10
+""",
+        "knn_ivf_request": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       printf('%.6f', list_cosine_similarity(embedding, (SELECT qe FROM q))) AS cosine
+FROM embeddings
 ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q)) DESC, vec_id ASC
 LIMIT 10
 """,

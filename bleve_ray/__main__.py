@@ -168,6 +168,16 @@ def main(argv=None):
                         help="internal KV entries (scorch internal role)")
     iv.add_argument("index_dir")
 
+    ki = sub.add_parser(
+        "knn-ivf",
+        help="build the per-index IVF sidecar for a vector field so knn "
+             "requests probe cells instead of scanning every vector "
+             "(per-segment faiss role)",
+    )
+    ki.add_argument("index_dir")
+    ki.add_argument("field")
+    ki.add_argument("--nlist", type=int, default=16)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "synonyms":
@@ -374,6 +384,11 @@ def main(argv=None):
     idx = Index.open(args.index_dir)
     if args.cmd == "count":
         print(idx.reader.doc_count())
+    elif args.cmd == "knn-ivf":
+        from .index.knn_ivf import build_knn_ivf
+
+        meta = build_knn_ivf(args.index_dir, args.field, nlist=args.nlist)
+        print(json.dumps(meta, sort_keys=True))
     elif args.cmd == "stats":
         print(json.dumps(idx.reader.stats(), sort_keys=True))
     elif args.cmd == "fields":

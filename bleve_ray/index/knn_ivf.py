@@ -1,0 +1,192 @@
+"""Per-index IVF sidecar for the `knn` request path.
+
+The reference attaches a faiss IVF index per segment so a knn request
+never brute-force-scans every vector (search_knn.go,
+index/scorch/snapshot_vector_index.go, optimize_knn.go).  Here the same
+role is a HIVE-PARTITIONED sidecar under the index directory:
+
+    <index_dir>/knn_ivf/<field>/list_id=<cell>/*.parquet   (docnum, vec)
+    <index_dir>/knn_ivf/<field>/_centroids.npy
+    <index_dir>/knn_ivf/<field>/_ivf_meta.json             (epoch, nlist…)
+
+A query assigns the query vector to its ``nprobe`` nearest centroids and
+reads ONLY those partitions; candidates are re-ranked with the exact
+cosine (the sidecar stores full vectors), so the only approximation is
+the candidate set.  The sidecar records the manifest epoch it was built
+at: if the index mutates afterwards the epoch mismatch makes
+``load_knn_ivf`` return None and the searcher silently falls back to
+the exact brute-force scan — stale sidecars can never surface wrong
+docs.  Rebuild with ``build_knn_ivf`` (CLI: ``python -m bleve_ray
+knn-ivf``) after mutations.
+
+Scale shape: training samples a bounded set driver-side; assignment is
+one streaming map_batches pass over the docvalue files; a query touches
+nprobe/nlist of the corpus instead of all of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _sidecar_dir(index_dir: str, field: str) -> str:
+    return os.path.join(index_dir, "knn_ivf", field)
+
+
+def build_knn_ivf(
+    index_dir: str,
+    field: str,
+    nlist: int = 16,
+    train_sample: int = 50_000,
+    seed: int = 0,
+) -> dict:
+    """Train coarse centroids on a bounded sample of the field's
+    docvalue vectors, then stream-assign every vector to its nearest
+    cell and write the hive-partitioned sidecar."""
+    import ray
+    import ray.data
+
+    from ..pipelines.ann import _kmeans, _nearest_cells
+    from ..search.reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    files = [p for p, _, _ in reader._dv_files()]
+    if not files:
+        raise ValueError("index has no docvalue files")
+
+    # bounded driver-side training sample (spread across files)
+    sample_rows: list = []
+    per_file = max(1, train_sample // len(files))
+    for p in files:
+        t = pq.read_table(p, columns=[field])
+        vals = [v for v in t[field].to_pylist()[:per_file] if v is not None]
+        sample_rows.extend(vals)
+        if len(sample_rows) >= train_sample:
+            break
+    if not sample_rows:
+        raise ValueError(f"field {field!r} has no vectors")
+    sample = np.asarray(sample_rows[:train_sample], dtype=np.float64)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    nlist = min(nlist, len(sample))
+    C = _kmeans(sample, nlist, seed=seed)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cb = ray.get(cref)
+        vals = batch[field].to_pylist()
+        keep = [i for i, v in enumerate(vals) if v is not None]
+        if not keep:
+            return pa.table(
+                {
+                    "docnum": pa.array([], type=pa.int64()),
+                    "vec": pa.array([], type=pa.list_(pa.float32())),
+                    "list_id": pa.array([], type=pa.int32()),
+                }
+            )
+        m = np.asarray([vals[i] for i in keep], dtype=np.float64)
+        mn = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+        )
+        cells = _nearest_cells(mn, Cb).astype(np.int32)
+        nums = batch["docnum"].take(pa.array(keep))
+        return pa.table(
+            {
+                "docnum": nums.combine_chunks()
+                if isinstance(nums, pa.ChunkedArray)
+                else nums,
+                "vec": pa.array(
+                    [vals[i] for i in keep], type=pa.list_(pa.float32())
+                ),
+                "list_id": pa.array(cells),
+            }
+        )
+
+    out = _sidecar_dir(index_dir, field)
+    ds = ray.data.read_parquet(files, columns=["docnum", field])
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out, partition_cols=["list_id"]
+    )
+    np.save(os.path.join(out, "_centroids.npy"), C)
+    meta = {
+        "field": field,
+        "nlist": int(nlist),
+        "dim": int(C.shape[1]),
+        "seed": seed,
+        "epoch": int(reader.manifest.epoch),
+    }
+    with open(os.path.join(out, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+class KnnIvf:
+    __slots__ = ("dir", "meta", "centroids")
+
+    def __init__(self, d: str, meta: dict, centroids: np.ndarray):
+        self.dir = d
+        self.meta = meta
+        self.centroids = centroids
+
+    def candidates(
+        self, query_vec: np.ndarray, nprobe: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(docnums, vectors) from the nprobe nearest cells only —
+        explicit partition-directory selection (read_parquet row filters
+        on hive partition columns break in the sampling stage)."""
+        import glob
+
+        qn = np.asarray(query_vec, dtype=np.float64)
+        qn = qn / (np.linalg.norm(qn) or 1.0)
+        d2 = ((qn[None, :] - self.centroids) ** 2).sum(-1)
+        probe = np.argsort(d2)[: max(1, nprobe)]
+        nums_parts, vec_parts = [], []
+        for c in probe:
+            for f in sorted(
+                glob.glob(
+                    os.path.join(self.dir, f"list_id={int(c)}", "*.parquet")
+                )
+            ):
+                t = pq.read_table(f, columns=["docnum", "vec"])
+                if len(t) == 0:
+                    continue
+                nums_parts.append(np.asarray(t["docnum"], dtype=np.int64))
+                vec_parts.append(
+                    np.asarray(
+                        t["vec"].combine_chunks().flatten(),
+                        dtype=np.float64,
+                    ).reshape(len(t), -1)
+                )
+        if not nums_parts:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty((0, self.meta["dim"])),
+            )
+        return np.concatenate(nums_parts), np.vstack(vec_parts)
+
+
+def load_knn_ivf(reader, field: str) -> Optional[KnnIvf]:
+    """Open the field's sidecar if present AND built at the reader's
+    current epoch (stale sidecars are ignored: exact fallback)."""
+    base = getattr(reader, "index_dir", None)
+    if base is None and hasattr(reader, "local"):
+        base = reader.local.index_dir
+    if base is None:
+        return None
+    d = _sidecar_dir(base, field)
+    meta_path = os.path.join(d, "_ivf_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if int(meta.get("epoch", -1)) != int(reader.manifest.epoch):
+        return None
+    C = np.load(os.path.join(d, "_centroids.npy"))
+    return KnnIvf(d, meta, C)

@@ -783,12 +783,19 @@ class Index:
         weights = [1.0]
         for kr in request["knn"]:
             allowed = self._knn_filter_docnums(kr, options)
+            # per-clause ANN controls: method "auto" (IVF sidecar when
+            # present at the current epoch, exact otherwise), "exact"
+            # (force brute force, the track_total_hits-style gate), or
+            # "ivf" (error when no sidecar); nprobe tunes the
+            # recall/scan trade
             nums, sims = knn_topk(
                 self.reader,
                 kr["field"],
                 _knn_vector(kr),
                 int(kr.get("k", 10)),
                 allowed=allowed,
+                method=kr.get("method", "auto"),
+                nprobe=kr.get("nprobe"),
             )
             kkeep = self.reader.filter_deleted(nums)
             nums, sims = nums[kkeep], sims[kkeep]

@@ -125,18 +125,65 @@ def _allowed_mask(nums: np.ndarray, allowed: np.ndarray) -> np.ndarray:
 
 
 def knn_topk(
-    reader, field: str, vector, k: int, allowed: Optional[np.ndarray] = None
+    reader,
+    field: str,
+    vector,
+    k: int,
+    allowed: Optional[np.ndarray] = None,
+    method: str = "auto",
+    nprobe: Optional[int] = None,
+    stats: Optional[dict] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Brute-force cosine top-k over a docvalue vector column: per-file
-    local top-k (np.argpartition) then a tiny merge -- never a global
-    sort.  Fans out as Ray tasks when the index has many docvalue files.
+    """Cosine top-k over a docvalue vector column.
+
+    ``method="auto"`` uses the per-index IVF sidecar when one exists at
+    the current epoch (reference role: per-segment faiss IVF,
+    search_knn.go / snapshot_vector_index.go): probe the ``nprobe``
+    nearest cells, exact-cosine re-rank ONLY those candidates.
+    ``method="exact"`` (or a missing/stale sidecar) brute-force-scans:
+    per-file local top-k (np.argpartition) then a tiny merge -- never a
+    global sort; fans out as Ray tasks when the index has many docvalue
+    files.
 
     ``allowed``: optional SORTED docnum set for kNN pre-filtering
     (search_knn.go KNNRequest.FilterQuery): only these docs are eligible
-    candidates."""
+    candidates.  ``stats`` (optional dict) is filled with
+    {"path": "ivf"|"brute", "scanned": candidates_scored}."""
     qv = np.asarray(vector, dtype=np.float64)
+    if method in ("auto", "ivf"):
+        from ..index.knn_ivf import load_knn_ivf
+
+        ivf = load_knn_ivf(reader, field)
+        if ivf is not None:
+            np_probe = nprobe if nprobe else max(1, ivf.meta["nlist"] // 2)
+            nums, mat = ivf.candidates(qv, np_probe)
+            if allowed is not None and len(nums):
+                ok = _allowed_mask(nums, allowed)
+                nums, mat = nums[ok], mat[ok]
+            if stats is not None:
+                stats["path"] = "ivf"
+                stats["scanned"] = int(len(nums))
+            if len(nums) == 0:
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64),
+                )
+            qn = qv / (np.linalg.norm(qv) or 1.0)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ qn) / norms
+            order = sorted(
+                range(len(nums)), key=lambda i: (-sims[i], nums[i])
+            )[:k]
+            return nums[order], sims[order]
+        if method == "ivf":
+            raise ValueError(
+                f"no current-epoch IVF sidecar for field {field!r}; "
+                "build one with build_knn_ivf / `bleve_ray knn-ivf`"
+            )
     files = reader._dv_files()
     parts: List[Tuple[np.ndarray, np.ndarray]] = []
+    scanned = 0
     if len(files) >= KNN_DISTRIBUTED_FILE_THRESHOLD:
         import ray
 
@@ -162,6 +209,7 @@ def knn_topk(
             return _file_topk(nums, col, qv, k)
 
         parts = ray.get([_task.remote(p, allowed_ref) for p, _, _ in files])
+        scanned = -1  # not tracked across tasks
     else:
         for p, _, _ in files:
             nums, cols = reader._load_dv(p)
@@ -173,7 +221,11 @@ def knn_topk(
                 if not ok.any():
                     continue
                 nums, col = nums[ok], col[ok]
+            scanned += len(nums)
             parts.append(_file_topk(nums, col, qv, k))
+    if stats is not None:
+        stats["path"] = "brute"
+        stats["scanned"] = scanned
     if not parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     all_nums = np.concatenate([p[0] for p in parts])

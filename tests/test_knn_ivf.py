@@ -1,0 +1,195 @@
+"""Per-index IVF sidecar for the knn request path (reference role:
+per-segment faiss IVF, search_knn.go / snapshot_vector_index.go /
+optimize_knn.go): rank parity with brute force on top-k, candidate scan
+count << N, epoch-staleness fallback."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bleve_ray.index import FieldConfig, IndexOptions, build_index
+from bleve_ray.index.knn_ivf import build_knn_ivf, load_knn_ivf
+from bleve_ray.search import Index
+from bleve_ray.search.fusion import knn_topk
+
+N = 100_000
+DIM = 8
+NLIST = 16
+
+
+@pytest.fixture(scope="module")
+def big_vec_index(ray_session, tmp_path_factory):
+    """100k clustered vectors (16 well-separated centers) so nprobe=2
+    probing is enough for exact top-k parity."""
+    d = tmp_path_factory.mktemp("knn_ivf")
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, DIM)) * 10.0
+    labels = rng.integers(0, 16, size=N)
+    vecs = (centers[labels] + rng.standard_normal((N, DIM)) * 0.5).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N), type=pa.int64()),
+            "text": pa.array(["x"] * N),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    src = str(d / "docs.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(d / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={
+                "text": FieldConfig(analyzer="keyword", positions=False)
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+            docvalue_fields=["embedding"],
+        ),
+    )
+    build_knn_ivf(idx_dir, "embedding", nlist=NLIST)
+    return idx_dir, vecs
+
+
+def _brute(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    m = vecs.astype(np.float64)
+    sims = (m @ qn) / np.linalg.norm(m, axis=1)
+    return sorted(range(len(m)), key=lambda i: (-sims[i], i))[:k]
+
+
+def test_ivf_rank_parity_and_pruned_scan(big_vec_index):
+    idx_dir, vecs = big_vec_index
+    idx = Index.open(idx_dir)
+    assert load_knn_ivf(idx.reader, "embedding") is not None
+    rng = np.random.default_rng(9)
+    for qi in rng.integers(0, N, size=5):
+        q = vecs[qi].astype(np.float64)
+        stats = {}
+        nums, sims = knn_topk(
+            idx.reader, "embedding", q, 10, nprobe=2, stats=stats
+        )
+        assert stats["path"] == "ivf"
+        # candidate scan is a small fraction of the corpus
+        assert 0 < stats["scanned"] < N // 4
+        want = _brute(vecs, q, 10)
+        # docnum == row order == doc_id here (single input file)
+        assert nums.tolist() == want
+
+
+def test_ivf_via_search_request_and_exact_gate(big_vec_index):
+    idx_dir, vecs = big_vec_index
+    idx = Index.open(idx_dir)
+    q = vecs[7].astype(np.float64)
+    r_ivf = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [
+                {
+                    "field": "embedding",
+                    "vector": q.tolist(),
+                    "k": 5,
+                    "nprobe": 2,
+                }
+            ],
+            "size": 5,
+        }
+    )
+    r_exact = idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [
+                {
+                    "field": "embedding",
+                    "vector": q.tolist(),
+                    "k": 5,
+                    "method": "exact",
+                }
+            ],
+            "size": 5,
+        }
+    )
+    assert [h.id for h in r_ivf.hits] == [h.id for h in r_exact.hits]
+    for a, b in zip(r_ivf.hits, r_exact.hits):
+        assert a.score == pytest.approx(b.score, rel=1e-9)
+
+
+def test_ivf_respects_knn_prefilter(big_vec_index):
+    idx_dir, vecs = big_vec_index
+    idx = Index.open(idx_dir)
+    q = vecs[42].astype(np.float64)
+    allowed = np.arange(0, N, 2, dtype=np.int64)  # even docnums only
+    stats = {}
+    nums, _ = knn_topk(
+        idx.reader, "embedding", q, 10, allowed=allowed, nprobe=4,
+        stats=stats,
+    )
+    assert stats["path"] == "ivf"
+    assert all(n % 2 == 0 for n in nums.tolist())
+
+
+def test_stale_sidecar_falls_back_to_exact(big_vec_index, tmp_path):
+    """Mutating the index bumps the manifest epoch; the old sidecar must
+    be ignored (never serve stale docnums)."""
+    import json
+    import os
+    import shutil
+
+    idx_dir, vecs = big_vec_index
+    stale_dir = str(tmp_path / "stale_idx")
+    shutil.copytree(idx_dir, stale_dir)
+    meta_path = os.path.join(
+        stale_dir, "knn_ivf", "embedding", "_ivf_meta.json"
+    )
+    meta = json.load(open(meta_path))
+    meta["epoch"] = meta["epoch"] - 1  # simulate pre-mutation sidecar
+    json.dump(meta, open(meta_path, "w"))
+    idx = Index.open(stale_dir)
+    assert load_knn_ivf(idx.reader, "embedding") is None
+    stats = {}
+    q = vecs[3].astype(np.float64)
+    nums, _ = knn_topk(idx.reader, "embedding", q, 10, stats=stats)
+    assert stats["path"] == "brute"
+    assert nums.tolist() == _brute(vecs, q, 10)
+
+
+def test_method_ivf_errors_without_sidecar(ray_session, tmp_path):
+    rng = np.random.default_rng(1)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "text": pa.array(["x"] * 10),
+            "embedding": pa.array(
+                [rng.standard_normal(4).tolist() for _ in range(10)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(tmp_path / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={
+                "text": FieldConfig(analyzer="keyword", positions=False)
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=4,
+            docvalue_fields=["embedding"],
+        ),
+    )
+    idx = Index.open(idx_dir)
+    with pytest.raises(ValueError, match="IVF sidecar"):
+        knn_topk(
+            idx.reader, "embedding", np.zeros(4), 3, method="ivf"
+        )
