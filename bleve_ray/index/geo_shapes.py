@@ -70,9 +70,144 @@ def _rect_poly(x1, y1, x2, y2) -> List[Tuple[float, float]]:
     return [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
 
 
+def _unwrap_lons(pts: List[Tuple[float, float]]) -> List[Tuple[float, float]]:
+    """Make consecutive longitudes continuous (every delta < 180 in
+    magnitude) -- a ring written with a +170 -> -170 jump is really
+    crossing the antimeridian, not spanning the globe."""
+    out = [pts[0]]
+    for x, y in pts[1:]:
+        px = out[-1][0]
+        while x - px > 180.0:
+            x -= 360.0
+        while x - px < -180.0:
+            x += 360.0
+        out.append((x, y))
+    return out
+
+
+def _clip_ring_halfplane(ring, keep_le: bool, bound: float):
+    """Sutherland-Hodgman clip of a closed ring against x <= bound
+    (keep_le) or x >= bound."""
+
+    def inside(p):
+        return p[0] <= bound + EPS if keep_le else p[0] >= bound - EPS
+
+    def crossing(a, b):
+        t = (bound - a[0]) / (b[0] - a[0])
+        return (bound, a[1] + t * (b[1] - a[1]))
+
+    out: List[Tuple[float, float]] = []
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        if inside(a):
+            out.append(a)
+            if not inside(b):
+                out.append(crossing(a, b))
+        elif inside(b):
+            out.append(crossing(a, b))
+    return out if len(out) >= 3 else []
+
+
+def _split_poly_antimeridian(outer, holes) -> List[tuple]:
+    """Geodesic guardrail: a ring whose consecutive longitudes jump by
+    more than 180 degrees crosses the antimeridian (RFC 7946 producers
+    are told to split such shapes; many don't).  Planar math would read
+    it as a globe-spanning sliver and misclassify everything, so unwrap
+    the longitudes and split the polygon at the +-180 meridian into two
+    in-range polygons (the same treatment geo bbox queries already get
+    in search/query.py).  Rings genuinely spanning >180 degrees of
+    longitude stay ambiguous in planar space and are rejected."""
+    u = _unwrap_lons(outer)
+    lo = min(x for x, _ in u)
+    hi = max(x for x, _ in u)
+    if hi - lo > 180.0:
+        raise ValueError(
+            "polygon spans more than 180 degrees of longitude; planar "
+            "classification would be wrong -- split the shape at the "
+            "antimeridian"
+        )
+    if -180.0 <= lo and hi <= 180.0:
+        return [("poly", (u, holes))]
+    if lo < -180.0:  # normalize the crossing to the +180 side
+        u = [(x + 360.0, y) for x, y in u]
+    uh = [_unwrap_lons(h) for h in holes]
+    uh = [
+        [(x + 360.0, y) for x, y in h] if min(x for x, _ in h) < -180.0
+        else h
+        for h in uh
+    ]
+    out: List[tuple] = []
+    for keep_le, shift in ((True, 0.0), (False, -360.0)):
+        o = _clip_ring_halfplane(u, keep_le, 180.0)
+        if not o:
+            continue
+        hs = [
+            _clip_ring_halfplane(h, keep_le, 180.0) for h in uh
+        ]
+        out.append(
+            (
+                "poly",
+                (
+                    [(x + shift, y) for x, y in o],
+                    [
+                        [(x + shift, y) for x, y in h]
+                        for h in hs
+                        if h
+                    ],
+                ),
+            )
+        )
+    return out
+
+
+def _split_line_antimeridian(pts) -> List[tuple]:
+    """Split a dateline-crossing linestring into in-range pieces."""
+    u = _unwrap_lons(pts)
+    lo = min(x for x, _ in u)
+    hi = max(x for x, _ in u)
+    if -180.0 <= lo and hi <= 180.0:
+        return [("line", u)]
+    if hi - lo > 180.0:
+        raise ValueError(
+            "linestring spans more than 180 degrees of longitude; "
+            "split the shape at the antimeridian"
+        )
+    if lo < -180.0:
+        u = [(x + 360.0, y) for x, y in u]
+    pieces: List[List[Tuple[float, float]]] = []
+    cur: List[Tuple[float, float]] = []
+    east = u[0][0] > 180.0
+    for i, p in enumerate(u):
+        if i > 0:
+            a, b = u[i - 1], p
+            b_east = b[0] > 180.0
+            if b_east != east and a[0] != b[0]:
+                t = (180.0 - a[0]) / (b[0] - a[0])
+                yc = a[1] + t * (b[1] - a[1])
+                cur.append((180.0, yc))
+                pieces.append(cur)
+                cur = [(180.0, yc)]
+                east = b_east
+        cur.append(p)
+    pieces.append(cur)
+    out = []
+    for piece in pieces:
+        if len(piece) < 2:
+            continue
+        if any(x > 180.0 for x, _ in piece):
+            piece = [(x - 360.0, y) for x, y in piece]
+        # points exactly on the seam belong to both halves; clamp
+        piece = [(min(max(x, -180.0), 180.0), y) for x, y in piece]
+        out.append(("line", piece))
+    return out
+
+
 def parse_geojson(shape) -> List[tuple]:
     """Normalize a GeoJSON value (dict or JSON string) to primitives.
-    Type names are case-insensitive (reference geo/parse.go)."""
+    Type names are case-insensitive (reference geo/parse.go).
+    Antimeridian-crossing polygons/linestrings/envelopes are split into
+    in-range pieces (geodesic guardrail; see _split_poly_antimeridian)."""
     if shape is None:
         return []
     if isinstance(shape, (bytes, str)):
@@ -84,22 +219,34 @@ def parse_geojson(shape) -> List[tuple]:
     if t == "multipoint":
         return [("pt", _pt(p)) for p in c]
     if t == "linestring":
-        return [("line", [_pt(p) for p in c])]
+        return _split_line_antimeridian([_pt(p) for p in c])
     if t == "multilinestring":
-        return [("line", [_pt(p) for p in part]) for part in c]
+        out = []
+        for part in c:
+            out.extend(_split_line_antimeridian([_pt(p) for p in part]))
+        return out
     if t == "polygon":
         rings = [_ring(r) for r in c]
-        return [("poly", (rings[0], rings[1:]))] if rings else []
+        if not rings:
+            return []
+        return _split_poly_antimeridian(rings[0], rings[1:])
     if t == "multipolygon":
         out = []
         for part in c:
             rings = [_ring(r) for r in part]
             if rings:
-                out.append(("poly", (rings[0], rings[1:])))
+                out.extend(_split_poly_antimeridian(rings[0], rings[1:]))
         return out
     if t == "envelope":
         # reference geo/parse.go: [[minLon, maxLat], [maxLon, minLat]]
         (x1, y2), (x2, y1) = _pt(c[0]), _pt(c[1])
+        if x1 > x2:
+            # minLon > maxLon = dateline-crossing envelope: split like
+            # geo bbox queries (search/query.py)
+            return [
+                ("poly", (_rect_poly(x1, y1, 180.0, y2), [])),
+                ("poly", (_rect_poly(-180.0, y1, x2, y2), [])),
+            ]
         return [("poly", (_rect_poly(x1, y1, x2, y2), []))]
     if t == "circle":
         r_km = parse_distance_km(

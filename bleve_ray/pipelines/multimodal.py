@@ -28,15 +28,36 @@ MULTIMODAL_SCHEMA = pa.schema(
 )
 
 
-def decode_image_real(payload: bytes) -> np.ndarray:
+def have_image_codec() -> bool:
+    """Feature detection: is a real image decoder importable?"""
     try:
         import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_real(payload: bytes) -> np.ndarray:
+    """Real image decode via PIL when present: bytes -> float32 grayscale
+    (h, w) array, the same shape contract as the deterministic fake.  On
+    codec-less machines (this container) raises NotImplementedError --
+    callers feature-detect with have_image_codec()."""
+    try:
+        import io
+
+        import PIL.Image
     except ImportError:
         raise NotImplementedError(
-            "image decode requires PIL/cv2, not present in this container; "
-            "use DeterministicFakeDecoder for plumbing tests"
+            "image decode requires PIL, not present in this container; "
+            "use DeterministicFakeDecoder / the fake-decode stages for "
+            "plumbing tests"
         )
-    raise NotImplementedError("wire PIL decode here when available")
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    return (
+        np.asarray(img, dtype=np.float32).reshape(img.height, img.width)
+        / 255.0
+    )
 
 
 class DeterministicFakeDecoder:
@@ -99,9 +120,15 @@ class FakeDecodeResizeStage:
     list<float32> plus the output dims, the layout a training-data
     pipeline shards into tensors."""
 
-    def __init__(self, out_h: int = 32, out_w: int = 32):
+    def __init__(self, out_h: int = 32, out_w: int = 32,
+                 decode: str = "fake"):
         self.out_h, self.out_w = out_h, out_w
-        # real codecs / accelerators would be opened here, once per actor
+        # decode selection happens ONCE per actor: "auto" picks the real
+        # PIL decoder when the codec is importable, the deterministic
+        # fake otherwise (this container has no codecs)
+        if decode == "auto":
+            decode = "real" if have_image_codec() else "fake"
+        self.decode = decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -110,9 +137,13 @@ class FakeDecodeResizeStage:
         for payload, meta in zip(
             batch["payload"].to_pylist(), batch["meta_json"].to_pylist()
         ):
-            m = json.loads(meta or "{}")
-            h, w = int(m.get("h", 64)), int(m.get("w", 64))
-            arr = _fake_decode_array(payload, h, w)
+            if self.decode == "real":
+                arr = decode_image_real(payload or b"")
+                h, w = arr.shape
+            else:
+                m = json.loads(meta or "{}")
+                h, w = int(m.get("h", 64)), int(m.get("w", 64))
+                arr = _fake_decode_array(payload, h, w)
             rows = _uniform_indices(self.out_h, h)
             cols = _uniform_indices(self.out_w, w)
             out.append(arr[rows][:, cols].reshape(-1))

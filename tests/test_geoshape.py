@@ -63,7 +63,10 @@ QUERIES = [
     ({"type": "circle", "coordinates": [10.5, 20.5], "radius": "2500km"},
      "intersects"),
     ({"type": "point", "coordinates": [-169.5, -79.5]}, "contains"),
-    ({"type": "linestring", "coordinates": [[-170, -85], [170, 85]]},
+    # consecutive lon deltas stay < 180: a lon jump >180 now reads as an
+    # antimeridian crossing (RFC 7946), not a globe-spanning diagonal
+    ({"type": "linestring",
+      "coordinates": [[-170, -85], [0, 0], [170, 85]]},
      "intersects"),
 ]
 
@@ -188,3 +191,154 @@ def test_geoshape_multipolygon_and_collection(shape_index):
         if shape_relation(parse_geojson(s), qprims, "intersects")
     )
     assert got == want and len(want) > 0
+
+
+# --- antimeridian (dateline) guardrails -------------------------------------
+
+
+def test_dateline_polygon_splits_and_classifies():
+    """A Fiji-style polygon written with a +170 -> -170 longitude jump
+    crosses the dateline; planar math unsplit would treat it as a
+    globe-spanning sliver and invert every classification."""
+    from bleve_ray.index.geo_shapes import parse_geojson, shape_relation
+
+    fiji = parse_geojson(
+        {
+            "type": "polygon",
+            "coordinates": [
+                [[170, -5], [-170, -5], [-170, 5], [170, 5], [170, -5]]
+            ],
+        }
+    )
+    # split into two in-range polys
+    assert len(fiji) == 2
+    for kind, (outer, _holes) in fiji:
+        assert kind == "poly"
+        assert all(-180.0 <= x <= 180.0 for x, _ in outer)
+
+    def pt(x, y):
+        return [("pt", (x, y))]
+
+    # inside on both sides of the seam
+    assert shape_relation(pt(175.0, 0.0), fiji, "intersects")
+    assert shape_relation(pt(-175.0, 0.0), fiji, "intersects")
+    assert shape_relation(pt(175.0, 0.0), fiji, "within")
+    assert shape_relation(pt(-175.0, 0.0), fiji, "within")
+    # clearly outside (would be INSIDE the unsplit planar sliver's span)
+    assert not shape_relation(pt(0.0, 0.0), fiji, "intersects")
+    assert not shape_relation(pt(160.0, 0.0), fiji, "intersects")
+    assert not shape_relation(pt(175.0, 10.0), fiji, "intersects")
+
+
+def test_dateline_envelope_splits():
+    from bleve_ray.index.geo_shapes import parse_geojson, shape_relation
+
+    env = parse_geojson(
+        {"type": "envelope", "coordinates": [[170, 5], [-170, -5]]}
+    )
+    assert len(env) == 2
+    assert shape_relation([("pt", (179.0, 0.0))], env, "intersects")
+    assert shape_relation([("pt", (-179.0, 0.0))], env, "intersects")
+    assert not shape_relation([("pt", (0.0, 0.0))], env, "intersects")
+
+
+def test_dateline_linestring_splits():
+    from bleve_ray.index.geo_shapes import parse_geojson
+
+    line = parse_geojson(
+        {"type": "linestring", "coordinates": [[178, 0], [-178, 2]]}
+    )
+    assert len(line) == 2
+    for kind, pts in line:
+        assert kind == "line"
+        assert all(-180.0 <= x <= 180.0 for x, _ in pts)
+    # the seam point is shared
+    assert any(abs(abs(x) - 180.0) < 1e-9 for _, pts in line for x, _ in pts)
+
+
+def test_huge_polygon_rejected():
+    import pytest as _pt
+
+    from bleve_ray.index.geo_shapes import parse_geojson
+
+    # intermediate vertices keep every consecutive delta < 180, so the
+    # unwrapped ring genuinely spans 300 degrees of longitude -> ambiguous
+    # in planar space -> rejected (a ring WRITTEN as [-150 .. 150] with a
+    # 300-degree jump is instead read as a 60-degree dateline crossing)
+    with _pt.raises(ValueError, match="180 degrees"):
+        parse_geojson(
+            {
+                "type": "polygon",
+                "coordinates": [
+                    [[-150, -10], [0, -10], [150, -10], [150, 10],
+                     [0, 10], [-150, 10], [-150, -10]]
+                ],
+            }
+        )
+
+
+def test_dateline_doc_shape_indexes_and_matches(ray_session, tmp_path):
+    """End-to-end: a dateline-crossing DOC polygon is indexed (split
+    cover cells) and found by point queries on both sides of the seam."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    import json as _json
+
+    shapes = [
+        _json.dumps({
+            "type": "polygon",
+            "coordinates": [
+                [[170, -5], [-170, -5], [-170, 5], [170, 5], [170, -5]]
+            ],
+        }),
+        _json.dumps({"type": "point", "coordinates": [0.0, 0.0]}),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "geometry": pa.array(shapes),
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(tmp_path / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={
+                "geometry": FieldConfig(
+                    analyzer="keyword", positions=False,
+                    field_type="geoshape",
+                )
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=4,
+        ),
+    )
+    idx = Index.open(idx_dir)
+
+    def q(x, y):
+        r = idx.search(
+            {
+                "query": {
+                    "geometry": {
+                        "shape": {"type": "point", "coordinates": [x, y]},
+                        "relation": "intersects",
+                    },
+                    "field": "geometry",
+                },
+                "size": 10,
+            }
+        )
+        return sorted(h.id for h in r.hits)
+
+    assert q(175.0, 0.0) == ["0"]
+    assert q(-175.0, 0.0) == ["0"]
+    assert q(0.0, 0.0) == ["1"]
+    assert q(160.0, 0.0) == []

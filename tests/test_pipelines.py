@@ -637,3 +637,45 @@ def test_nearest_cells_matmul_form_matches_broadcast():
     want = ((A[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
     got = _nearest_cells(A, C)
     assert (got == want).all()
+
+
+def test_real_decode_feature_detection(ray_session):
+    """decode_image_real is real PIL when importable, a labeled
+    NotImplementedError otherwise; the resize stage's decode="auto"
+    picks whichever exists, so the test passes on BOTH kinds of
+    machine."""
+    import pytest as _pt
+
+    from bleve_ray.pipelines.multimodal import (
+        FakeDecodeResizeStage,
+        decode_image_real,
+        have_image_codec,
+        make_fake_media_table,
+    )
+
+    if have_image_codec():
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.new("L", (8, 6), color=128)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = decode_image_real(buf.getvalue())
+        assert arr.shape == (6, 8)
+        assert np.allclose(arr, 128 / 255.0)
+        stage = FakeDecodeResizeStage(out_h=4, out_w=4, decode="auto")
+        assert stage.decode == "real"
+    else:
+        with _pt.raises(NotImplementedError, match="PIL"):
+            decode_image_real(b"\x89PNG fake")
+        stage = FakeDecodeResizeStage(out_h=4, out_w=4, decode="auto")
+        assert stage.decode == "fake"
+        # the auto stage still runs end-to-end on the fake path
+        tab = make_fake_media_table(n=6, seed=2)
+        import pyarrow.compute as pc
+
+        imgs = tab.filter(pc.equal(tab["media_type"], "image"))
+        out = stage(imgs)
+        assert len(out) == len(imgs)
+        assert all(len(p) == 16 for p in out["pixels"].to_pylist())
