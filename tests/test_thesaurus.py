@@ -215,3 +215,87 @@ def test_copy_to_carries_thesaurus(built, tmp_path):
     idx = Index.open(dest)
     r = idx.mapping.thesauri.get("en-thes")
     assert r is not None and r.synonyms_of("closure") == ["lambda"]
+
+
+def test_synonym_score_decomposition_parity(ray_session, tmp_path):
+    """The reference's synonym-expanded term searcher (search_term.go:
+    54-61,154-220 NewSynonymSearcher) IS a disjunction of the term at
+    its boost plus each synonym at boost/2, every variant scored with
+    its OWN df.  Lock that: a synonym term query over a thesaurus index
+    must score hash-identically to the EXPLICIT disjunction query over
+    the same corpus without any thesaurus -- with deliberately skewed
+    per-variant dfs so a wrong-df implementation cannot pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # df(car)=2, df(auto)=4, df(vehicle)=1; tfs vary per doc
+    texts = [
+        "car auto",            # both, tf 1/1
+        "car car auto filler", # car tf2
+        "auto auto",           # auto only
+        "vehicle auto",        # rare synonym + common one
+        "auto filler filler",
+        "filler words only",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "t": pa.array(texts),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+
+    from bleve_ray.index import FieldConfig
+
+    def build(d):
+        build_index(
+            [src],
+            d,
+            IndexOptions(
+                fields={
+                    "t": FieldConfig(analyzer="standard", positions=True)
+                },
+                doc_id_fields=["doc_id"],
+                num_shards=1,
+                bucket_bits=4,
+            ),
+        )
+        return d
+
+    thes_dir = build(str(tmp_path / "idx_thes"))
+    plain_dir = build(str(tmp_path / "idx_plain"))
+
+    thes = Index.open(thes_dir)
+    thes.index_synonym(
+        "s1",
+        "score-src",
+        {"input": ["car"], "synonyms": ["auto", "vehicle"]},
+        "standard",
+    )
+    thes.mapping.default_synonym_source = "score-src"
+    res_syn = thes.search(
+        {"query": {"term": "car", "field": "t"}, "size": 10}
+    )
+
+    plain = Index.open(plain_dir)
+    res_dis = plain.search(
+        {
+            "query": {
+                "disjuncts": [
+                    {"term": "car", "field": "t"},
+                    {"term": "auto", "field": "t", "boost": 0.5},
+                    {"term": "vehicle", "field": "t", "boost": 0.5},
+                ]
+            },
+            "size": 10,
+        }
+    )
+    assert res_syn.total_hits == res_dis.total_hits == 5
+    assert [(h.id, round(h.score, 12)) for h in res_syn.hits] == [
+        (h.id, round(h.score, 12)) for h in res_dis.hits
+    ]
+    # doc 3 (rare 'vehicle') must outscore doc 4 (one common 'auto'):
+    # per-variant df is what separates them
+    by_id = {h.id: h.score for h in res_syn.hits}
+    assert by_id["3"] > by_id["4"]
