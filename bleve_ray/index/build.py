@@ -132,6 +132,11 @@ class IndexOptions:
     merge_policy: str = "builder"
     target_segments_per_shard: int = 1
     merge_concurrency: int = 16
+    # term->shard router (part of the on-disk format; recorded in the
+    # manifest so readers of older sha1-routed indexes keep routing
+    # correctly).  "poly64" = vectorized seeded polynomial+splitmix64
+    # (index/shard_hash.py); "sha1" = the legacy per-term digest.
+    shard_hash: str = "poly64"
 
     def to_dict(self) -> Dict[str, Any]:
         return {
@@ -156,6 +161,7 @@ class IndexOptions:
             "store_fields": self.store_fields,
             "enable_all_field": self.enable_all_field,
             "index_id_field": self.index_id_field,
+            "shard_hash": self.shard_hash,
         }
 
     @staticmethod
@@ -180,6 +186,8 @@ class IndexOptions:
             store_fields=list(d.get("store_fields", [])),
             enable_all_field=d.get("enable_all_field", False),
             index_id_field=d.get("index_id_field", False),
+            # manifests that predate the poly64 router were sha1-routed
+            shard_hash=d.get("shard_hash", "sha1"),
         )
 
 
@@ -481,19 +489,27 @@ def _ip_tokens(col: pa.ChunkedArray):
     return pa.array(out, type=pa.string()), valid_idx, positions, field_len
 
 
-def shard_of_terms(fields: np.ndarray, terms: pa.Array, num_shards: int) -> np.ndarray:
-    """Deterministic shard id per (field, term): first 4 bytes of
-    sha1(field:term) mod S.  Stable across runs/processes (no PYTHONHASHSEED
-    dependence)."""
+def shard_of_terms(
+    field: str, terms: pa.Array, num_shards: int, method: str = "poly64"
+) -> np.ndarray:
+    """Deterministic shard id per term of one field.  Stable across
+    runs/processes (no PYTHONHASHSEED dependence); the method is recorded
+    in the manifest (IndexOptions.shard_hash) so readers route the same
+    way forever.  poly64 = vectorized numpy hash (index/shard_hash.py);
+    sha1 = legacy per-term digest for incremental adds to old indexes."""
+    from .shard_hash import poly_shards
+
+    if method != "sha1":
+        return poly_shards(field, terms, num_shards)
     out = np.empty(len(terms), dtype=np.int32)
     tl = terms.to_pylist()
     cache = _SHARD_CACHE
     room = len(cache) < _SHARD_CACHE_MAX
-    for i, (f, t) in enumerate(zip(fields, tl)):
-        key = (f, t, num_shards)
+    for i, t in enumerate(tl):
+        key = (field, t, num_shards)
         s = cache.get(key)
         if s is None:
-            h = hashlib.sha1(f"{f}\x1f{t}".encode()).digest()
+            h = hashlib.sha1(f"{field}\x1f{t}".encode()).digest()
             s = int.from_bytes(h[:4], "little") % num_shards
             if room:
                 cache[key] = s
@@ -638,9 +654,7 @@ class ReadAnalyzeInvert:
                     continue
                 nrows = len(chunk)
                 shard = shard_of_terms(
-                    np.full(nrows, fname, dtype=object),
-                    chunk["term"],
-                    opts.num_shards,
+                    fname, chunk["term"], opts.num_shards, opts.shard_hash
                 )
                 chunk = (
                     chunk.append_column("field", pa.array([fname] * nrows))
@@ -676,9 +690,7 @@ class ReadAnalyzeInvert:
                     continue
                 nrows = len(chunk)
                 shard = shard_of_terms(
-                    np.full(nrows, "_id", dtype=object),
-                    chunk["term"],
-                    opts.num_shards,
+                    "_id", chunk["term"], opts.num_shards, opts.shard_hash
                 )
                 chunk_tables.append(
                     chunk.append_column("field", pa.array(["_id"] * nrows))
@@ -714,9 +726,7 @@ class ReadAnalyzeInvert:
                     continue
                 nrows = len(chunk)
                 shard = shard_of_terms(
-                    np.full(nrows, "_all", dtype=object),
-                    chunk["term"],
-                    opts.num_shards,
+                    "_all", chunk["term"], opts.num_shards, opts.shard_hash
                 )
                 chunk_tables.append(
                     chunk.append_column("field", pa.array(["_all"] * nrows))

@@ -84,10 +84,14 @@ class DistributedIndexReader:
         self._cache_cap = 256
 
     def _shard_of(self, field: str, term: str) -> int:
-        import hashlib
+        from ..index.shard_hash import shard_of_term
 
-        h = hashlib.sha1(f"{field}\x1f{term}".encode()).digest()
-        return int.from_bytes(h[:4], "little") % self.num_shards
+        return shard_of_term(
+            field,
+            term,
+            self.num_shards,
+            self.options.get("shard_hash", "sha1"),
+        )
 
     def posting(
         self, field: str, term: str, want_positions: bool = False

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..index import manifest as manifest_mod
-from ..index.build import shard_of_terms
+from ..index.shard_hash import shard_of_term
 from ..index.segment import Posting, SegmentReader
 
 
@@ -68,6 +68,8 @@ class IndexReader:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.options = self.manifest.options
         self.num_shards = self.options["num_shards"]
+        # pre-poly64 manifests were sha1-routed (index/shard_hash.py)
+        self._shard_method = self.options.get("shard_hash", "sha1")
         self._by_shard: Dict[int, list] = {}
         for s in self.manifest.segments:
             self._by_shard.setdefault(s.shard, []).append(s)
@@ -109,12 +111,11 @@ class IndexReader:
         return field not in self.options.get("dropped_fields", ())
 
     def _segments_for(self, field: str, term: str) -> list:
-        import hashlib
-
         if not self.field_live(field):
             return []
-        h = hashlib.sha1(f"{field}\x1f{term}".encode()).digest()
-        shard = int.from_bytes(h[:4], "little") % self.num_shards
+        shard = shard_of_term(
+            field, term, self.num_shards, self._shard_method
+        )
         return self._by_shard.get(shard, [])
 
     def _reader(self, entry) -> SegmentReader:
