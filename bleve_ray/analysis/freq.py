@@ -468,13 +468,25 @@ def invert_batch_encoded(
     enc = pc.dictionary_encode(terms)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    term_codes = np.asarray(enc.indices, dtype=np.int64)
     dictionary = enc.dictionary
 
-    key = term_codes * len(field_len) + doc_idx
-    order = np.argsort(key, kind="stable")
-    k_sorted = key[order]
-    runs = np.flatnonzero(np.diff(k_sorted)) + 1
+    if len(doc_idx) and (np.diff(doc_idx) >= 0).all():
+        # tokens arrive doc-major (every per-field call site), so a stable
+        # sort on the narrow int32 codes alone yields (term, doc) order --
+        # cheaper than the widened composite key below
+        term_codes = np.asarray(enc.indices)
+        order = np.argsort(term_codes, kind="stable")
+        ts = term_codes[order].astype(np.int64)
+        ds = doc_idx[order]
+        runs = (
+            np.flatnonzero((np.diff(ts) != 0) | (np.diff(ds) != 0)) + 1
+        )
+        term_codes = term_codes.astype(np.int64)
+    else:  # _all concatenates per-field streams; doc order interleaves
+        term_codes = np.asarray(enc.indices, dtype=np.int64)
+        key = term_codes * len(field_len) + doc_idx
+        order = np.argsort(key, kind="stable")
+        runs = np.flatnonzero(np.diff(key[order])) + 1
     run_starts = np.concatenate(([0], runs))
     run_ends = np.concatenate((runs, [n_tokens]))
     tfs_all = (run_ends - run_starts).astype(np.int64)
@@ -503,20 +515,35 @@ def invert_batch_encoded(
         ps_buf, ps_off = codec.encode_with_restarts(
             pos_sorted.astype(np.int64), run_starts
         )
-    dn_blobs: List[bytes] = [b""] * n_terms
-    tf_blobs: List[bytes] = [b""] * n_terms
-    nm_blobs: List[bytes] = [b""] * n_terms
-    ps_blobs: List[bytes] = [b""] * n_terms
     min_dn = docnums_flat[t_off[:-1]]
     max_dn = docnums_flat[t_off[1:] - 1]
-    for i in range(n_terms):
-        lo, hi = t_off[i], t_off[i + 1]
-        dn_blobs[i] = dn_buf[dn_off[lo] : dn_off[hi]]
-        tf_blobs[i] = tf_buf[tf_off[lo] : tf_off[hi]]
-        nm_blobs[i] = nm_buf[lo * 4 : hi * 4]
-        if keep_positions:
-            p0, p1 = run_starts[lo], run_ends[hi - 1]
-            ps_blobs[i] = ps_buf[ps_off[p0] : ps_off[p1]]
+
+    # consecutive terms' blobs are CONTIGUOUS in each batch-level encode
+    # buffer, so every per-term binary column is just (offsets, buffer) --
+    # zero per-term Python work and zero copies of the blob bytes
+    def _blob_col(buf, elem_off: np.ndarray) -> pa.Array:
+        if len(elem_off) and elem_off[-1] > 0x7FFFFFFF:
+            raise ValueError(
+                "sub-batch posting buffer exceeds 2 GiB; lower "
+                "analyze_rows"
+            )
+        off32 = np.ascontiguousarray(elem_off, dtype=np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n_terms,
+            [None, pa.py_buffer(off32), pa.py_buffer(buf)],
+        )
+
+    dn_col = _blob_col(dn_buf, dn_off[t_off])
+    tf_col = _blob_col(tf_buf, tf_off[t_off])
+    nm_col = _blob_col(nm_buf, t_off * 4)
+    if keep_positions:
+        # term i's positions span run_starts[t_off[i]] ..
+        # run_starts[t_off[i+1]] (run_ends[j-1] == run_starts[j])
+        rs_ext = np.concatenate((run_starts, [n_tokens]))
+        ps_col = _blob_col(ps_buf, ps_off[rs_ext[t_off]])
+    else:
+        ps_col = _blob_col(b"", np.zeros(n_terms + 1, dtype=np.int64))
     # per-term score-bound metadata (block-max support): BM25 score is
     # monotone increasing in tf and in norm, so (max_tf, max_norm) bounds
     # any doc's contribution for the term
@@ -526,10 +553,10 @@ def invert_batch_encoded(
         {
             "term": term_strs,
             "df": pa.array((t_off[1:] - t_off[:-1]).astype(np.int64)),
-            "docnums": pa.array(dn_blobs, type=pa.binary()),
-            "tfs": pa.array(tf_blobs, type=pa.binary()),
-            "norms": pa.array(nm_blobs, type=pa.binary()),
-            "positions": pa.array(ps_blobs, type=pa.binary()),
+            "docnums": dn_col,
+            "tfs": tf_col,
+            "norms": nm_col,
+            "positions": ps_col,
             "min_docnum": pa.array(min_dn),
             "max_docnum": pa.array(max_dn),
             "max_tf": pa.array(max_tf.astype(np.int64)),
