@@ -861,6 +861,45 @@ class ReadAnalyzeInvert:
         os.replace(tmp, path)
 
 
+def _blob_runs_from_offsets(buf, elem_off: np.ndarray) -> pa.Array:
+    """Binary array whose i-th value is bytes elem_off[i]..elem_off[i+1]
+    of buf -- zero-copy (offsets + one shared buffer)."""
+    if len(elem_off) and elem_off[-1] > 0x7FFFFFFF:
+        # >2 GiB group: fall back to per-value bytes (merge tasks at that
+        # size should have been split by the merge planner)
+        return pa.array(
+            [bytes(buf[elem_off[i] : elem_off[i + 1]])
+             for i in range(len(elem_off) - 1)],
+            type=pa.binary(),
+        )
+    off32 = np.ascontiguousarray(elem_off, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(elem_off) - 1,
+        [None, pa.py_buffer(off32), pa.py_buffer(buf)],
+    )
+
+
+def _blob_runs(col, breaks: np.ndarray) -> pa.Array:
+    """Concatenate consecutive runs of a binary column's values without
+    copying: run bi = rows breaks[bi]..breaks[bi+1], whose bytes are
+    contiguous in the column's data buffer (column must come from a
+    freshly sorted/rebuilt table, which merge_encoded_rows' sort_by
+    guarantees)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return _blob_runs_from_offsets(data, off[breaks] - off[0])
+
+
 def merge_encoded_rows(group: pa.Table) -> pa.Table:
     """Merge encoded posting rows (chunk or segment layout) that share
     (field, term) into one row each, ordered by min_docnum.
@@ -880,15 +919,7 @@ def merge_encoded_rows(group: pa.Table) -> pa.Table:
     n = len(group)
     if n == 0:
         return group
-    fields = group["field"].to_pylist()
-    terms = group["term"].to_pylist()
     dfs = np.asarray(group["df"], dtype=np.int64)
-    dn_col = group["docnums"].to_pylist()
-    tf_col = group["tfs"].to_pylist()
-    nm_col = group["norms"].to_pylist()
-    ps_col = group["positions"].to_pylist()
-    min_col = np.asarray(group["min_docnum"], dtype=np.int64)
-    max_col = np.asarray(group["max_docnum"], dtype=np.int64)
     has_bounds = "max_tf" in group.column_names
     if has_bounds:
         mtf_col = np.asarray(group["max_tf"], dtype=np.int64)
@@ -913,42 +944,35 @@ def merge_encoded_rows(group: pa.Table) -> pa.Table:
     # output term), per-term blobs sliced out by byte offsets
     val_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(dfs, out=val_off[1:])
-    big = b"".join(dn_col)
+    # all rows' docnum blobs are contiguous in the sorted column's data
+    # buffer -- the batch decode input is the buffer itself, no join
+    dn_arr = group["docnums"].combine_chunks()
+    dn_bufs = dn_arr.buffers()
+    dn_odt = np.int64 if pa.types.is_large_binary(dn_arr.type) else np.int32
+    dn_aoff = np.frombuffer(dn_bufs[1], dtype=dn_odt)
+    big = np.frombuffer(dn_bufs[2], dtype=np.uint8)[
+        int(dn_aoff[dn_arr.offset]) : int(dn_aoff[dn_arr.offset + n])
+    ]
     deltas = codec.varint_decode(big).astype(np.int64)
     docnums_all = codec.segmented_cumsum(deltas, val_off[:-1])
     out_voff = val_off[breaks]  # value ranges per output term
     dn_buf, dn_boff = codec.encode_with_restarts(docnums_all, out_voff[:-1])
 
-    o_field = [""] * m
-    o_term = [""] * m
     o_df = (out_voff[1:] - out_voff[:-1]).astype(np.int64)
-    o_dn: List[bytes] = [b""] * m
-    o_tf: List[bytes] = [b""] * m
-    o_nm: List[bytes] = [b""] * m
-    o_ps: List[bytes] = [b""] * m
     o_min = docnums_all[out_voff[:-1]] if n else np.empty(0, dtype=np.int64)
     o_max = docnums_all[out_voff[1:] - 1] if n else np.empty(0, dtype=np.int64)
-    for bi in range(m):
-        lo, hi = breaks[bi], breaks[bi + 1]
-        o_field[bi] = fields[lo]
-        o_term[bi] = terms[lo]
-        o_dn[bi] = dn_buf[dn_boff[out_voff[bi]] : dn_boff[out_voff[bi + 1]]]
-        if hi - lo == 1:
-            o_tf[bi] = tf_col[lo]
-            o_nm[bi] = nm_col[lo]
-            o_ps[bi] = ps_col[lo]
-        else:
-            o_tf[bi] = b"".join(tf_col[lo:hi])
-            o_nm[bi] = b"".join(nm_col[lo:hi])
-            o_ps[bi] = b"".join(ps_col[lo:hi])
+    take_idx = pa.array(breaks[:-1], type=pa.int64())
+    # in the SORTED table, rows lo..hi of a blob column occupy contiguous
+    # bytes of its data buffer -- each merged term's concatenated blob is
+    # a (byte-offset, buffer) pair, no per-term joins or copies
     cols = {
-        "field": pa.array(o_field, type=pa.string()),
-        "term": pa.array(o_term, type=pa.string()),
+        "field": fcol.take(take_idx),
+        "term": tcol.take(take_idx),
         "df": pa.array(o_df),
-        "docnums": pa.array(o_dn, type=pa.binary()),
-        "tfs": pa.array(o_tf, type=pa.binary()),
-        "norms": pa.array(o_nm, type=pa.binary()),
-        "positions": pa.array(o_ps, type=pa.binary()),
+        "docnums": _blob_runs_from_offsets(dn_buf, dn_boff[out_voff]),
+        "tfs": _blob_runs(group["tfs"], breaks),
+        "norms": _blob_runs(group["norms"], breaks),
+        "positions": _blob_runs(group["positions"], breaks),
         "min_docnum": pa.array(o_min),
         "max_docnum": pa.array(o_max),
     }
@@ -987,10 +1011,9 @@ def split_long_posting_rows(
         return tbl
     keep_mask = np.ones(len(tbl), dtype=bool)
     keep_mask[long_idx] = False
-    out_rows = {
-        c: list(tbl[c].filter(pa.array(keep_mask)).to_pylist())
-        for c in tbl.column_names
-    }
+    kept = tbl.filter(pa.array(keep_mask))
+    # only the split rows (Zipf head, rare) materialize as Python values
+    out_rows: Dict[str, list] = {c: [] for c in tbl.column_names}
     has_bounds = "max_tf" in tbl.column_names
     for ri in long_idx.tolist():
         row = {c: tbl[c][ri].as_py() for c in tbl.column_names}
@@ -1030,10 +1053,13 @@ def split_long_posting_rows(
             if has_bounds:
                 out_rows["max_tf"].append(int(b_tfs.max()))
                 out_rows["max_norm"].append(float(norms[s:e].max()))
-    arrays = {}
-    for c in tbl.column_names:
-        arrays[c] = pa.array(out_rows[c], type=tbl.schema.field(c).type)
-    return pa.table(arrays).sort_by(
+    split_tbl = pa.table(
+        {
+            c: pa.array(out_rows[c], type=tbl.schema.field(c).type)
+            for c in tbl.column_names
+        }
+    )
+    return pa.concat_tables([kept, split_tbl]).sort_by(
         [
             ("field", "ascending"),
             ("term", "ascending"),
