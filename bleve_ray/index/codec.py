@@ -25,22 +25,12 @@ def varint_encode(values: np.ndarray) -> bytes:
     if v.max() < np.uint64(128):
         # fast path: every value fits one byte
         return v.astype(np.uint8).tobytes()
-    nbytes = np.ones(n, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += v >= t
+    nbytes = varint_nbytes(v)
     total = int(nbytes.sum())
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=offsets[1:])
     buf = np.zeros(total, dtype=np.uint8)
-    for j in range(10):
-        sel = nbytes > j
-        if not sel.any():
-            break
-        byte = (v[sel] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
-        cont = (nbytes[sel] - 1) > j
-        buf[offsets[sel] + j] = byte.astype(np.uint8) | (
-            cont.astype(np.uint8) << 7
-        )
+    _scatter_varints(buf, v, nbytes, offsets)
     return buf.tobytes()
 
 
@@ -78,12 +68,51 @@ def varint_decode(buf: bytes) -> np.ndarray:
 
 
 def varint_nbytes(v: np.ndarray) -> np.ndarray:
-    """LEB128 encoded length per value (vectorized)."""
+    """LEB128 encoded length per value (vectorized).  Values >= 128 are
+    rare in posting streams (small deltas/tfs), so only one full-width
+    compare runs; the tail thresholds scan just the multi-byte subset."""
     v = np.ascontiguousarray(v, dtype=np.uint64)
     nbytes = np.ones(len(v), dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += v >= t
+    big = np.flatnonzero(v >= _THRESHOLDS[0])
+    if len(big):
+        vb = v[big]
+        add = np.ones(len(big), dtype=np.int64)
+        for t in _THRESHOLDS[1:]:
+            sel = vb >= t
+            if not sel.any():
+                break
+            add += sel
+        nbytes[big] += add
     return nbytes
+
+
+def _scatter_varints(
+    buf: np.ndarray, u: np.ndarray, nbytes: np.ndarray, starts: np.ndarray
+) -> None:
+    """Write LEB128 bytes of u (per-value lengths nbytes, start offsets
+    starts) into buf.  First byte writes full-width; continuation bytes
+    only touch the (rare) multi-byte subset."""
+    cont = nbytes > 1
+    buf[starts] = (u & np.uint64(0x7F)).astype(np.uint8) | (
+        cont.astype(np.uint8) << 7
+    )
+    multi = np.flatnonzero(cont)
+    if not len(multi):
+        return
+    um = u[multi]
+    nbm = nbytes[multi]
+    stm = starts[multi]
+    jmax = int(nbm.max())
+    for j in range(1, jmax):
+        sel = nbm > j
+        um = um[sel]
+        nbm = nbm[sel]
+        stm = stm[sel]
+        byte = (um >> np.uint64(7 * j)) & np.uint64(0x7F)
+        more = (nbm - 1) > j
+        buf[stm + j] = byte.astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
 
 
 def encode_with_restarts(
@@ -113,15 +142,7 @@ def encode_with_restarts(
     if int(u.max()) < 128:
         buf[:] = u.astype(np.uint8)
         return buf.tobytes(), offsets
-    for j in range(10):
-        sel = nbytes > j
-        if not sel.any():
-            break
-        byte = (u[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[sel] - 1) > j
-        buf[offsets[:-1][sel] + j] = byte.astype(np.uint8) | (
-            cont.astype(np.uint8) << 7
-        )
+    _scatter_varints(buf, u, nbytes, offsets[:-1])
     return buf.tobytes(), offsets
 
 
@@ -138,15 +159,7 @@ def plain_varint_with_offsets(values: np.ndarray) -> tuple:
     if int(u.max()) < 128:
         buf[:] = u.astype(np.uint8)
         return buf.tobytes(), offsets
-    for j in range(10):
-        sel = nbytes > j
-        if not sel.any():
-            break
-        byte = (u[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[sel] - 1) > j
-        buf[offsets[:-1][sel] + j] = byte.astype(np.uint8) | (
-            cont.astype(np.uint8) << 7
-        )
+    _scatter_varints(buf, u, nbytes, offsets[:-1])
     return buf.tobytes(), offsets
 
 
