@@ -260,14 +260,24 @@ class IndexReader:
         each touched docmeta file gets one batched searchsorted."""
         n = len(docnums)
         out = [None] * n
-        entries = sorted(self.manifest.docmeta, key=lambda e: e.min_docnum)
+        cached = getattr(self, "_docmeta_ranges", None)
+        if cached is None:
+            # manifest is immutable per reader -- sort + range arrays once
+            entries = sorted(
+                self.manifest.docmeta, key=lambda e: e.min_docnum
+            )
+            cached = (
+                entries,
+                np.array([e.min_docnum for e in entries], dtype=np.int64),
+                np.array([e.max_docnum for e in entries], dtype=np.int64),
+            )
+            self._docmeta_ranges = cached
+        entries, los, his = cached
         if not entries or n == 0:
             return out
         docnums = np.asarray(docnums, dtype=np.int64)
         order = np.argsort(docnums, kind="stable")
         sorted_dn = docnums[order]
-        his = np.array([e.max_docnum for e in entries], dtype=np.int64)
-        los = np.array([e.min_docnum for e in entries], dtype=np.int64)
         eidx = np.searchsorted(his, sorted_dn, side="left")
         ok = (eidx < len(entries)) & (
             los[np.minimum(eidx, len(entries) - 1)] <= sorted_dn
