@@ -111,11 +111,15 @@ def _arrow_batch_tokens(
     if len(data) == 0:
         return empty
     mask = _SUPERSET_BYTE[data]
-    d = np.diff(mask.view(np.int8))
-    starts = np.flatnonzero(d == 1) + 1
-    ends = np.flatnonzero(d == -1) + 1
+    # run boundaries in ONE pass: transitions alternate start/end, with
+    # the phase fixed by mask[0] (vs two masked flatnonzero scans)
+    change = np.flatnonzero(mask[1:] != mask[:-1]) + 1
     if mask[0]:
-        starts = np.concatenate(([0], starts))
+        starts = np.concatenate(([0], change[1::2]))
+        ends = change[0::2]
+    else:
+        starts = change[0::2]
+        ends = change[1::2]
     if mask[-1]:
         ends = np.concatenate((ends, [len(data)]))
     # a doc boundary inside a run still breaks the token
