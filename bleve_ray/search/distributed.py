@@ -544,49 +544,61 @@ class IndexAlias:
 
 
 def _merge_facet_results(requests: dict, facet_sets: List[dict]) -> dict:
-    """FacetResults.Merge across member indexes: re-aggregate counts and
-    re-truncate top-N after the merge (search/facets_builder.go)."""
+    """FacetResults.Merge + Fixup across member indexes
+    (search/facets_builder.go:FacetResult.Merge, Fixup): total/missing/
+    other SUM across members, per-term or per-range counts merge by key,
+    then one top-N fixup sorted (count desc, name asc) with the dropped
+    entries' counts moved into other -- reference arithmetic, which
+    equals a recompute only when every partial kept all its terms."""
     out = {}
     for name, fr in requests.items():
         partials = [fs[name] for fs in facet_sets if name in fs]
         if not partials:
             continue
-        if "numeric_ranges" in fr:
-            buckets = {}
-            total = missing = other = 0
+        size = fr.get("size", 10)
+        total = sum(p["total"] for p in partials)
+        missing = sum(p["missing"] for p in partials)
+        other = sum(p.get("other", 0) for p in partials)
+        bucket_key = next(
+            (
+                k
+                for k in ("numeric_ranges", "date_ranges")
+                if k in partials[0]
+            ),
+            None,
+        )
+        if bucket_key:
+            buckets: Dict[str, dict] = {}
+            order: List[str] = []
             for p in partials:
-                total += p["total"]
-                missing += p["missing"]
-                other += p["other"]
-                for b in p["numeric_ranges"]:
-                    e = buckets.setdefault(
-                        b["name"],
-                        {"name": b["name"], "min": b.get("min"),
-                         "max": b.get("max"), "count": 0},
-                    )
-                    e["count"] += b["count"]
+                for b in p[bucket_key]:
+                    e = buckets.get(b["name"])
+                    if e is None:
+                        e = dict(b)
+                        buckets[b["name"]] = e
+                        order.append(b["name"])
+                    else:
+                        e["count"] += b["count"]
+            ranked = sorted(
+                buckets.values(), key=lambda b: (-b["count"], b["name"])
+            )
+            kept, dropped = ranked[:size], ranked[size:]
+            other += sum(b["count"] for b in dropped)
             out[name] = {
                 "field": fr["field"], "total": total, "missing": missing,
-                "other": other,
-                "numeric_ranges": [
-                    buckets[b["name"]]
-                    for b in partials[0]["numeric_ranges"]
-                ],
+                "other": other, bucket_key: kept,
             }
         else:
             counts: Dict[str, int] = {}
-            total = missing = 0
             for p in partials:
-                total += p["total"]
-                missing += p["missing"]
                 for t in p["terms"]:
                     counts[t["term"]] = counts.get(t["term"], 0) + t["count"]
-            size = fr.get("size", 10)
             ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            ranked = ranked[:size]
+            kept, dropped = ranked[:size], ranked[size:]
+            other += sum(c for _, c in dropped)
             out[name] = {
                 "field": fr["field"], "total": total, "missing": missing,
-                "other": total - sum(c for _, c in ranked),
-                "terms": [{"term": t, "count": c} for t, c in ranked],
+                "other": other,
+                "terms": [{"term": t, "count": c} for t, c in kept],
             }
     return out

@@ -223,12 +223,19 @@ def _partial_counts(fr: dict, values: List) -> dict:
             if v is None or (isinstance(v, (list, tuple)) and not v)
         )
         counts2: Dict[str, int] = {}
+        nv = 0
         for v in values:
             if v is None:
                 continue
             for e in v if isinstance(v, (list, tuple)) else (v,):
                 counts2[str(e)] = counts2.get(str(e), 0) + 1
-        return {"missing": missing, "n": len(values), "terms": counts2}
+                nv += 1
+        # total counts every visited VALUE (UpdateVisitor total++ per
+        # term), so multi-valued docs contribute once per element
+        return {
+            "missing": missing, "n": len(values), "nv": nv,
+            "terms": counts2,
+        }
     try:
         arr = pa.array(values)
         missing = arr.null_count
@@ -265,58 +272,49 @@ def _partial_counts(fr: dict, values: List) -> dict:
 
 
 def _finalize_facet(fr: dict, partials: List[dict]) -> dict:
-    """FacetResults.Merge + top-N truncation (exact: merge first)."""
+    """Single-builder Result() semantics (facet_builder_terms.go:107-141,
+    facet_builder_numeric.go:109-140): total counts every visited VALUE
+    (per array element for multi-valued fields), buckets/terms sort
+    (count desc, name asc) and trim to size, other = total - kept."""
     missing = sum(p["missing"] for p in partials)
-    n = sum(p["n"] for p in partials)
-    total = n - missing
-    if "numeric_ranges" in fr:
-        ranges = fr["numeric_ranges"]
-        merged = [0] * len(ranges)
-        for p in partials:
-            for i, c in enumerate(p["ranges"]):
-                merged[i] += c
-        buckets = []
-        covered = 0
-        for r, c in zip(ranges, merged):
-            covered += c
-            lo = r.get("min", -np.inf)
-            hi = r.get("max", np.inf)
-            buckets.append(
-                {"name": r.get("name", f"[{lo},{hi})"), "min": r.get("min"),
-                 "max": r.get("max"), "count": c}
-            )
-        return {
-            "field": fr["field"],
-            "total": total,
-            "missing": missing,
-            "other": max(0, total - covered),
-            "numeric_ranges": buckets,
-        }
-    if "_date_nanos_ranges" in fr:
-        merged = [0] * len(fr["_date_nanos_ranges"])
-        for p in partials:
-            for i, c in enumerate(p["ranges"]):
-                merged[i] += c
-        buckets = []
-        covered = 0
-        for r, c in zip(fr["_date_nanos_ranges"], merged):
-            covered += c
-            buckets.append(
+    # per-element visited-value count when partials carry it (multi-value
+    # fields); docs-with-value otherwise (identical for scalar fields)
+    total = sum(p.get("nv", p["n"] - p["missing"]) for p in partials)
+    size = fr.get("size", 10)
+    if "numeric_ranges" in fr or "_date_nanos_ranges" in fr:
+        if "numeric_ranges" in fr:
+            key = "numeric_ranges"
+            buckets = []
+            for r in fr["numeric_ranges"]:
+                lo = r.get("min", -np.inf)
+                hi = r.get("max", np.inf)
+                buckets.append(
+                    {"name": r.get("name", f"[{lo},{hi})"),
+                     "min": r.get("min"), "max": r.get("max"), "count": 0}
+                )
+        else:
+            key = "date_ranges"
+            buckets = [
                 {"name": r["name"], "start": r["start"], "end": r["end"],
-                 "count": c}
-            )
+                 "count": 0}
+                for r in fr["_date_nanos_ranges"]
+            ]
+        for p in partials:
+            for i, c in enumerate(p["ranges"]):
+                buckets[i]["count"] += c
+        buckets.sort(key=lambda b: (-b["count"], b["name"]))
+        kept = buckets[:size]
         return {
             "field": fr["field"],
             "total": total,
             "missing": missing,
-            "other": max(0, total - covered),
-            "date_ranges": buckets,
+            "other": total - sum(b["count"] for b in kept),
+            key: kept,
         }
     counts: Dict[str, int] = {}
     for p in partials:
         for t, c in p["terms"].items():
             counts[t] = counts.get(t, 0) + c
-    size = fr.get("size", 10)
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
     other = total - sum(c for _, c in ranked)
     return {
