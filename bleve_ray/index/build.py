@@ -1000,7 +1000,15 @@ def split_long_posting_rows(
 ) -> pa.Table:
     """Split posting rows with df > block into per-block rows carrying
     EXACT per-block bounds.  Only hot terms (Zipf head) pay the
-    decode/re-encode; all other rows pass through untouched."""
+    decode/re-encode; all other rows pass through untouched.
+
+    Tried and rejected (round 4): a fully batch-level re-encode (one
+    codec pass over all long rows' values, zero-copy per-block slices,
+    mirroring invert_batch_encoded) measured 115 -> 136-156 ms on a
+    representative merge group -- long rows are FEW and HUGE (17 rows,
+    567k values here), so per-row Python overhead is negligible while
+    the batch path pays an extra full copy (take of the long rows) and
+    loses the per-block small-encode fast paths."""
     if block is None:
         block = BLOCK_POSTINGS  # read at call time so tests can shrink it
     if len(tbl) == 0:
