@@ -75,6 +75,9 @@ class SearchResult:
     took_ms: float
     facets: Optional[Dict] = None
     total_relation: str = "eq"  # "gte" when top-k pruning skipped docs
+    # alias scatter status (SearchStatus, index_alias_impl.go
+    # MultiSearch): {"total", "successful", "failed", "errors":{name:msg}}
+    status: Optional[Dict] = None
 
     def to_dict(self) -> dict:
         d = {
@@ -85,6 +88,8 @@ class SearchResult:
         }
         if self.total_relation != "eq":
             d["total_relation"] = self.total_relation
+        if self.status is not None:
+            d["status"] = self.status
         for h in self.hits:
             hd = {"id": h.id, "score": h.score}
             if h.fields is not None:

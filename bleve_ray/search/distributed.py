@@ -269,13 +269,55 @@ class IndexAlias:
     scoring; homogeneous-shard global scoring lives in
     DistributedIndex)."""
 
-    def __init__(self, indexes: List[Index]):
-        if not indexes:
-            raise ValueError("alias needs at least one index")
-        self.indexes = list(indexes)
+    def __init__(self, indexes: Optional[List[Index]] = None,
+                 name: str = "alias"):
+        # empty aliases are constructible; searching one errors
+        # (ErrorAliasEmpty, index_alias_impl.go:42)
+        self.indexes = list(indexes or [])
+        self.name = name
 
     def add(self, index: Index) -> None:
         self.indexes.append(index)
+
+    def remove(self, index: Index) -> None:
+        self.indexes.remove(index)
+
+    def _member_name(self, idx, i: int) -> str:
+        return getattr(idx, "name", None) or f"index_{i}"
+
+    def _scatter(self, request: dict):
+        """Guarded member scatter (MultiSearch): an erroring member is
+        recorded in the status and the others still contribute --
+        partial results instead of a failed search.  Nested aliases
+        merge their child statuses (SearchStatus.Merge)."""
+        if not self.indexes:
+            raise RuntimeError("cannot search empty alias")
+        results = []
+        total = successful = 0
+        errors: Dict[str, str] = {}
+        for i, idx in enumerate(self.indexes):
+            try:
+                r = idx.search(request)
+            except Exception as e:  # member down/failed: partial result
+                total += 1
+                errors[self._member_name(idx, i)] = str(e)
+                continue
+            results.append(r)
+            st = getattr(r, "status", None)
+            if st:
+                total += st["total"]
+                successful += st["successful"]
+                errors.update(st.get("errors") or {})
+            else:
+                total += 1
+                successful += 1
+        status = {
+            "total": total,
+            "successful": successful,
+            "failed": total - successful,
+            "errors": errors,
+        }
+        return results, status
 
     def _leaf_indexes(self) -> List[Index]:
         out: List[Index] = []
@@ -297,7 +339,13 @@ class IndexAlias:
 
         per_src: Dict[str, list] = {}
         for idx in self._leaf_indexes():
-            ths = getattr(idx.mapping, "thesauri", None) or {}
+            # members are duck-typed (the reference aliases anything
+            # satisfying the Index interface); only mapping-bearing
+            # members can hold thesauri
+            ths = (
+                getattr(getattr(idx, "mapping", None), "thesauri", None)
+                or {}
+            )
             for src, r in ths.items():
                 per_src.setdefault(src, []).append(r)
         return {
@@ -314,7 +362,15 @@ class IndexAlias:
         @contextlib.contextmanager
         def ctx():
             union = self._synonym_presearch()
-            leaves = self._leaf_indexes() if union else []
+            leaves = (
+                [
+                    l
+                    for l in self._leaf_indexes()
+                    if getattr(l, "mapping", None) is not None
+                ]
+                if union
+                else []
+            )
             saved = []
             for leaf in leaves:
                 saved.append(leaf.mapping.thesauri)
@@ -368,7 +424,7 @@ class IndexAlias:
                 "bm25_stats": self._bm25_presearch()
             }
         with self._searched_members():
-            results = [idx.search(sub_req) for idx in self.indexes]
+            results, status = self._scatter(sub_req)
         merged = []
         for ri, r in enumerate(results):
             for h in r.hits:
@@ -397,6 +453,7 @@ class IndexAlias:
             max_score=max_score,
             hits=window,
             took_ms=(_t.perf_counter() - t0) * 1e3,
+            status=status,
         )
         if request.get("facets"):
             out.facets = _merge_facet_results(
@@ -463,7 +520,7 @@ class IndexAlias:
             fts_req["pre_search_data"] = {
                 "bm25_stats": self._bm25_presearch()
             }
-        results = [idx.search(fts_req) for idx in self.indexes]
+        results, status = self._scatter(fts_req)
         by_id: Dict[str, Hit] = {}
         fts_pairs = []
         for r in results:
@@ -540,6 +597,7 @@ class IndexAlias:
             max_score=max(fused.values(), default=0.0),
             hits=hits,
             took_ms=(_t.perf_counter() - t0) * 1e3,
+            status=status,
         )
 
 
