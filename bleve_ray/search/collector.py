@@ -786,7 +786,7 @@ class Index:
         fkeep = self.reader.filter_deleted(fts.docnums)
         sources = [(fts.docnums[fkeep].tolist(), fts.scores[fkeep])]
         weights = [1.0]
-        for kr in request["knn"]:
+        for kr in request.get("knn") or []:
             allowed = self._knn_filter_docnums(kr, options)
             # per-clause ANN controls: method "auto" (IVF sidecar when
             # present at the current epoch, exact otherwise), "exact"
@@ -845,7 +845,10 @@ class Index:
          "highlight": {"fields": [...], "style": "html"|"ansi"},
          "fields": ["stored", ...]}  ("*" = every retrievable field)"""
         self._validate_request(request)
-        if request.get("knn"):
+        # rrf/rsf rescoring applies to FTS-only requests too
+        # (rescorer.go wraps Search whenever req.Score selects fusion,
+        # with or without KNN clauses)
+        if request.get("knn") or request.get("score") in ("rrf", "rsf"):
             return self._search_hybrid(request)
         q = request["query"]
         query = parse_query(q) if isinstance(q, dict) else q

@@ -389,7 +389,10 @@ class IndexAlias:
     def search(self, request: dict) -> SearchResult:
         import time as _t
 
-        if request.get("knn"):
+        if request.get("knn") or request.get("score") in ("rrf", "rsf"):
+            # fusion must run ONCE over the global ranking (the member
+            # strip in _search_knn removes score/params so members
+            # return raw scores; member-local ranks would diverge)
             return self._search_knn(request)
         t0 = _t.perf_counter()
         size = request.get("size", 10)
@@ -537,7 +540,7 @@ class IndexAlias:
         weights = [1.0]
 
         # phase 1 (presearch): global top-k per KNN clause across members
-        for kr in request["knn"]:
+        for kr in request.get("knn") or []:
             k = int(kr.get("k", 10))
             cands = []  # (sim, id, member_idx, docnum)
             for mi, idx in enumerate(self.indexes):
