@@ -160,3 +160,40 @@ def test_match_query_partial_match_flag(ray_session, tmp_path_factory):
     # 3: single term -- both full
     p = partials({"match": "patrick", "field": "description"})
     assert p == {"doc1": False, "doc2": False}
+
+
+def test_fuzzy_scoring_ratio(ray_session, tmp_path_factory):
+    """index_test.go TestFuzzyScoring: docs ab/abc/abcd, fuzzy("ab")
+    fuzziness 2 -> scores in exact ratio 1 : 1/2 : 1/3 (the
+    per-candidate 1/(editDistance+1) boost with otherwise identical
+    per-doc statistics)."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("fuzsrc"))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(["ab", "abc", "abcd"]),
+            "textField": pa.array(["ab", "abc", "abcd"]),
+        }),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("fuzidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(
+            fields={"textField": FieldConfig(analyzer="simple")},
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=16,
+        ),
+    )
+    idx = Index.open(idxd)
+    res = idx.search({
+        "query": {"term": "ab", "fuzziness": 2, "field": "textField"},
+        "size": 10,
+    })
+    assert [h.id for h in res.hits] == ["ab", "abc", "abcd"]
+    max_score = res.hits[0].score
+    for i, h in enumerate(res.hits):
+        assert abs(h.score - max_score / (i + 1)) < 1e-12, (i, h.score)
