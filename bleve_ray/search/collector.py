@@ -362,6 +362,26 @@ def _knn_vector(kr: dict):
 _SYNONYMS_INTERNAL_KEY = "_synonym_definitions"
 
 
+def _apply_knn_operator(request: dict, sources) -> None:
+    """knn_operator (search_knn.go:272-273 + finalizeKNNResults:469-485):
+    "and" keeps knn contributions only for docs present in EVERY knn
+    clause's top-k (hits whose ScoreBreakdown covers all clauses);
+    "or"/default keeps the union.  sources[0] is the FTS ranking and is
+    never filtered."""
+    op = request.get("knn_operator") or "or"
+    if op not in ("and", "or"):
+        raise ValueError("knn_operator must be either 'and' / 'or'")
+    if op != "and" or len(sources) <= 2:
+        return
+    common = set(sources[1][0])
+    for ids, _ in sources[2:]:
+        common &= set(ids)
+    for si in range(1, len(sources)):
+        ids, scores = sources[si]
+        keep = [j for j, d in enumerate(ids) if d in common]
+        sources[si] = ([ids[j] for j in keep], scores[keep])
+
+
 class Index:
     """Open a built index for searching (index_impl.go Search equivalent)."""
 
@@ -806,6 +826,7 @@ class Index:
             nums, sims = nums[kkeep], sims[kkeep]
             sources.append((nums.tolist(), sims))
             weights.append(float(kr.get("boost", 1.0)))
+        _apply_knn_operator(request, sources)
         params = request.get("params") or {}
         window = int(params.get("score_window_size", from_ + size) or 1)
         window = max(window, size)

@@ -576,6 +576,9 @@ class IndexAlias:
             )
             weights.append(float(kr.get("boost", 1.0)))
 
+        from .collector import _apply_knn_operator
+
+        _apply_knn_operator(request, sources)
         mode = request.get("score", "")
         if mode == "rrf":
             fused = reciprocal_rank_fusion(

@@ -350,3 +350,76 @@ def test_knn_vector_base64(vec_index):
     assert np.allclose(
         [h.score for h in r_b64.hits], [h.score for h in r_plain.hits]
     )
+
+
+def test_knn_operator_and_or(ray_session, tmp_path_factory):
+    """knn_operator semantics (search_knn.go finalizeKNNResults +
+    TestKNNOperator): "and" admits knn contributions only for docs in
+    EVERY clause's top-k; "or" (default) is the union; anything else is
+    rejected."""
+    import numpy as np
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    rng = np.random.default_rng(11)
+    n, dims = 30, 5
+    vecs = rng.normal(size=(n, dims)).astype(np.float32)
+    d = str(tmp_path_factory.mktemp("knnopsrc"))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([f"d{i:02d}" for i in range(n)]),
+            "content": pa.array(["filler text"] * n),
+            "vec": pa.array(list(map(list, vecs.tolist()))),
+        }),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("knnopidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(
+            fields={"content": FieldConfig()},
+            doc_id_fields=["doc_id"],
+            docvalue_fields=["vec"],
+            num_shards=1,
+            bucket_bits=16,
+        ),
+    )
+    idx = Index.open(idxd)
+    q1 = vecs[0].tolist()
+    q2 = vecs[1].tolist()
+    base = {
+        "query": {"match_none": {}},
+        "knn": [
+            {"field": "vec", "vector": q1, "k": 5},
+            {"field": "vec", "vector": q2, "k": 5},
+        ],
+        "size": 30,
+    }
+    r_or = idx.search({**base, "knn_operator": "or"})
+    r_default = idx.search(base)
+    r_and = idx.search({**base, "knn_operator": "and"})
+    ids_or = {h.id for h in r_or.hits}
+    ids_and = {h.id for h in r_and.hits}
+    assert {h.id for h in r_default.hits} == ids_or
+    assert ids_and < ids_or
+
+    # exact membership vs brute-force cosine top-5 sets
+    def topk(q):
+        qv = np.asarray(q, dtype=np.float64)
+        sims = (vecs @ qv) / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(qv)
+        )
+        return {f"d{i:02d}" for i in np.argsort(-sims)[:5]}
+
+    s1, s2 = topk(q1), topk(q2)
+    assert ids_or == s1 | s2
+    assert ids_and == s1 & s2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="knn_operator"):
+        idx.search({**base, "knn_operator": "xor"})
