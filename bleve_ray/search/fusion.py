@@ -99,16 +99,51 @@ def default_knn_merge(
 def _file_topk(
     nums: np.ndarray, col: np.ndarray, qv: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Local cosine top-k for one docvalue file's vector column."""
-    valid = np.array([v is not None for v in col], dtype=bool)
-    if not valid.any():
+    """Local cosine top-k for one docvalue file's vector column.
+
+    Multi-vector docs (a list of vectors per value; search_knn_test.go
+    TestMultiVector / TestNestedVectors) score as the BEST sub-vector
+    similarity."""
+    first = next((v for v in col if v is not None and len(v)), None)
+    if first is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    idx = np.flatnonzero(valid)
-    mat = np.stack([np.asarray(col[i], dtype=np.float64) for i in idx])
     qn = qv / (np.linalg.norm(qv) or 1.0)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    sims = (mat @ qn) / norms
+    if isinstance(first[0], (list, tuple, np.ndarray)):
+        flat, fdoc = [], []
+        for i, v in enumerate(col):
+            if v is None:
+                continue
+            for sub in v:
+                flat.append(np.asarray(sub, dtype=np.float64))
+                fdoc.append(i)
+        if not flat:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        mat = np.stack(flat)
+        fdoc_a = np.asarray(fdoc, dtype=np.int64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sub_sims = (mat @ qn) / norms
+        # per-doc max over the doc's sub-vectors (fdoc is nondecreasing)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(fdoc_a)) + 1)
+        )
+        idx = fdoc_a[starts]
+        sims = np.maximum.reduceat(sub_sims, starts)
+    else:
+        valid = np.array([v is not None for v in col], dtype=bool)
+        if not valid.any():
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        idx = np.flatnonzero(valid)
+        mat = np.stack([np.asarray(col[i], dtype=np.float64) for i in idx])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
     if len(sims) > k:
         keep = np.argpartition(-sims, k - 1)[:k]
     else:

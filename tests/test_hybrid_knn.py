@@ -423,3 +423,66 @@ def test_knn_operator_and_or(ray_session, tmp_path_factory):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="knn_operator"):
         idx.search({**base, "knn_operator": "xor"})
+
+
+def test_multi_vector_per_doc(ray_session, tmp_path_factory):
+    """Multi-vector docs (search_knn_test.go TestMultiVector /
+    TestNestedVectors): a doc with several vectors scores as its BEST
+    sub-vector cosine similarity."""
+    import numpy as np
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    rng = np.random.default_rng(5)
+    n, dims = 12, 4
+    docs = []
+    for i in range(n):
+        nvec = 1 + (i % 3)
+        docs.append(rng.normal(size=(nvec, dims)).astype(np.float32))
+    d = str(tmp_path_factory.mktemp("mvsrc"))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([f"d{i:02d}" for i in range(n)]),
+            "content": pa.array(["filler"] * n),
+            "vecs": pa.array(
+                [[list(map(float, v)) for v in doc] for doc in docs]
+            ),
+        }),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("mvidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(
+            fields={"content": FieldConfig()},
+            doc_id_fields=["doc_id"],
+            docvalue_fields=["vecs"],
+            num_shards=1,
+            bucket_bits=16,
+        ),
+    )
+    idx = Index.open(idxd)
+    q = docs[3][0].tolist()
+    res = idx.search({
+        "query": {"match_none": {}},
+        "knn": [{"field": "vecs", "vector": q, "k": 5}],
+        "size": 5,
+    })
+    got = [(h.id, round(h.score, 9)) for h in res.hits]
+
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    best = []
+    for i, doc in enumerate(docs):
+        m = doc.astype(np.float64)
+        sims = (m @ qn) / np.linalg.norm(m, axis=1)
+        best.append((f"d{i:02d}", float(sims.max())))
+    best.sort(key=lambda x: (-x[1], x[0]))
+    want = [(i, round(s, 9)) for i, s in best[:5]]
+    assert got == want
+    assert got[0][0] == "d03" and abs(got[0][1] - 1.0) < 1e-9
