@@ -821,6 +821,7 @@ class Index:
                 allowed=allowed,
                 method=kr.get("method", "auto"),
                 nprobe=kr.get("nprobe"),
+                metric=kr.get("similarity", "cosine"),
             )
             kkeep = self.reader.filter_deleted(nums)
             nums, sims = nums[kkeep], sims[kkeep]

@@ -554,6 +554,7 @@ class IndexAlias:
                     nums, sims = knn_topk(
                         idx.reader, kr["field"], _knn_vector(kr), k,
                         allowed=allowed,
+                        metric=kr.get("similarity", "cosine"),
                     )
                 except Exception:
                     continue

@@ -96,10 +96,31 @@ def default_knn_merge(
     return fused
 
 
+_MAX_KNN_SCORE = 3.4028234663852886e38  # scorer_knn.go:75 maxKNNScore
+
+
+def _metric_sims(mat: np.ndarray, qv: np.ndarray, metric: str) -> np.ndarray:
+    """Similarity per row under the vector-field similarity model
+    (index.SimilarityModels; scorer_knn.go:65-75): cosine (default),
+    dot_product (raw inner product), l2_norm (euclidean distance
+    inverted -- 1/d, exact match scores maxKNNScore)."""
+    if metric == "dot_product":
+        return mat @ qv
+    if metric == "l2_norm":
+        d = np.linalg.norm(mat - qv, axis=1)
+        return np.where(d == 0.0, _MAX_KNN_SCORE, 1.0 / np.where(d == 0.0, 1.0, d))
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
 def _file_topk(
-    nums: np.ndarray, col: np.ndarray, qv: np.ndarray, k: int
+    nums: np.ndarray, col: np.ndarray, qv: np.ndarray, k: int,
+    metric: str = "cosine",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Local cosine top-k for one docvalue file's vector column.
+    """Local top-k for one docvalue file's vector column under the
+    clause's similarity model.
 
     Multi-vector docs (a list of vectors per value; search_knn_test.go
     TestMultiVector / TestNestedVectors) score as the BEST sub-vector
@@ -107,7 +128,6 @@ def _file_topk(
     first = next((v for v in col if v is not None and len(v)), None)
     if first is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    qn = qv / (np.linalg.norm(qv) or 1.0)
     if isinstance(first[0], (list, tuple, np.ndarray)):
         flat, fdoc = [], []
         for i, v in enumerate(col):
@@ -123,9 +143,7 @@ def _file_topk(
             )
         mat = np.stack(flat)
         fdoc_a = np.asarray(fdoc, dtype=np.int64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        sub_sims = (mat @ qn) / norms
+        sub_sims = _metric_sims(mat, qv, metric)
         # per-doc max over the doc's sub-vectors (fdoc is nondecreasing)
         starts = np.concatenate(
             ([0], np.flatnonzero(np.diff(fdoc_a)) + 1)
@@ -141,9 +159,7 @@ def _file_topk(
             )
         idx = np.flatnonzero(valid)
         mat = np.stack([np.asarray(col[i], dtype=np.float64) for i in idx])
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (mat @ qn) / norms
+        sims = _metric_sims(mat, qv, metric)
     if len(sims) > k:
         keep = np.argpartition(-sims, k - 1)[:k]
     else:
@@ -168,6 +184,7 @@ def knn_topk(
     method: str = "auto",
     nprobe: Optional[int] = None,
     stats: Optional[dict] = None,
+    metric: str = "cosine",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cosine top-k over a docvalue vector column.
 
@@ -184,8 +201,14 @@ def knn_topk(
     (search_knn.go KNNRequest.FilterQuery): only these docs are eligible
     candidates.  ``stats`` (optional dict) is filled with
     {"path": "ivf"|"brute", "scanned": candidates_scored}."""
+    if metric not in ("cosine", "l2_norm", "dot_product"):
+        raise ValueError(
+            "similarity must be cosine, l2_norm or dot_product"
+        )
     qv = np.asarray(vector, dtype=np.float64)
-    if method in ("auto", "ivf"):
+    if metric != "cosine" and method == "ivf":
+        raise ValueError("the IVF sidecar supports cosine only")
+    if metric == "cosine" and method in ("auto", "ivf"):
         from ..index.knn_ivf import load_knn_ivf
 
         ivf = load_knn_ivf(reader, field)
@@ -241,7 +264,7 @@ def knn_topk(
                         np.empty(0, dtype=np.float64),
                     )
                 nums, col = nums[ok], col[ok]
-            return _file_topk(nums, col, qv, k)
+            return _file_topk(nums, col, qv, k, metric)
 
         parts = ray.get([_task.remote(p, allowed_ref) for p, _, _ in files])
         scanned = -1  # not tracked across tasks
@@ -257,7 +280,7 @@ def knn_topk(
                     continue
                 nums, col = nums[ok], col[ok]
             scanned += len(nums)
-            parts.append(_file_topk(nums, col, qv, k))
+            parts.append(_file_topk(nums, col, qv, k, metric))
     if stats is not None:
         stats["path"] = "brute"
         stats["scanned"] = scanned

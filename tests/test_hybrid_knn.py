@@ -486,3 +486,80 @@ def test_multi_vector_per_doc(ray_session, tmp_path_factory):
     want = [(i, round(s, 9)) for i, s in best[:5]]
     assert got == want
     assert got[0][0] == "d03" and abs(got[0][1] - 1.0) < 1e-9
+
+
+def test_knn_similarity_metrics(ray_session, tmp_path_factory):
+    """Per-clause similarity models (mapping/field.go Similarity +
+    scorer_knn.go:65-75): dot_product = raw inner product; l2_norm =
+    inverted euclidean distance (1/d, exact match = maxKNNScore);
+    cosine is the default.  The IVF sidecar path stays cosine-only."""
+    import numpy as np
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    rng = np.random.default_rng(9)
+    n, dims = 20, 4
+    vecs = rng.normal(size=(n, dims)).astype(np.float32)
+    d = str(tmp_path_factory.mktemp("simsrc"))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([f"d{i:02d}" for i in range(n)]),
+            "content": pa.array(["filler"] * n),
+            "vec": pa.array(list(map(list, vecs.tolist()))),
+        }),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("simidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(
+            fields={"content": FieldConfig()},
+            doc_id_fields=["doc_id"],
+            docvalue_fields=["vec"],
+            num_shards=1,
+            bucket_bits=16,
+        ),
+    )
+    idx = Index.open(idxd)
+    q = vecs[7].astype(np.float64)
+
+    def run(sim):
+        res = idx.search({
+            "query": {"match_none": {}},
+            "knn": [{"field": "vec", "vector": q.tolist(), "k": 5,
+                     "similarity": sim}],
+            "size": 5,
+        })
+        return [(h.id, h.score) for h in res.hits]
+
+    m = vecs.astype(np.float64)
+    # dot product: raw inner products, top-5
+    dots = m @ q
+    want_dot = sorted(
+        ((f"d{i:02d}", float(dots[i])) for i in range(n)),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got_dot = run("dot_product")
+    assert [g[0] for g in got_dot] == [w[0] for w in want_dot]
+    for g, w in zip(got_dot, want_dot):
+        assert abs(g[1] - w[1]) < 1e-9
+
+    # l2: self-match first with maxKNNScore, then nearest by distance
+    dists = np.linalg.norm(m - q, axis=1)
+    order = np.argsort(dists)
+    got_l2 = run("l2_norm")
+    assert got_l2[0][0] == "d07"
+    assert got_l2[0][1] > 1e38
+    want_rest = [f"d{i:02d}" for i in order[1:5]]
+    assert [g[0] for g in got_l2[1:]] == want_rest
+    for g, i in zip(got_l2[1:], order[1:5]):
+        assert abs(g[1] - 1.0 / dists[i]) < 1e-9
+
+    with _pytest.raises(ValueError, match="similarity"):
+        run("manhattan")
