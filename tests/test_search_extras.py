@@ -621,3 +621,33 @@ def test_ip_term_order_property():
         assert (ta == tb) == (a == b)
 
     check()
+
+
+def test_net_limits_vectors():
+    """search_ip_range_test.go Test_netLimits: CIDR -> [network,
+    broadcast] term-range endpoints (query.py IpCidrQuery uses
+    ipaddress.ip_network's network/broadcast addresses)."""
+    import ipaddress
+
+    vectors = [
+        ("128.0.0.0/1", "128.0.0.0", "255.255.255.255"),
+        ("128.0.0.0/7", "128.0.0.0", "129.255.255.255"),
+        ("1.1.1.1/8", "1.0.0.0", "1.255.255.255"),
+        ("1.2.3.0/24", "1.2.3.0", "1.2.3.255"),
+        ("1.2.2.0/23", "1.2.2.0", "1.2.3.255"),
+        ("1.2.3.128/25", "1.2.3.128", "1.2.3.255"),
+        ("1.2.3.0/25", "1.2.3.0", "1.2.3.127"),
+        ("1.2.3.4/31", "1.2.3.4", "1.2.3.5"),
+        ("1.2.3.4/32", "1.2.3.4", "1.2.3.4"),
+        ("2a00:23c8:7283:ff00:1fa8:0:0:0/80",
+         "2a00:23c8:7283:ff00:1fa8::",
+         "2a00:23c8:7283:ff00:1fa8:ffff:ffff:ffff"),
+    ]
+    from bleve_ray.index.build import ip_term
+
+    for cidr, lo, hi in vectors:
+        net = ipaddress.ip_network(cidr, strict=False)
+        assert str(net.network_address) == lo, cidr
+        assert str(net.broadcast_address) == hi, cidr
+        # the derived 16-byte terms bound the dictionary range correctly
+        assert ip_term(lo) <= ip_term(hi)
