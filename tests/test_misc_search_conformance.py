@@ -549,3 +549,30 @@ def test_latlon_string_geo_points(ray_session, tmp_path_factory):
          "size": 10, "score": "none"}
     )
     assert [h.id for h in res.hits] == ["a"]
+
+
+def test_token_stream_to_phrase_vectors():
+    """query/match_phrase_test.go TestTokenStreamToPhrase: position-
+    indexed slots, stop-word gaps become empty slots, multiple tokens
+    can share one position (synonym-style streams)."""
+    from bleve_ray.analysis.tokenizers import Token
+    from bleve_ray.search.query import token_stream_to_phrase
+
+    def toks(*pairs):
+        return [Token(term=t, position=p, start=0, end=0)
+                for t, p in pairs]
+
+    assert token_stream_to_phrase([]) == []
+    assert token_stream_to_phrase(toks(("one", 1), ("two", 2))) == [
+        ["one"], ["two"]
+    ]
+    # gap from stop-word removal
+    assert token_stream_to_phrase(toks(("wag", 1), ("dog", 3))) == [
+        ["wag"], [], ["dog"]
+    ]
+    # multiple tokens at the same position
+    got = token_stream_to_phrase(toks(
+        ("nia", 1), ("onia", 1), ("donia", 1),
+        ("imo", 2), ("nimo", 2), ("ónimo", 2),
+    ))
+    assert got == [["nia", "onia", "donia"], ["imo", "nimo", "ónimo"]]
