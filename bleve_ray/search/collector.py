@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .query import Query, parse_query
+from .query import Query, parse_query, validate_query
 from .reader import IndexReader, SearchOptions
 from .searcher import SearchHits
 

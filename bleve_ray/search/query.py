@@ -794,6 +794,54 @@ def register_custom_query_parsers(score=None, filter=None) -> None:
         CUSTOM_FILTER_QUERY_PARSER = filter
 
 
+def validate_query(q: Query) -> None:
+    """ValidatableQuery walk (the per-type Validate methods,
+    query/{boolean,disjunction,conjunction,numeric_range,term_range,
+    phrase,multi_phrase}.go), recursing into compound clauses.
+
+    Like the reference, this is an EXPLICIT surface
+    (SearchRequest.Validate, search.go:324) -- Index.Search does NOT
+    call it, so e.g. a disjunction with min > len(disjuncts) searches
+    to zero hits rather than erroring (TestBooleanMust... semantics),
+    while API layers that opt into validation reject it up front."""
+    if isinstance(q, BooleanQuery):
+        if (
+            q.must is None
+            and q.should is None
+            and q.must_not is None
+            and q.filter is None
+        ):
+            raise ValueError(
+                "boolean query must contain at least one must or should "
+                "or not must or filter clause"
+            )
+        for c in (q.must, q.should, q.must_not, q.filter):
+            if c is not None:
+                validate_query(c)
+    elif isinstance(q, DisjunctionQuery):
+        if int(q.min) > len(q.disjuncts):
+            raise ValueError(
+                "disjunction query has fewer than the minimum number "
+                "of clauses to satisfy"
+            )
+        for c in q.disjuncts:
+            validate_query(c)
+    elif isinstance(q, ConjunctionQuery):
+        for c in q.conjuncts:
+            validate_query(c)
+    elif isinstance(q, NumericRangeQuery):
+        if q.min is None and q.max is None:
+            raise ValueError("numeric range query must specify min or max")
+    elif isinstance(q, TermRangeQuery):
+        if not q.min and not q.max:
+            raise ValueError("term range query must specify min or max")
+    elif isinstance(q, MultiPhraseQuery):
+        if len(q.terms) < 1:
+            raise ValueError(
+                "phrase query must contain at least one term"
+            )
+
+
 def parse_query(d: Dict) -> Query:
     """JSON-dict -> Query (dispatch mirrors query.go:146-382)."""
     boost = d.get("boost", 1.0)

@@ -576,3 +576,71 @@ def test_token_stream_to_phrase_vectors():
         ("imo", 2), ("nimo", 2), ("ónimo", 2),
     ))
     assert got == [["nia", "onia", "donia"], ["imo", "nimo", "ónimo"]]
+
+
+def test_query_validate_vectors():
+    """query/query_test.go TestQueryValidate via the explicit
+    validate_query surface (SearchRequest.Validate role; Search itself
+    does not auto-validate, matching the reference)."""
+    import pytest as _pytest
+
+    from bleve_ray.search.query import (
+        BooleanQuery,
+        ConjunctionQuery,
+        DisjunctionQuery,
+        MatchQuery,
+        MultiPhraseQuery,
+        NumericRangeQuery,
+        TermQuery,
+        TermRangeQuery,
+        validate_query,
+    )
+
+    ok = [
+        TermQuery(term="water", field="desc"),
+        MatchQuery(match="beer", field="desc"),
+        NumericRangeQuery(min=5.1, max=7.1, field="desc"),
+        NumericRangeQuery(min=5.1, field="desc"),
+        TermRangeQuery(min="a", field="desc"),
+        MultiPhraseQuery(terms=[["watered"], ["down"]], field="desc"),
+        BooleanQuery(
+            must=ConjunctionQuery(
+                conjuncts=[MatchQuery(match="beer", field="desc")]
+            ),
+            must_not=DisjunctionQuery(
+                disjuncts=[MatchQuery(match="devon", field="desc")]
+            ),
+        ),
+        BooleanQuery(
+            must_not=DisjunctionQuery(
+                disjuncts=[MatchQuery(match="devon", field="desc")]
+            )
+        ),
+    ]
+    for q in ok:
+        validate_query(q)  # must not raise
+
+    bad = [
+        (NumericRangeQuery(field="desc"), "numeric range"),
+        (TermRangeQuery(field="desc"), "term range"),
+        (MultiPhraseQuery(terms=[], field="f"), "phrase"),
+        (BooleanQuery(), "boolean"),
+        (
+            BooleanQuery(
+                must=ConjunctionQuery(
+                    conjuncts=[MatchQuery(match="beer", field="desc")]
+                ),
+                should=DisjunctionQuery(
+                    disjuncts=[MatchQuery(match="water", field="desc")],
+                    min=2,
+                ),
+                must_not=DisjunctionQuery(
+                    disjuncts=[MatchQuery(match="devon", field="desc")]
+                ),
+            ),
+            "disjunction",
+        ),
+    ]
+    for q, frag in bad:
+        with _pytest.raises(ValueError, match=frag):
+            validate_query(q)
