@@ -372,3 +372,57 @@ def test_query_string_numeric_terms():
         assert nq.min == nq.max == num
         assert nq.inclusive_min and nq.inclusive_max
         assert mq.field == nq.field == field
+
+
+def test_query_string_parse_shapes():
+    """query_string_parser_test.go TestQuerySyntaxParserValid
+    (representative subset): modifier chars are legal MID-term, field
+    scoping, phrase forms, boosts, numeric terms.  Our AST collapses
+    the reference's single-should boolean wrapper to the inner query --
+    search-identical, locked by the end-to-end conformance suites."""
+    from bleve_ray.search.query import (
+        BooleanQuery,
+        DisjunctionQuery,
+        MatchPhraseQuery,
+        MatchQuery,
+    )
+    from bleve_ray.search.query_string import parse_query_string
+
+    q = parse_query_string("field:t-est")
+    assert isinstance(q, MatchQuery) and q.match == "t-est"
+    for ch in "+<>=":
+        q = parse_query_string(f"field:t{ch}est")
+        assert isinstance(q, MatchQuery)
+        assert q.match == f"t{ch}est" and q.field == "field"
+
+    q = parse_query_string('"test phrase 1"')
+    assert isinstance(q, MatchPhraseQuery)
+    assert q.match_phrase == "test phrase 1"
+
+    q = parse_query_string('field3:"test phrase 2"')
+    assert isinstance(q, MatchPhraseQuery) and q.field == "field3"
+
+    q = parse_query_string("+field1:test1")
+    assert isinstance(q, BooleanQuery)
+    assert q.must.conjuncts[0].match == "test1"
+    assert q.must.conjuncts[0].field == "field1"
+
+    q = parse_query_string("-field2:test2")
+    assert isinstance(q, BooleanQuery)
+    assert q.must_not.disjuncts[0].match == "test2"
+
+    q = parse_query_string("+field6:test3 -field7:test4 field8:test5")
+    assert isinstance(q, BooleanQuery)
+    assert q.must.conjuncts[0].field == "field6"
+    assert q.must_not.disjuncts[0].field == "field7"
+
+    q = parse_query_string("test^3")
+    assert isinstance(q, MatchQuery) and q.boost == 3.0
+
+    q = parse_query_string("test^3 other^6")
+    assert isinstance(q, DisjunctionQuery)
+    assert [c.boost for c in q.disjuncts] == [3.0, 6.0]
+
+    # numeric term: match OR exact-equality disjunction (round-3 parity)
+    q = parse_query_string("field:33")
+    assert isinstance(q, DisjunctionQuery)
