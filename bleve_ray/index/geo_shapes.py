@@ -547,11 +547,9 @@ def _prim_within(a: tuple, b: tuple) -> bool:
     if kb == "line":
         if ka == "pt":
             return _prim_intersects(a, b)
-        if ka == "line":
-            return all(
-                any(_on_seg(*p, *s, *e) for s, e in _line_segments(vb))
-                for p in va
-            )
+        # polylines have no interior: the reference reports even
+        # COINCIDENT linestrings as not-within
+        # (geoshape_within_test.go "coincident linestrings" -> false)
         return False
     raise AssertionError(kb)
 
