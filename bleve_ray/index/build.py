@@ -1356,7 +1356,15 @@ def _build_partition(
             total_rows += row
             rows_per_file[fi] = row
 
-    ds = ray.data.from_items(descs, override_num_blocks=max(1, len(descs)))
+    # ~2 blocks per CPU: one-desc-per-block maximizes scheduling and
+    # FromItems overhead (400 tiny blocks built serially measured ~10%
+    # of stage-1 wall); a handful of row-group descriptors per task
+    # keeps tasks ~1 s with two waves of work per core.  Sub-batch
+    # side effects stay idempotent per descriptor, so retry/resume
+    # granularity is unchanged.
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_blocks = min(len(descs), max(32, 2 * total_cpus))
+    ds = ray.data.from_items(descs, override_num_blocks=max(1, n_blocks))
     chunks = ds.map_batches(
         ReadAnalyzeInvert(index_dir, options),
         batch_size=None,
