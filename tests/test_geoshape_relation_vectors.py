@@ -70,3 +70,21 @@ def test_geoshape_relation_vector(vec):
     query = parse_geojson(vec["query"])
     got = shape_relation(doc, query, vec["relation"])
     assert got == vec["expected"], vec["desc"]
+
+
+def test_multipolygon_within_multipolygon_handported():
+    """geoshape_within_test.go TestMultiPolygonWithin (the extractor
+    skipped these two on a Go-literal quirk): a doc multipolygon is
+    within a query multipolygon when each part fits some query part."""
+    q = {"type": "multipolygon", "coordinates": [
+        [[[16, 6], [41, 11], [11, 21], [6, 11], [16, 6]]],
+        [[[31, 21], [46, 41], [11, 41], [31, 21]]],
+    ]}
+    doc_in = {"type": "multipolygon",
+              "coordinates": [[[[31, 21], [46, 41], [11, 41], [31, 21]]]]}
+    doc_out = {"type": "multipolygon",
+               "coordinates": [[[[31, 21], [46, 41], [16, 46], [31, 21]]]]}
+    assert shape_relation(parse_geojson(doc_in), parse_geojson(q),
+                          "within") is True
+    assert shape_relation(parse_geojson(doc_out), parse_geojson(q),
+                          "within") is False
