@@ -301,8 +301,10 @@ def main():
         def analyze_only(batch):
             import pyarrow as pa
 
-            analyze_batch(batch["content"].to_pylist(),
-                          analyzer_named("standard"))
+            # feed the Arrow column directly (the build's own path);
+            # the old to_pylist() conversion deflated the probe ~2x,
+            # making "build above ceiling" reads too easy
+            analyze_batch(batch["content"], analyzer_named("standard"))
             return pa.table({"n": pa.array([len(batch)])})
 
         def run_once():
