@@ -644,3 +644,37 @@ def test_query_validate_vectors():
     for q, frag in bad:
         with _pytest.raises(ValueError, match=frag):
             validate_query(q)
+
+
+def test_match_all_score_none(ray_session, tmp_path_factory):
+    """search_test.go TestMatchAllScorer: match_all with score=none
+    returns every doc with score 0.0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    d = str(tmp_path_factory.mktemp("masrc"))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(["1", "2", "3"]),
+            "content": pa.array(["k", "l", "m"]),
+        }),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("maidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(fields={"content": FieldConfig(analyzer="en")},
+                     doc_id_fields=["doc_id"], num_shards=1,
+                     bucket_bits=16),
+    )
+    idx = Index.open(idxd)
+    res = idx.search({"query": {"match_all": {}}, "score": "none",
+                      "size": 10})
+    assert res.total_hits == 3
+    assert all(h.score == 0.0 for h in res.hits)
