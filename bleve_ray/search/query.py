@@ -767,7 +767,12 @@ class MatchAllQuery(Query):
     boost: float = 1.0
 
     def searcher(self, reader, mapping, options):
-        return MatchAllSearcher(reader, self.boost)
+        # score=none zeroes even the constant scorer
+        # (TestMatchAllScorer: every hit scores 0.0 under Score="none")
+        s = MatchAllSearcher(reader, self.boost)
+        if options.score == "none":
+            s.scorer.constant = 0.0
+        return s
 
 
 @dataclass
