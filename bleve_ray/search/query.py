@@ -129,9 +129,17 @@ def token_stream_to_phrase(tokens) -> List[List[str]]:
     return phrase
 
 
+MAX_FUZZINESS = 2  # search_fuzzy.go:26
+
+
 def _fuzzy_candidate_terms(reader, term, fuzz, prefix_length, field):
     """Dictionary terms within edit distance (the FuzzySearcher expansion,
-    search_fuzzy.go); shared by FuzzyQuery and fuzzy phrases."""
+    search_fuzzy.go); shared by FuzzyQuery and fuzzy phrases.
+    Fuzziness is bounded like NewFuzzySearcher (search_fuzzy.go:30-38)."""
+    if fuzz > MAX_FUZZINESS:
+        raise ValueError(f"fuzziness exceeds max ({MAX_FUZZINESS})")
+    if fuzz < 0:
+        raise ValueError("invalid fuzziness, negative")
     prefix = term[:prefix_length]
     if hasattr(reader, "terms_matching_automaton"):
         from .lev_automaton import LevAutomaton

@@ -197,3 +197,35 @@ def test_fuzzy_scoring_ratio(ray_session, tmp_path_factory):
     max_score = res.hits[0].score
     for i, h in enumerate(res.hits):
         assert abs(h.score - max_score / (i + 1)) < 1e-12, (i, h.score)
+
+
+def test_fuzzy_limit_errors(ray_session, tmp_path_factory):
+    """search_fuzzy_test.go TestFuzzySearchLimitErrors: fuzziness > 2
+    and negative fuzziness error at searcher construction."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("fzlsrc"))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(["a"]),
+                  "content": pa.array(["water"])}),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("fzlidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(fields={"content": FieldConfig()},
+                     doc_id_fields=["doc_id"], num_shards=1,
+                     bucket_bits=16),
+    )
+    idx = Index.open(idxd)
+    with pytest.raises(ValueError, match="exceeds max"):
+        idx.search({"query": {"term": "water", "field": "content",
+                              "fuzziness": 3}, "size": 5})
+    with pytest.raises(ValueError, match="negative"):
+        idx.search({"query": {"term": "water", "field": "content",
+                              "fuzziness": -1}, "size": 5})
+    # fuzziness 2 still searches
+    r = idx.search({"query": {"term": "watr", "field": "content",
+                              "fuzziness": 2}, "size": 5})
+    assert r.total_hits == 1
