@@ -678,3 +678,44 @@ def test_match_all_score_none(ray_session, tmp_path_factory):
                       "size": 10})
     assert res.total_hits == 3
     assert all(h.score == 0.0 for h in res.hits)
+
+
+def test_concurrent_searches_share_reader(ray_session, tmp_path_factory):
+    """Race-test role (index_test.go TestBatchRace* family): many
+    threads searching one Index concurrently -- posting/docmeta caches
+    and the LRU must stay consistent, results identical to serial."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    d = str(tmp_path_factory.mktemp("racesrc"))
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([f"d{i}" for i in range(200)]),
+            "content": pa.array(
+                [f"{words[i % 5]} {words[(i + 1) % 5]}" for i in range(200)]
+            ),
+        }),
+        os.path.join(d, "docs.parquet"),
+    )
+    idxd = str(tmp_path_factory.mktemp("raceidx"))
+    build_index(
+        [os.path.join(d, "docs.parquet")],
+        idxd,
+        IndexOptions(fields={"content": FieldConfig()},
+                     doc_id_fields=["doc_id"], num_shards=2,
+                     bucket_bits=16),
+    )
+    idx = Index.open(idxd)
+    reqs = [{"query": {"term": w, "field": "content"}, "size": 5}
+            for w in words] * 8
+    serial = [idx.search(r).total_hits for r in reqs]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        parallel = list(ex.map(lambda r: idx.search(r).total_hits, reqs))
+    assert parallel == serial
