@@ -26,10 +26,22 @@ def registered_datetime_parsers() -> List[str]:
     return sorted(_REGISTRY)
 
 
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
 def _to_nanos(d: _dt.datetime) -> int:
+    """Exact-integer datetime→nanos: float ``timestamp()`` can lose a
+    microsecond at representation boundaries (the same hazard fixed in
+    go_layout's parse path, which shares this helper)."""
     if d.tzinfo is None:
         d = d.replace(tzinfo=_dt.timezone.utc)
-    return int(d.timestamp() * 1_000_000) * 1000
+    delta = d - _EPOCH
+    micros = (
+        delta.days * 86_400_000_000
+        + delta.seconds * 1_000_000
+        + delta.microseconds
+    )
+    return micros * 1000
 
 
 def parse_iso(v) -> Optional[int]:

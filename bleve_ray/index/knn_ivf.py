@@ -60,12 +60,18 @@ def build_knn_ivf(
     if not files:
         raise ValueError("index has no docvalue files")
 
-    # bounded driver-side training sample (spread across files)
+    # bounded driver-side training sample (spread across files AND
+    # strided within each file — a head slice trains biased centroids
+    # on sorted/clustered corpora)
     sample_rows: list = []
     per_file = max(1, train_sample // len(files))
     for p in files:
         t = pq.read_table(p, columns=[field])
-        vals = [v for v in t[field].to_pylist()[:per_file] if v is not None]
+        n = len(t)
+        if n > per_file:
+            idx = np.linspace(0, n - 1, per_file).astype(np.int64)
+            t = t.take(pa.array(idx))
+        vals = [v for v in t[field].to_pylist() if v is not None]
         sample_rows.extend(vals)
         if len(sample_rows) >= train_sample:
             break
@@ -109,7 +115,15 @@ def build_knn_ivf(
             }
         )
 
+    # clear any prior sidecar first: write_parquet appends, and
+    # candidates() globs every *.parquet per cell — a rebuild over a
+    # stale sidecar would double-count docnums and serve old vectors
+    # at the refreshed epoch.
     out = _sidecar_dir(index_dir, field)
+    if os.path.isdir(out):
+        import shutil
+
+        shutil.rmtree(out)
     ds = ray.data.read_parquet(files, columns=["docnum", field])
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         out, partition_cols=["list_id"]

@@ -846,16 +846,106 @@ class Index:
         docnums = np.fromiter(fused.keys(), dtype=np.int64, count=len(fused))
         scores = np.fromiter(fused.values(), dtype=np.float64, count=len(fused))
         hits = SearchHits(docnums, scores)
-        result = collect_topn(self.reader, hits, size=size, from_=from_)
-        if mode in ("rrf", "rsf") and len(result.hits) > window:
-            result.hits = result.hits[:window]
+        sort = request.get("sort")
+        custom_sort = bool(sort) and sort != ["-_score", "_id"]
+        if mode in ("rrf", "rsf"):
+            # fusion re-ranks by fused score (rescorer.go rescore); a
+            # custom sort or cursor contradicts that ordering -- reject
+            # explicitly instead of silently ignoring
+            if custom_sort:
+                raise ValueError(
+                    "sort is not supported with score fusion (rrf/rsf)"
+                )
+            if request.get("search_after") or request.get("search_before"):
+                raise ValueError(
+                    "search_after/search_before are not supported with "
+                    "score fusion (rrf/rsf)"
+                )
+            result = collect_topn(self.reader, hits, size=size, from_=from_)
+            if len(result.hits) > window:
+                result.hits = result.hits[:window]
+        else:
+            # additive merge behaves like a normal search over the fused
+            # hit set: custom sorts and cursors apply
+            pre_cursor_total = len(hits.docnums)
+            if request.get("search_after"):
+                if custom_sort:
+                    hits = _apply_cursor_sorted(
+                        self.reader, hits, sort, request["search_after"],
+                        before=False,
+                    )
+                else:
+                    hits = _apply_search_after(
+                        self.reader, hits, request["search_after"]
+                    )
+            if request.get("search_before"):
+                if custom_sort:
+                    hits = _apply_cursor_sorted(
+                        self.reader, hits, sort, request["search_before"],
+                        before=True,
+                    )
+                else:
+                    hits = _apply_search_before(
+                        self.reader, hits, request["search_before"]
+                    )
+                from_ = max(0, len(hits.docnums) - size)
+            result = collect_topn(
+                self.reader, hits, size=size, from_=from_, sort=sort
+            )
+            if request.get("search_after") or request.get("search_before"):
+                result.total_hits = pre_cursor_total
         result.took_ms = (_t.perf_counter() - t0) * 1e3
+        if request.get("facets"):
+            # reference semantics (index_impl.go:1040-1056): facets come
+            # from the FTS collector over every query match; knn hits and
+            # fusion reordering do not change them
+            from .facets import compute_facets
+
+            result.facets = compute_facets(
+                self.reader, np.asarray(sources[0][0], dtype=np.int64),
+                request["facets"],
+            )
         want_fields = self._expand_fields(request.get("fields"))
-        if want_fields and result.hits:
+        hl = request.get("highlight")
+        if (want_fields or hl) and result.hits:
             dn = np.array([h.docnum for h in result.hits], dtype=np.int64)
-            dv = self.reader.docvalues_for(dn, sorted(set(want_fields)))
+            fetch = set(want_fields)
+            if hl:
+                fetch.update(hl.get("fields", []))
+            dv = self.reader.docvalues_for(dn, sorted(fetch))
             for j, h in enumerate(result.hits):
-                h.fields = {f: dv[f][j] for f in want_fields}
+                if want_fields:
+                    h.fields = {f: dv[f][j] for f in want_fields}
+                if hl:
+                    from ..analysis.analyzers import analyzer_named
+                    from .highlight import (
+                        extract_query_terms,
+                        highlight_text,
+                    )
+
+                    terms_by_field = extract_query_terms(
+                        q if isinstance(q, dict) else {},
+                        lambda f, a=None: analyzer_named(
+                            a or self.mapping.analyzer_for(f)
+                        ),
+                        self.mapping.default_field,
+                    )
+                    h.fragments = {}
+                    for f in hl.get("fields", []):
+                        text = dv.get(f, [None] * len(result.hits))[j]
+                        if text:
+                            h.fragments[f] = highlight_text(
+                                text,
+                                terms_by_field.get(f, set()),
+                                analyzer_named(
+                                    self.mapping.analyzer_for(f)
+                                ),
+                                style=hl.get("style", "html"),
+                                max_fragments=hl.get("max_fragments", 1),
+                                fragment_size=hl.get(
+                                    "fragment_size", 200
+                                ),
+                            )
         return result
 
     def search(self, request: dict) -> SearchResult:

@@ -554,9 +554,20 @@ class IndexAlias:
                     nums, sims = knn_topk(
                         idx.reader, kr["field"], _knn_vector(kr), k,
                         allowed=allowed,
+                        method=kr.get("method", "auto"),
+                        nprobe=kr.get("nprobe"),
                         metric=kr.get("similarity", "cosine"),
                     )
-                except Exception:
+                except Exception as e:
+                    # partial results: record the member failure in the
+                    # scatter status (same bookkeeping as _scatter)
+                    nm = self._member_name(idx, mi)
+                    if nm not in status["errors"]:
+                        status["errors"][nm] = str(e)
+                        status["failed"] += 1
+                        status["successful"] = max(
+                            0, status["successful"] - 1
+                        )
                     continue
                 keep = idx.reader.filter_deleted(nums)
                 nums, sims = nums[keep], sims[keep]

@@ -125,41 +125,30 @@ def _file_topk(
     Multi-vector docs (a list of vectors per value; search_knn_test.go
     TestMultiVector / TestNestedVectors) score as the BEST sub-vector
     similarity."""
-    first = next((v for v in col if v is not None and len(v)), None)
-    if first is None:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    if isinstance(first[0], (list, tuple, np.ndarray)):
-        flat, fdoc = [], []
-        for i, v in enumerate(col):
-            if v is None:
-                continue
-            for sub in v:
+    # layout is decided PER VALUE, not from the column's first element:
+    # a column mixing flat vectors and multi-vector lists (or files whose
+    # first doc differs in shape) must route each value correctly.
+    flat, fdoc = [], []
+    for i, v in enumerate(col):
+        if v is None or len(v) == 0:
+            continue
+        if isinstance(v[0], (list, tuple, np.ndarray)):
+            for sub in v:  # multi-vector doc: one row per sub-vector
                 flat.append(np.asarray(sub, dtype=np.float64))
                 fdoc.append(i)
-        if not flat:
-            return (
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.float64),
-            )
-        mat = np.stack(flat)
-        fdoc_a = np.asarray(fdoc, dtype=np.int64)
-        sub_sims = _metric_sims(mat, qv, metric)
-        # per-doc max over the doc's sub-vectors (fdoc is nondecreasing)
-        starts = np.concatenate(
-            ([0], np.flatnonzero(np.diff(fdoc_a)) + 1)
-        )
-        idx = fdoc_a[starts]
-        sims = np.maximum.reduceat(sub_sims, starts)
-    else:
-        valid = np.array([v is not None for v in col], dtype=bool)
-        if not valid.any():
-            return (
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.float64),
-            )
-        idx = np.flatnonzero(valid)
-        mat = np.stack([np.asarray(col[i], dtype=np.float64) for i in idx])
-        sims = _metric_sims(mat, qv, metric)
+        else:
+            flat.append(np.asarray(v, dtype=np.float64))
+            fdoc.append(i)
+    if not flat:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    mat = np.stack(flat)
+    fdoc_a = np.asarray(fdoc, dtype=np.int64)
+    sub_sims = _metric_sims(mat, qv, metric)
+    # per-doc max over the doc's sub-vectors (fdoc is nondecreasing;
+    # single-vector docs are their own 1-row group)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(fdoc_a)) + 1))
+    idx = fdoc_a[starts]
+    sims = np.maximum.reduceat(sub_sims, starts)
     if len(sims) > k:
         keep = np.argpartition(-sims, k - 1)[:k]
     else:

@@ -237,3 +237,19 @@ def test_terms_facet_empty_array_counts_missing():
     r = _partial_counts({}, ["a", None, [], ["b", "c"], ()])
     assert r["missing"] == 3
     assert r["terms"] == {"a": 1, "b": 1, "c": 1}
+
+
+def test_to_nanos_exact_at_float_representation_boundary():
+    """iso/rfc3339 datetime-object parses must use exact integer
+    arithmetic: int(d.timestamp()*1e6) loses a microsecond at float
+    representation boundaries (e.g. 2004-07-20T19:48:54.935922Z)."""
+    from bleve_ray.analysis.datetime_parsers import parse_iso
+
+    for s, want in [
+        ("2004-07-20T19:48:54.935922+00:00", 1090352934935922000),
+        ("2040-04-22T15:38:30.725249+00:00", 2218721910725249000),
+        ("2038-05-24T00:18:57.973242+00:00", 2158273137973242000),
+    ]:
+        assert parse_iso(s) == want
+        d = datetime.datetime.fromisoformat(s)
+        assert parse_iso(d) == want

@@ -182,3 +182,75 @@ def test_fts_rescoring_pagination_stitches(fts_indexes, score):
         p2 = idx.search(_req(score, 5, 5))
         stitched = [h.id for h in p1.hits] + [h.id for h in p2.hits]
         assert stitched == [h.id for h in full.hits][: len(stitched)]
+
+
+def test_fusion_request_keeps_facets(fts_indexes):
+    """rescorer.go wraps the COMPLETE search: a {"score":"rrf",
+    "facets":{...}} request must still return facets (computed over
+    every FTS match, unchanged by the fusion reordering)."""
+    single, _, _ = fts_indexes
+    req = _req("rrf")
+    req["facets"] = {"cats": {"field": "category", "size": 5}}
+    res = single.search(req)
+    assert res.hits
+    assert res.facets and "cats" in res.facets
+    plain = dict(req)
+    del plain["score"]
+    res_plain = single.search(plain)
+    assert res.facets["cats"]["total"] == res_plain.facets["cats"]["total"]
+    assert res.facets["cats"]["terms"] == res_plain.facets["cats"]["terms"]
+
+
+def test_fusion_request_highlights(ray_session, tmp_path):
+    # highlight needs the field stored as a docvalue; build a small
+    # index with description retrievable
+    files = _write(str(tmp_path), DOCS)
+    idxd = str(tmp_path / "hlidx")
+    build_index(
+        files,
+        idxd,
+        IndexOptions(
+            fields={
+                "color": FieldConfig(analyzer="en"),
+                "description": FieldConfig(analyzer="en"),
+                "category": FieldConfig(analyzer="en"),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=8,
+            docvalue_fields=["description"],
+        ),
+    )
+    single = Index.open(idxd)
+    req = {
+        "query": {"match": "light", "field": "description"},
+        "score": "rsf",
+        "params": {"score_window_size": 10},
+        "size": 10,
+        "highlight": {"fields": ["description"], "style": "html"},
+    }
+    res = single.search(req)
+    assert res.hits
+    assert any(
+        getattr(h, "fragments", None) and h.fragments.get("description")
+        for h in res.hits
+    )
+    # parity with the unfused request's fragments for the same docs
+    plain = dict(req)
+    del plain["score"]
+    by_id = {h.id: getattr(h, "fragments", {}) for h in single.search(plain).hits}
+    for h in res.hits:
+        if h.id in by_id:
+            assert h.fragments == by_id[h.id]
+
+
+def test_fusion_rejects_sort_and_cursor(fts_indexes):
+    single, _, _ = fts_indexes
+    req = _req("rrf")
+    req["sort"] = ["category"]
+    with pytest.raises(ValueError, match="sort"):
+        single.search(req)
+    req2 = _req("rrf")
+    req2["search_after"] = ["0.5", "blue"]
+    with pytest.raises(ValueError, match="search after"):
+        single.search(req2)

@@ -200,3 +200,37 @@ RSF_CASES = [
 )
 def test_rsf_reference_vectors(hits, weights, window, nk, want_hits, want_max):
     _check(_rsf(hits, weights, window, nk), (want_hits, want_max))
+
+
+def test_file_topk_mixed_flat_and_multivector_column():
+    """Layout is decided per value: a column mixing flat vectors and
+    multi-vector lists (or whose first doc differs in shape from later
+    docs) must score every doc — flat docs as themselves, multi-vector
+    docs as their best sub-vector."""
+    import numpy as np
+
+    from bleve_ray.search.fusion import _file_topk
+
+    q = np.array([1.0, 0.0])
+    nums = np.arange(4, dtype=np.int64)
+    col = [
+        [1.0, 0.0],                      # flat, sim 1.0
+        [[0.0, 1.0], [0.6, 0.8]],        # multi: best sub-vector sim 0.6
+        None,                             # missing
+        [[-1.0, 0.0]],                   # multi with one sub-vector, -1.0
+    ]
+    got_nums, got_sims = _file_topk(nums, col, q, k=4)
+    by = dict(zip(got_nums.tolist(), got_sims.tolist()))
+    assert set(by) == {0, 1, 3}
+    assert by[0] == pytest.approx(1.0)
+    assert by[1] == pytest.approx(0.6)
+    assert by[3] == pytest.approx(-1.0)
+
+    # first doc NESTED then flat (the old first-element heuristic broke
+    # exactly this: flat rows iterated as scalars)
+    col2 = [[[0.0, 1.0]], [0.8, 0.6], [1.0, 0.0]]
+    n2, s2 = _file_topk(np.arange(3, dtype=np.int64), col2, q, k=3)
+    by2 = dict(zip(n2.tolist(), s2.tolist()))
+    assert by2[2] == pytest.approx(1.0)
+    assert by2[1] == pytest.approx(0.8)
+    assert by2[0] == pytest.approx(0.0)

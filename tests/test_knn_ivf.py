@@ -3,6 +3,8 @@ per-segment faiss IVF, search_knn.go / snapshot_vector_index.go /
 optimize_knn.go): rank parity with brute force on top-k, candidate scan
 count << N, epoch-staleness fallback."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -160,6 +162,50 @@ def test_stale_sidecar_falls_back_to_exact(big_vec_index, tmp_path):
     assert nums.tolist() == _brute(vecs, q, 10)
 
 
+def test_rebuild_replaces_sidecar_no_duplicates(ray_session, tmp_path):
+    """Rebuilding over an existing sidecar must REPLACE it — ray's
+    write_parquet appends by default, and candidates() globs every
+    *.parquet per cell, so a stale file would double-count docnums."""
+    rng = np.random.default_rng(5)
+    n = 400
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(["x"] * n),
+            "embedding": pa.array(
+                [rng.standard_normal(4).tolist() for _ in range(n)],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(tmp_path / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={
+                "text": FieldConfig(analyzer="keyword", positions=False)
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=4,
+            docvalue_fields=["embedding"],
+        ),
+    )
+    build_knn_ivf(idx_dir, "embedding", nlist=4)
+    build_knn_ivf(idx_dir, "embedding", nlist=4)  # rebuild in place
+    idx = Index.open(idx_dir)
+    ivf = load_knn_ivf(idx.reader, "embedding")
+    assert ivf is not None
+    # probing EVERY cell must yield each docnum exactly once
+    nums, vecs_out = ivf.candidates(np.ones(4), nprobe=4)
+    assert len(nums) == n
+    assert len(set(nums.tolist())) == n
+    assert vecs_out.shape == (n, 4)
+
+
 def test_method_ivf_errors_without_sidecar(ray_session, tmp_path):
     rng = np.random.default_rng(1)
     tbl = pa.table(
@@ -193,3 +239,44 @@ def test_method_ivf_errors_without_sidecar(ray_session, tmp_path):
         knn_topk(
             idx.reader, "embedding", np.zeros(4), 3, method="ivf"
         )
+
+
+def test_alias_forwards_knn_method_and_nprobe(big_vec_index):
+    """Alias presearch must honor per-clause method/nprobe like the
+    single-index path: method:"ivf" with no sidecar at alias level is a
+    recorded member failure (partial results), not a silent exact scan;
+    method:"exact" never touches the sidecar."""
+    from bleve_ray.search.distributed import IndexAlias
+
+    idx_dir, vecs = big_vec_index
+    idx = Index.open(idx_dir)
+    alias = IndexAlias([idx])
+    q = vecs[11].astype(np.float64)
+
+    def req(**kw):
+        return {
+            "query": {"match_none": {}},
+            "knn": [dict(field="embedding", vector=q.tolist(), k=5, **kw)],
+            "size": 5,
+            "score": "rrf",  # fusion routes through alias presearch
+            "params": {"score_window_size": 5},
+        }
+
+    r_ivf = alias.search(req(method="ivf", nprobe=2))
+    r_exact = alias.search(req(method="exact"))
+    assert [h.id for h in r_ivf.hits] == [h.id for h in r_exact.hits]
+
+    # strip the sidecar: method:"ivf" now fails that member, recorded in
+    # the scatter status instead of silently scanning exact
+    import shutil
+    import tempfile
+
+    bare = tempfile.mkdtemp()
+    shutil.copytree(idx_dir, bare, dirs_exist_ok=True)
+    shutil.rmtree(os.path.join(bare, "knn_ivf"))
+    alias2 = IndexAlias([Index.open(bare)])
+    r_fail = alias2.search(req(method="ivf"))
+    assert r_fail.status["failed"] >= 1
+    assert r_fail.status["errors"]
+    assert not r_fail.hits
+    shutil.rmtree(bare)
