@@ -1448,6 +1448,137 @@ def _q_facet_date_weeks(sf_dir: str):
 # --- contract functions ----------------------------------------------------
 
 
+def _q_nested_scope_docs(sf_dir: str):
+    """Nested document mappings with same-element scoped conjunctions
+    (reference mapping/document.go:48 NewNestedDocumentMapping +
+    search_nested_test.go semantics).
+
+    Pipeline: pack the flat lineitem table into nested order documents
+    Ray-natively (one groupby(l_orderkey) co-partition, each group packs
+    its lineitems into a list<struct> independently — no driver reads),
+    index them with `lineitems` as a NESTED mapping, then search for
+    orders having a lineitem that is BOTH returnflag 'R' AND quantity
+    >= 49 in the SAME element.  The flattened doc-level AND over-matches
+    (1820 orders at sf0.01, clauses satisfied by different lineitems);
+    the nested verifier scopes to one element (759) — exactly the SQL
+    EXISTS oracle."""
+    import hashlib as _hl
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from bleve_ray.index import (
+        FieldConfig,
+        build_index,
+        new_document_mapping,
+        new_nested_document_mapping,
+        options_from_mapping,
+    )
+    from bleve_ray.search import Index
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/bleve_ray_cache/nested_{tag}"
+    idx_dir = os.path.join(base, "idx")
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        nested_dir = os.path.join(base, "orders_nested")
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = np.asarray(batch["l_orderkey"], dtype=np.int64) % 256
+            return batch.append_column(
+                "bucket", pa.array(b, type=pa.int32())
+            )
+
+        def pack_bucket(group: pa.Table) -> pa.Table:
+            # vectorized nested packing: one sort + run-boundary offsets
+            # per bucket of complete orders (never per-order Python)
+            t = group.sort_by(
+                [("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
+            ).combine_chunks()
+            keys = np.asarray(t["l_orderkey"], dtype=np.int64)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(keys)) + 1)
+            )
+            offsets = np.concatenate((starts, [len(keys)])).astype(
+                np.int32
+            )
+            items = pa.StructArray.from_arrays(
+                [
+                    t["l_linenumber"].combine_chunks(),
+                    t["l_returnflag"].combine_chunks(),
+                    t["l_quantity"].combine_chunks(),
+                ],
+                ["l_linenumber", "l_returnflag", "l_quantity"],
+            )
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), items
+            )
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        keys[starts], type=pa.int64()
+                    ),
+                    "lineitems": lists,
+                }
+            )
+
+        (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=[
+                    "l_orderkey",
+                    "l_linenumber",
+                    "l_returnflag",
+                    "l_quantity",
+                ],
+            )
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(
+                lambda g: pack_bucket(g.drop_columns(["bucket"])),
+                batch_format="pyarrow",
+            )
+            .write_parquet(nested_dir)
+        )
+        root = new_document_mapping()
+        li = new_nested_document_mapping()
+        li.add_field_mapping_at(
+            "l_returnflag", FieldConfig(analyzer="keyword")
+        )
+        li.add_field_mapping_at(
+            "l_quantity", FieldConfig(field_type="numeric")
+        )
+        root.add_sub_document_mapping("lineitems", li)
+        import glob as _glob
+
+        opts = options_from_mapping(
+            root,
+            doc_id_fields=["o_orderkey"],
+            num_shards=2,
+            bucket_bits=6,
+        )
+        build_index(
+            sorted(_glob.glob(os.path.join(nested_dir, "*.parquet"))),
+            idx_dir,
+            opts,
+        )
+    idx = Index.open(idx_dir)
+    res = idx.search(
+        {
+            "query": {
+                "conjuncts": [
+                    {"term": "R", "field": "lineitems.l_returnflag"},
+                    {"min": 49.0, "field": "lineitems.l_quantity"},
+                ]
+            },
+            "size": 1_000_000,
+        }
+    )
+    keys = np.sort(np.array([int(h.id) for h in res.hits], dtype=np.int64))
+    return pa.table({"o_orderkey": pa.array(keys, type=pa.int64())})
+
+
 def entry() -> Any:
     """Flagship: Ray Data index build over sf0.001 documents + BM25 search."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1467,6 +1598,7 @@ def entry() -> Any:
 # and every entry gets re-verified at least every two rounds (cumulative
 # coverage stays 67/67).  These 17 were not in CORRECTNESS_r04.json.
 _ROTATE_FIRST = [
+    "nested_scope_docs",  # new in r5
     "doc_freq_top_terms",
     "collection_stats",
     "numeric_range_count",
@@ -1612,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "near_dup_verified": _q_near_dup_verified,
         "simhash": dedup.simhash_ds,
+        "nested_scope_docs": _q_nested_scope_docs,
     }
     head = {k: base[k] for k in _ROTATE_FIRST if k in base}
     head.update((k, v) for k, v in base.items() if k not in head)
@@ -2015,6 +2148,14 @@ toks AS (
   FROM documents
 )"""
     return {
+        # nested same-element scoping == SQL EXISTS over the flat table:
+        # the conjunction must hold within ONE lineitem element
+        "nested_scope_docs": """
+SELECT DISTINCT l_orderkey AS o_orderkey
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 49
+ORDER BY o_orderkey
+""",
         "term_search_bm25": _sql_term_search("vector"),
         "search_after_page2": _sql_term_search("vector", k=10, offset=10),
         "tfidf_top10": _sql_tfidf_search("vector"),

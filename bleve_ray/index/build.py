@@ -137,6 +137,14 @@ class IndexOptions:
     # correctly).  "poly64" = vectorized seeded polynomial+splitmix64
     # (index/shard_hash.py); "sha1" = the legacy per-term digest.
     shard_hash: str = "poly64"
+    # dotted property paths whose array elements are NESTED sub-documents
+    # (mapping/document.go:48 DocumentMapping.Nested): conjunctions over
+    # fields under the same nested path must match within the SAME array
+    # element (search_nested_test.go).  Fields under a nested path are
+    # excluded from _all (search_nested_test.go Test 13), and each path's
+    # ROOT column should be a docvalue so the query-time same-element
+    # verifier (search/nested.py) can re-scope candidate docs.
+    nested_paths: List[str] = dc_field(default_factory=list)
 
     def to_dict(self) -> Dict[str, Any]:
         return {
@@ -162,6 +170,7 @@ class IndexOptions:
             "enable_all_field": self.enable_all_field,
             "index_id_field": self.index_id_field,
             "shard_hash": self.shard_hash,
+            "nested_paths": self.nested_paths,
         }
 
     @staticmethod
@@ -188,6 +197,7 @@ class IndexOptions:
             index_id_field=d.get("index_id_field", False),
             # manifests that predate the poly64 router were sha1-routed
             shard_hash=d.get("shard_hash", "sha1"),
+            nested_paths=list(d.get("nested_paths", [])),
         )
 
 
@@ -202,27 +212,72 @@ def chunk_base(index_dir: str, chunk_root: Optional[str]) -> str:
     return os.path.join(index_dir, "chunks")
 
 
+def _is_list_type(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t)
+
+
+def _flatten_one(col: pa.Array):
+    """One list level -> (flat child values, element count per row)."""
+    counts = np.asarray(
+        pc.fill_null(pc.list_value_length(col), 0), dtype=np.int64
+    )
+    return pc.list_flatten(col), counts
+
+
 def resolve_field_column(tbl: pa.Table, fname: str):
     """Column for a (possibly dotted) field path; struct children descend
     like the reference's document-mapping tree paths (mapping/document.go
-    DocumentMapping.Properties).  None when absent."""
+    DocumentMapping.Properties).  Array-of-struct levels (list<struct>,
+    incl. nested lists) flatten vectorized and re-wrap to one list value
+    per row, so "departments.name" over a list<struct> column indexes
+    every element's name against the parent doc (mapping/document.go
+    processProperty on arrays).  None when absent."""
     if fname in tbl.column_names:
         return tbl[fname]
-    if "." in fname:
-        head, _, rest = fname.partition(".")
-        if head in tbl.column_names:
-            col = tbl[head]
-            for part in rest.split("."):
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                if not pa.types.is_struct(col.type):
-                    return None
-                try:
-                    col = pc.struct_field(col, part)
-                except (KeyError, pa.ArrowInvalid):
-                    return None
-            return col
-    return None
+    if "." not in fname:
+        return None
+    head, _, rest = fname.partition(".")
+    if head not in tbl.column_names:
+        return None
+    col = tbl[head]
+    n_rows = len(tbl)
+    # element count per top-level row; None until a list level is crossed
+    row_counts = None
+    for part in rest.split("."):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        while _is_list_type(col.type):
+            col, counts = _flatten_one(col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if row_counts is None:
+                row_counts = counts
+            else:
+                # counts are per current element; sum back to rows
+                seg = np.repeat(
+                    np.arange(len(row_counts), dtype=np.int64), row_counts
+                )
+                row_counts = np.bincount(
+                    seg, weights=counts, minlength=len(row_counts)
+                ).astype(np.int64)
+        if not pa.types.is_struct(col.type):
+            return None
+        try:
+            col = pc.struct_field(col, part)
+        except (KeyError, pa.ArrowInvalid):
+            return None
+    if row_counts is None:
+        return col
+    # re-wrap flattened element values into one list per ORIGINAL row so
+    # downstream multi-value handling (analyze_batch / _numeric_tokens
+    # list branches) maps elements back to their parent doc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=offsets[1:])
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), col
+    )
 
 
 def compute_doc_ids(batch: pa.Table, options: IndexOptions) -> pa.Array:
@@ -517,6 +572,15 @@ def shard_of_terms(
     return out
 
 
+def _under_nested(field: str, nested_paths) -> bool:
+    """True when any nested path is a dotted prefix of ``field`` — such
+    fields stay out of the composite _all field (search_nested_test.go
+    Test 13: unfielded queries match only top-level fields)."""
+    return any(
+        field == p or field.startswith(p + ".") for p in nested_paths or ()
+    )
+
+
 class ReadAnalyzeInvert:
     """Stage 1 UDF: row-group descriptor -> posting chunk rows.
 
@@ -623,7 +687,11 @@ class ReadAnalyzeInvert:
                 terms, doc_idx, positions, field_len = analyze_batch(
                     fcol, analyzer
                 )
-            if opts.enable_all_field and fcfg.field_type == "text":
+            if (
+                opts.enable_all_field
+                and fcfg.field_type == "text"
+                and not _under_nested(fname, opts.nested_paths)
+            ):
                 all_terms.append(terms)
                 all_doc_idx.append(doc_idx)
                 all_field_len = (

@@ -1006,6 +1006,12 @@ class Index:
         keep = self.reader.filter_deleted(hits.docnums)
         if not keep.all():
             hits = SearchHits(hits.docnums[keep], hits.scores[keep])
+        # nested same-element scoping (search_nested_test.go): post-filter
+        # the doc-level candidates so conjunctions over fields under one
+        # nested path match within the SAME array element
+        from .nested import apply_nested_filter
+
+        hits = apply_nested_filter(self.reader, self.mapping, query, hits)
         # total_hits is cursor-independent (collector/topn.go basicPrepare
         # counts every match before the searchAfter skip)
         pre_cursor_total = len(hits.docnums)
