@@ -227,6 +227,112 @@ def bench_pipelines(sf_dir: str) -> dict:
     }
 
 
+def bench_knn_ivf(
+    n_vec: int = 100_000,
+    dim: int = 64,
+    nlist: int = 64,
+    nprobe: int = 8,
+    n_queries: int = 20,
+) -> dict:
+    """knn-at-scale: the `knn` request path over a >=100k-vector index
+    with the IVF sidecar.  Reports query p50 and the candidate-scan
+    FRACTION (vectors actually read / corpus size) — the number that
+    shows the sidecar prunes instead of brute-force scanning.  The
+    corpus is deterministic clustered Gaussians (seeded), built once
+    and cached under /tmp/bleve_ray_bench."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.index.knn_ivf import build_knn_ivf, load_knn_ivf
+    from bleve_ray.search import Index
+
+    base = f"/tmp/bleve_ray_bench/knn_{n_vec}_{dim}_{nlist}"
+    src = os.path.join(base, "vecs.parquet")
+    idx_dir = os.path.join(base, "idx")
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((nlist, dim)) * 4.0
+    sidecar_meta = os.path.join(
+        idx_dir, "knn_ivf", "embedding", "_ivf_meta.json"
+    )
+    if not os.path.exists(sidecar_meta):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        cell = rng.integers(0, nlist, n_vec)
+        X = (
+            centers[cell] + rng.standard_normal((n_vec, dim))
+        ).astype(np.float32)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.arange(n_vec, dtype=np.int64)
+                    ),
+                    "embedding": pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(
+                                0, (n_vec + 1) * dim, dim, dtype=np.int32
+                            )
+                        ),
+                        pa.array(X.reshape(-1)),
+                    ),
+                }
+            ),
+            src,
+        )
+        build_index(
+            [src],
+            idx_dir,
+            IndexOptions(
+                fields={
+                    "vec_id": FieldConfig(
+                        field_type="numeric", positions=False
+                    )
+                },
+                doc_id_fields=["vec_id"],
+                num_shards=4,
+                docvalue_fields=["embedding"],
+            ),
+        )
+        build_knn_ivf(idx_dir, "embedding", nlist=nlist)
+    idx = Index.open(idx_dir)
+    ivf = load_knn_ivf(idx.reader, "embedding")
+    qrng = np.random.default_rng(11)
+    queries = (
+        centers[qrng.integers(0, nlist, n_queries)]
+        + qrng.standard_normal((n_queries, dim))
+    )
+    lats, fracs = [], []
+    for q in queries:
+        req = {
+            "query": {"match_none": {}},
+            "knn": [
+                {
+                    "field": "embedding",
+                    "vector": q.tolist(),
+                    "k": 10,
+                    "nprobe": nprobe,
+                }
+            ],
+            "size": 10,
+        }
+        t0 = time.perf_counter()
+        idx.search(req)
+        lats.append((time.perf_counter() - t0) * 1e3)
+        nums, _ = ivf.candidates(q, nprobe)
+        fracs.append(len(nums) / n_vec)
+    lats.sort()
+    return {
+        "p50_ms": round(lats[len(lats) // 2], 3),
+        "p99_ms": round(lats[-1], 3),
+        "scan_frac": round(float(np.median(fracs)), 4),
+        "n_vec": n_vec,
+        "nprobe": nprobe,
+        "nlist": nlist,
+    }
+
+
 def contention_probe() -> float:
     """4000x4000 float64 matmul wall time (this container's OpenBLAS is
     built MAX_THREADS=2), the host-noise probe documented in BASELINE.md
@@ -280,6 +386,8 @@ def run_all(num_cpus: int, sf_dir: str, build_only: bool = False,
         out.update({f"query.{k}": v for k, v in q.items()})
         p = bench_pipelines(sf_dir)
         out.update({f"pipe.{k}": v for k, v in p.items()})
+        kn = bench_knn_ivf()
+        out.update({f"knn_ivf.{k}": v for k, v in kn.items()})
     ray.shutdown()
     return out
 
@@ -403,6 +511,8 @@ def main():
         "query_p99_ms": out.get("query.p99_ms"),
         "minhash_pairs": out.get("pipe.minhash_pairs_sec"),
         "ann_topk": out.get("pipe.ann_topk_sec"),
+        "knn_ivf_p50_ms": out.get("knn_ivf.p50_ms"),
+        "knn_ivf_scan_frac": out.get("knn_ivf.scan_frac"),
     }
     print(json.dumps({
         "metric": "index-build+bm25-query wall time",

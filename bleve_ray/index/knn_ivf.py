@@ -125,8 +125,14 @@ def build_knn_ivf(
 
         shutil.rmtree(out)
     ds = ray.data.read_parquet(files, columns=["docnum", field])
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        out, partition_cols=["list_id"]
+    (
+        ds.map_batches(assign, batch_format="pyarrow")
+        # co-partition by cell so each cell writes ONE file (a
+        # partitioned write without the groupby leaves one file per
+        # (task, cell) — hundreds of tiny reads per query probe)
+        .groupby("list_id")
+        .map_groups(lambda g: g, batch_format="pyarrow")
+        .write_parquet(out, partition_cols=["list_id"])
     )
     np.save(os.path.join(out, "_centroids.npy"), C)
     meta = {
@@ -142,12 +148,62 @@ def build_knn_ivf(
 
 
 class KnnIvf:
-    __slots__ = ("dir", "meta", "centroids")
+    __slots__ = ("dir", "meta", "centroids", "_cells", "_cell_cap")
 
-    def __init__(self, d: str, meta: dict, centroids: np.ndarray):
+    def __init__(
+        self,
+        d: str,
+        meta: dict,
+        centroids: np.ndarray,
+        cell_cache_cap: int = 256,
+    ):
         self.dir = d
         self.meta = meta
         self.centroids = centroids
+        # LRU of decoded cells: repeated probes of hot cells skip the
+        # parquet read + float64 conversion entirely
+        from collections import OrderedDict
+
+        self._cells: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cell_cap = cell_cache_cap
+
+    def _load_cell(self, c: int) -> Tuple[np.ndarray, np.ndarray]:
+        cached = self._cells.get(c)
+        if cached is not None:
+            self._cells.move_to_end(c)
+            return cached
+        import glob
+
+        nums_parts, vec_parts = [], []
+        for f in sorted(
+            glob.glob(
+                os.path.join(self.dir, f"list_id={int(c)}", "*.parquet")
+            )
+        ):
+            t = pq.read_table(f, columns=["docnum", "vec"])
+            if len(t) == 0:
+                continue
+            nums_parts.append(np.asarray(t["docnum"], dtype=np.int64))
+            vec_parts.append(
+                np.asarray(
+                    t["vec"].combine_chunks().flatten(),
+                    dtype=np.float64,
+                ).reshape(len(t), -1)
+            )
+        if nums_parts:
+            cell = (
+                np.concatenate(nums_parts),
+                np.vstack(vec_parts),
+            )
+        else:
+            cell = (
+                np.empty(0, dtype=np.int64),
+                np.empty((0, self.meta["dim"])),
+            )
+        self._cells[c] = cell
+        if len(self._cells) > self._cell_cap:
+            self._cells.popitem(last=False)
+        return cell
 
     def candidates(
         self, query_vec: np.ndarray, nprobe: int
@@ -155,52 +211,57 @@ class KnnIvf:
         """(docnums, vectors) from the nprobe nearest cells only —
         explicit partition-directory selection (read_parquet row filters
         on hive partition columns break in the sampling stage)."""
-        import glob
-
         qn = np.asarray(query_vec, dtype=np.float64)
         qn = qn / (np.linalg.norm(qn) or 1.0)
         d2 = ((qn[None, :] - self.centroids) ** 2).sum(-1)
         probe = np.argsort(d2)[: max(1, nprobe)]
-        nums_parts, vec_parts = [], []
-        for c in probe:
-            for f in sorted(
-                glob.glob(
-                    os.path.join(self.dir, f"list_id={int(c)}", "*.parquet")
-                )
-            ):
-                t = pq.read_table(f, columns=["docnum", "vec"])
-                if len(t) == 0:
-                    continue
-                nums_parts.append(np.asarray(t["docnum"], dtype=np.int64))
-                vec_parts.append(
-                    np.asarray(
-                        t["vec"].combine_chunks().flatten(),
-                        dtype=np.float64,
-                    ).reshape(len(t), -1)
-                )
-        if not nums_parts:
+        parts = [self._load_cell(int(c)) for c in probe]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
             return (
                 np.empty(0, dtype=np.int64),
                 np.empty((0, self.meta["dim"])),
             )
-        return np.concatenate(nums_parts), np.vstack(vec_parts)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.vstack([p[1] for p in parts]),
+        )
 
 
 def load_knn_ivf(reader, field: str) -> Optional[KnnIvf]:
     """Open the field's sidecar if present AND built at the reader's
-    current epoch (stale sidecars are ignored: exact fallback)."""
+    current epoch (stale sidecars are ignored: exact fallback).
+
+    Loaded sidecars memoize on the reader keyed by (field, epoch) so
+    the per-cell LRU survives across queries of one reader; a missing
+    sidecar is never cached (it may be built moments later without an
+    epoch bump)."""
     base = getattr(reader, "index_dir", None)
     if base is None and hasattr(reader, "local"):
         base = reader.local.index_dir
     if base is None:
         return None
+    epoch = int(reader.manifest.epoch)
+    cache = getattr(reader, "_knn_ivf_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            setattr(reader, "_knn_ivf_cache", cache)
+        except AttributeError:
+            cache = None
+    key = (field, epoch)
+    if cache is not None and key in cache:
+        return cache[key]
     d = _sidecar_dir(base, field)
     meta_path = os.path.join(d, "_ivf_meta.json")
     if not os.path.exists(meta_path):
         return None
     with open(meta_path) as f:
         meta = json.load(f)
-    if int(meta.get("epoch", -1)) != int(reader.manifest.epoch):
+    if int(meta.get("epoch", -1)) != epoch:
         return None
     C = np.load(os.path.join(d, "_centroids.npy"))
-    return KnnIvf(d, meta, C)
+    ivf = KnnIvf(d, meta, C)
+    if cache is not None:
+        cache[key] = ivf
+    return ivf
