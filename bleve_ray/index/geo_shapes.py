@@ -109,6 +109,22 @@ def _clip_ring_halfplane(ring, keep_le: bool, bound: float):
     return out if len(out) >= 3 else []
 
 
+def _planar_orientation_ok(outer, unwrapped, holes) -> bool:
+    """True when the planar (RFC 7946 unwrap) reading of the ring agrees
+    with the s2 ORIENTED-loop reading the reference uses: the loop
+    interior is LEFT of the directed edges, so a ring whose left region
+    exceeds half the sphere means THE COMPLEMENT — e.g. the
+    284-degree-lon box of the search_geoshape_polygon vectors.  Decided
+    by the loop's turning-angle area (geo_sphere.spherical_left_area):
+    no planar reading ever encloses more than a hemisphere, so
+    area > 2*pi == divergence."""
+    import math as _m
+
+    from .geo_sphere import spherical_left_area
+
+    return spherical_left_area(outer) <= 2.0 * _m.pi
+
+
 def _split_poly_antimeridian(outer, holes) -> List[tuple]:
     """Geodesic guardrail: a ring whose consecutive longitudes jump by
     more than 180 degrees crosses the antimeridian (RFC 7946 producers
@@ -122,11 +138,20 @@ def _split_poly_antimeridian(outer, holes) -> List[tuple]:
     lo = min(x for x, _ in u)
     hi = max(x for x, _ in u)
     if hi - lo > 180.0:
-        raise ValueError(
-            "polygon spans more than 180 degrees of longitude; planar "
-            "classification would be wrong -- split the shape at the "
-            "antimeridian"
-        )
+        # rings genuinely spanning >180 degrees of longitude (polar
+        # rings, near-global boxes) have no faithful planar reading:
+        # evaluate as an ORIENTED spherical loop with great-circle
+        # edges (geo_sphere.py; the s2 semantics the reference uses).
+        # Formerly a rejection guardrail.
+        from .geo_sphere import SphericalPolygon
+
+        return [("spoly", SphericalPolygon(outer, holes))]
+    if not _planar_orientation_ok(outer, u, holes):
+        # the ring is listed so that the s2 oriented-loop interior is
+        # the COMPLEMENT of the planar reading (reference semantics)
+        from .geo_sphere import SphericalPolygon
+
+        return [("spoly", SphericalPolygon(outer, holes))]
     if -180.0 <= lo and hi <= 180.0:
         return [("poly", (u, holes))]
     if lo < -180.0:  # normalize the crossing to the +180 side
@@ -407,9 +432,86 @@ def _seg_near_point(a, b, cx, cy, r_km) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _spoly_other_parts(prim):
+    """(vertices lon/lat, xyz segments) of a non-spoly primitive, for
+    spherical predicates; circles polygonalize geodesically."""
+    from .geo_sphere import geodesic_circle_ring, segments_xyz
+
+    k, v = prim
+    if k == "pt":
+        return [v], []
+    if k == "line":
+        return list(v), segments_xyz(v, closed=False)
+    if k == "poly":
+        verts = list(v[0]) + [q for h in v[1] for q in h]
+        segs = segments_xyz(v[0], closed=True)
+        for h in v[1]:
+            segs.extend(segments_xyz(h, closed=True))
+        return verts, segs
+    if k == "circle":
+        ring = geodesic_circle_ring(v[0], v[1], v[2])
+        return ring, segments_xyz(ring, closed=True)
+    raise AssertionError(k)
+
+
+def _spoly_prim_intersects(sp, prim) -> bool:
+    from .geo_sphere import arcs_intersect
+
+    k, v = prim
+    verts, segs = _spoly_other_parts(prim)
+    if any(sp.contains_lonlat(px, py) for px, py in verts):
+        return True
+    bedges = list(sp.boundary_edges())
+    if any(
+        arcs_intersect(s, e, a, b) for s, e in segs for a, b in bedges
+    ):
+        return True
+    if k == "poly":
+        # the spherical region's boundary may sit entirely inside the
+        # planar polygon
+        return any(
+            point_in_poly(px, py, v) for px, py in sp.lonlat
+        )
+    if k == "circle":
+        return _circle_dist_km(v[0], v[1], *sp.lonlat[0]) <= v[2]
+    return False
+
+
+def _prim_within_spoly(prim, sp) -> bool:
+    """Non-spoly primitive entirely inside the spherical polygon:
+    every vertex contained (closed boundary) and no strict boundary
+    crossing."""
+    from .geo_sphere import arcs_cross
+
+    verts, segs = _spoly_other_parts(prim)
+    if not all(sp.contains_lonlat(px, py) for px, py in verts):
+        return False
+    bedges = list(sp.boundary_edges())
+    return not any(
+        arcs_cross(s, e, a, b) for s, e in segs for a, b in bedges
+    )
+
+
 def _prim_intersects(a: tuple, b: tuple) -> bool:
     ka, va = a
     kb, vb = b
+    if ka == "spoly" or kb == "spoly":
+        if ka == "spoly" and kb == "spoly":
+            from .geo_sphere import arcs_intersect
+
+            ea, eb = list(va.boundary_edges()), list(vb.boundary_edges())
+            return (
+                any(vb.contains_lonlat(*p) for p in va.lonlat)
+                or any(va.contains_lonlat(*p) for p in vb.lonlat)
+                or any(
+                    arcs_intersect(s, e, c, d)
+                    for s, e in ea
+                    for c, d in eb
+                )
+            )
+        if ka == "spoly":
+            return _spoly_prim_intersects(va, b)
+        return _spoly_prim_intersects(vb, a)
     # order so ka <= kb alphabetically for fewer cases
     if (ka, kb) in _SWAP:
         return _prim_intersects(b, a)
@@ -425,11 +527,12 @@ def _prim_intersects(a: tuple, b: tuple) -> bool:
         cx, cy, r = vb
         return _circle_dist_km(cx, cy, *va) <= r
     if ka == "line" and kb == "line":
-        return any(
-            seg_seg_intersect(s1, e1, s2, e2)
-            for s1, e1 in _line_segments(va)
-            for s2, e2 in _line_segments(vb)
-        )
+        # geodesic edges (geo_sphere.py): planar lon/lat misses
+        # collinear-overlap sublines on the great circle (reference
+        # TestLinestringIntersects 'subline not at vertex')
+        from .geo_sphere import geodesic_lines_intersect
+
+        return geodesic_lines_intersect(va, vb)
     if ka == "line" and kb == "poly":
         if any(point_in_poly(*p, vb) for p in va):
             return True
@@ -479,6 +582,8 @@ _SWAP = {
 
 def _prim_vertices(p: tuple) -> List[Tuple[float, float]]:
     k, v = p
+    if k == "spoly":
+        return list(v.lonlat)
     if k == "pt":
         return [v]
     if k == "line":
@@ -495,6 +600,23 @@ def _prim_within(a: tuple, b: tuple) -> bool:
     """Is primitive ``a`` entirely inside container primitive ``b``?"""
     ka, va = a
     kb, vb = b
+    if kb == "spoly":
+        if ka == "spoly":
+            from .geo_sphere import arcs_cross
+
+            eb = list(vb.boundary_edges())
+            return all(
+                vb.contains_lonlat(*p) for p in va.lonlat
+            ) and not any(
+                arcs_cross(s, e, c, d)
+                for s, e in va.boundary_edges()
+                for c, d in eb
+            )
+        return _prim_within_spoly(a, vb)
+    if ka == "spoly":
+        # a >half-sphere / polar region cannot fit inside any planar
+        # primitive this engine stores
+        return False
     if kb == "pt":
         return ka == "pt" and _prim_intersects(a, b)
     if kb == "circle":

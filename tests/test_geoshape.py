@@ -256,25 +256,41 @@ def test_dateline_linestring_splits():
     assert any(abs(abs(x) - 180.0) < 1e-9 for _, pts in line for x, _ in pts)
 
 
-def test_huge_polygon_rejected():
-    import pytest as _pt
+def test_huge_polygon_answers_geodesically():
+    """r5: rings genuinely spanning >180 degrees of longitude are no
+    longer rejected — they evaluate as oriented spherical loops with
+    great-circle edges (geo_sphere.py).  This 300-degree equatorial
+    band contains points inside the band across its whole span and
+    excludes points outside it."""
+    from bleve_ray.index.geo_shapes import parse_geojson, shape_relation
 
-    from bleve_ray.index.geo_shapes import parse_geojson
+    prims = parse_geojson(
+        {
+            "type": "polygon",
+            "coordinates": [
+                [[-150, -10], [0, -10], [150, -10], [150, 10],
+                 [0, 10], [-150, 10], [-150, -10]]
+            ],
+        }
+    )
+    assert [k for k, _ in prims] == ["spoly"]
 
-    # intermediate vertices keep every consecutive delta < 180, so the
-    # unwrapped ring genuinely spans 300 degrees of longitude -> ambiguous
-    # in planar space -> rejected (a ring WRITTEN as [-150 .. 150] with a
-    # 300-degree jump is instead read as a 60-degree dateline crossing)
-    with _pt.raises(ValueError, match="180 degrees"):
-        parse_geojson(
-            {
-                "type": "polygon",
-                "coordinates": [
-                    [[-150, -10], [0, -10], [150, -10], [150, 10],
-                     [0, 10], [-150, 10], [-150, -10]]
-                ],
-            }
-        )
+    def pt(x, y):
+        return [("pt", (x, y))]
+
+    for lon in (-150, -90, 0, 90, 150):
+        assert shape_relation(pt(lon, 0), prims, "intersects")
+        assert shape_relation(pt(lon, 0), prims, "within")
+    # outside: beyond the lon span (the 60-degree gap through 180) and
+    # beyond the lat band
+    assert not shape_relation(pt(180, 0), prims, "intersects")
+    assert not shape_relation(pt(170, 0), prims, "intersects")
+    assert not shape_relation(pt(0, 20), prims, "intersects")
+    # great-circle edges BULGE poleward: the southern boundary arc from
+    # (-150,-10) to (0,-10) dips to ~-34 degrees near lon -75, so a
+    # planar-thinking "outside" point at -20 lat is geodesically inside
+    assert shape_relation(pt(-75, -25), prims, "intersects")
+    assert not shape_relation(pt(-75, -50), prims, "intersects")
 
 
 def test_dateline_doc_shape_indexes_and_matches(ray_session, tmp_path):

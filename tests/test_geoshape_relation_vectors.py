@@ -31,19 +31,10 @@ _VECS = json.load(
 #    shapes sharing the rect boundary (open edges) while polygons are
 #    closed; this engine treats both as closed
 _DIVERGENT = {
-    ("TestLinestringIntersects", "subline not at vertex"): "geodesic",
-    ("TestLinestringIntersects", "subline inside linestring"): "geodesic",
-    ("TestPolygonLinestringIntersects",
-     "polygon intersects line along edge"): "guardrail",
-    ("TestPolygonMultiLinestringIntersects",
-     "polygon intersects one line along edge"): "guardrail",
-    ("TestPolygonPointIntersects",
-     "polygon intersects point in latitudinal boundary"): "guardrail",
-    ("TestPolygonPointIntersects",
-     "polygon does not intersects point outside latitudinal boundary",
-     ): "guardrail",
-    ("TestPolygonPointWithin",
-     "point outside the polygon's latitudinal boundary"): "guardrail",
+    # r5: the former "geodesic" (planar line math) and "guardrail"
+    # (>180-degree-lon rejection) divergences are FIXED by the
+    # great-circle geometry in index/geo_sphere.py — those vectors now
+    # run and pass below.  Only the envelope-open semantics remain.
     ("TestEnvelopePolygonWithin",
      "polygon completely within bounded rectangle"): "envelope-open",
     ("TestPolygonEnvelopeContains",
