@@ -920,7 +920,7 @@ class Index:
                     from ..analysis.analyzers import analyzer_named
                     from .highlight import (
                         extract_query_terms,
-                        highlight_text,
+                        highlight_value,
                     )
 
                     terms_by_field = extract_query_terms(
@@ -934,7 +934,7 @@ class Index:
                     for f in hl.get("fields", []):
                         text = dv.get(f, [None] * len(result.hits))[j]
                         if text:
-                            h.fragments[f] = highlight_text(
+                            h.fragments[f] = highlight_value(
                                 text,
                                 terms_by_field.get(f, set()),
                                 analyzer_named(
@@ -1093,7 +1093,10 @@ class Index:
                     h.fields = {f: dv[f][j] for f in want_fields}
                 if hl:
                     from ..analysis.analyzers import analyzer_named
-                    from .highlight import extract_query_terms, highlight_text
+                    from .highlight import (
+                        extract_query_terms,
+                        highlight_value,
+                    )
 
                     terms_by_field = extract_query_terms(
                         q if isinstance(q, dict) else {},
@@ -1106,7 +1109,7 @@ class Index:
                     for f in hl.get("fields", []):
                         text = dv.get(f, [None] * len(result.hits))[j]
                         if text:
-                            h.fragments[f] = highlight_text(
+                            h.fragments[f] = highlight_value(
                                 text,
                                 terms_by_field.get(f, set()),
                                 analyzer_named(self.mapping.analyzer_for(f)),

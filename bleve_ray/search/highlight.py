@@ -73,6 +73,45 @@ def score_fragment(spans, start: int, end: int) -> float:
     return float(len(seen))
 
 
+def highlight_value(
+    value,
+    terms: Set[str],
+    analyzer,
+    style: str = "html",
+    max_fragments: int = 1,
+    fragment_size: int = FRAGMENT_SIZE,
+) -> List[str]:
+    """highlight_text over a docvalue that may be MULTI-VALUED (array /
+    nested-element field: one string per element, reader.docvalues_for
+    dotted-path extraction): each element highlights independently and
+    the per-element fragments merge up to max_fragments — the
+    reference's per-array-position fragment behavior."""
+    if isinstance(value, str):
+        return highlight_text(
+            value, terms, analyzer, style, max_fragments, fragment_size
+        )
+    strs = [v for v in (value or ()) if isinstance(v, str)]
+    # elements whose tokens actually match come first: highlight_text
+    # falls back to a plain head fragment when nothing matches, which
+    # must not consume the budget ahead of a matching sibling element
+    matching = [
+        v
+        for v in strs
+        if any(t.term in terms for t in analyzer.analyze(v))
+    ]
+    out: List[str] = []
+    for v in matching or strs[:1]:
+        if len(out) >= max_fragments:
+            break
+        out.extend(
+            highlight_text(
+                v, terms, analyzer, style,
+                max_fragments - len(out), fragment_size,
+            )
+        )
+    return out
+
+
 def highlight_text(
     text: str,
     terms: Set[str],

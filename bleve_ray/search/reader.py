@@ -27,6 +27,35 @@ from ..index.shard_hash import shard_of_term
 from ..index.segment import Posting, SegmentReader
 
 
+def _extract_dotted(value, parts):
+    """Leaf values of a dotted path inside a stored struct value
+    (dict / list-of-dict from a docvalue column): a scalar when no array
+    is crossed, a flat list otherwise, None when absent."""
+    out: list = []
+    crossed = [False]
+
+    def walk(v, i):
+        if v is None:
+            return
+        if isinstance(v, (list, tuple)):
+            crossed[0] = True
+            for e in v:
+                walk(e, i)
+            return
+        if i == len(parts):
+            out.append(v)
+            return
+        if isinstance(v, dict):
+            walk(v.get(parts[i]), i + 1)
+
+    walk(value, 0)
+    if not out:
+        return None
+    if len(out) == 1 and not crossed[0]:
+        return out[0]
+    return out
+
+
 def _prefix_successor(prefix: str) -> Optional[str]:
     """Smallest string greater than every string with prefix ``prefix``:
     drop trailing U+10FFFF codepoints, increment the last remaining one
@@ -404,6 +433,19 @@ class IndexReader:
             dst = order[sel[hit]]
             for f in fields:
                 col = cols.get(f)
+                if col is None and "." in f:
+                    # dotted sub-path of a stored struct/nested root
+                    # (index/nested.py stores nested roots whole):
+                    # extract the leaf values per doc — a LIST when the
+                    # path crosses arrays
+                    root = f.split(".", 1)[0]
+                    rcol = cols.get(root)
+                    if rcol is not None:
+                        parts = f.split(".")[1:]
+                        col = np.empty(len(rcol), dtype=object)
+                        col[:] = [
+                            _extract_dotted(v, parts) for v in rcol
+                        ]
                 if col is not None:
                     out_np[f][dst] = col[src]
         return {f: v.tolist() for f, v in out_np.items()}

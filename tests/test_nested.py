@@ -560,3 +560,47 @@ def test_nested_verifier_depth_matches_mapping(company_index):
     assert sorted(
         company_index.reader.options["nested_paths"]
     ) == sorted(NESTED_PATHS)
+
+
+def test_nested_highlight_fields_and_facets(company_index):
+    """Stretch interaction audit (search_nested_test.go buildReq sets
+    Fields ["*"] + Highlight on every request): a scoped nested search
+    returns stored fields, fragments over the matched nested element
+    field (dotted-path docvalue extraction), and terms facets over
+    nested element values."""
+    req = _conj(
+        {"match": "Engineering", "field": f"{DEPT}.name"},
+        {"min": 800000.0, "field": f"{DEPT}.budget"},
+    )
+    req["fields"] = ["*"]
+    req["highlight"] = {"fields": [f"{DEPT}.name"], "style": "html"}
+    req["facets"] = {
+        "dept_names": {"field": f"{DEPT}.name", "size": 10}
+    }
+    res = company_index.search(req)
+    assert _ids(res) == ["doc1", "doc2"]
+    for h in res.hits:
+        assert h.fields and "company" in h.fields
+        frags = h.fragments.get(f"{DEPT}.name")
+        assert frags and any("<mark>" in f and "Engineering" in f
+                             for f in frags)
+    terms = {
+        t["term"]: t["count"]
+        for t in res.facets["dept_names"]["terms"]
+    }
+    # facets count raw docvalues (engine-wide semantics):
+    # doc1 contributes Engineering+Sales, doc2 Marketing+Engineering
+    assert terms["Engineering"] == 2
+    assert terms["Sales"] == 1 and terms["Marketing"] == 1
+
+
+def test_nested_sort_by_dotted_field(company_index):
+    """Sort by a nested numeric field: multi-valued docvalue lists sort
+    by their comparable representation without crashing and every doc
+    is returned."""
+    res = company_index.search({
+        "query": {"match_all": {}},
+        "size": 10,
+        "sort": [f"{DEPT}.budget"],
+    })
+    assert len(res.hits) == 3
