@@ -48,6 +48,16 @@ def _ensure_parquet_inputs(inputs, index_dir):
     return out
 
 
+def _register_nested_roots(opts) -> None:
+    """Each nested path's ROOT column becomes a docvalue so the
+    query-time same-element verifier (search/nested.py) can read the
+    structure back (same rule as index/nested.options_from_mapping)."""
+    for p in opts.nested_paths:
+        root = p.split(".", 1)[0]
+        if root not in opts.docvalue_fields:
+            opts.docvalue_fields.append(root)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bleve_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -62,6 +72,11 @@ def main(argv=None):
     b.add_argument("--scoring", default="bm25", choices=["bm25", "tfidf"])
     b.add_argument("--docvalues", default="", help="comma-separated columns")
     b.add_argument("--store", default="", help="comma-separated columns")
+    b.add_argument("--nested", action="append", default=[],
+                   help="dotted property path whose array elements are "
+                        "NESTED sub-documents (repeatable); conjunctions "
+                        "over its fields scope to the same element and "
+                        "the path's root column is stored as a docvalue")
 
     for name in ("count", "fields", "check", "stats"):
         p = sub.add_parser(name)
@@ -113,6 +128,7 @@ def main(argv=None):
     cr.add_argument("--scoring", default="bm25", choices=["bm25", "tfidf"])
     cr.add_argument("--docvalues", default="")
     cr.add_argument("--store", default="")
+    cr.add_argument("--nested", action="append", default=[])
 
     ix = sub.add_parser("index", help="index one document (id + JSON)")
     ix.add_argument("index_dir")
@@ -289,7 +305,9 @@ def main(argv=None):
             scoring_model=args.scoring,
             docvalue_fields=[c for c in args.docvalues.split(",") if c],
             store_fields=[c for c in args.store.split(",") if c],
+            nested_paths=list(args.nested or []),
         )
+        _register_nested_roots(opts)
         man = build_index([], args.index_dir, opts)
         print(json.dumps({"doc_count": man.stats.get("doc_count", 0),
                           "epoch": man.epoch}))
@@ -354,7 +372,9 @@ def main(argv=None):
             scoring_model=args.scoring,
             docvalue_fields=[c for c in args.docvalues.split(",") if c],
             store_fields=[c for c in args.store.split(",") if c],
+            nested_paths=list(args.nested or []),
         )
+        _register_nested_roots(opts)
         man = build_index(args.inputs, args.index_dir, opts)
         print(json.dumps({"doc_count": man.stats["doc_count"],
                           "segments": len(man.segments),
