@@ -214,6 +214,15 @@ def bench_pipelines(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     bpe_token_count_ds(sf_dir).count()
     t_bpe = time.perf_counter() - t0
+    # nested same-element scoped search (lineitem -> nested orders,
+    # index cached after the first call; timed run = the scoped
+    # conjunction + per-candidate element verification)
+    import __ray_entry__ as _entry
+
+    _entry._q_nested_scope_docs(sf_dir)  # warm: build/cache the index
+    t0 = time.perf_counter()
+    n_nested = len(_entry._q_nested_scope_docs(sf_dir))
+    t_nested = time.perf_counter() - t0
     return {
         "minhash_pairs_sec": round(t_minhash, 3),
         "minhash_pairs": n_pairs,
@@ -224,6 +233,8 @@ def bench_pipelines(sf_dir: str) -> dict:
         "sessions_sec": round(t_sessions, 3),
         "sessions": n_sessions,
         "bpe_tokens_sec": round(t_bpe, 3),
+        "nested_scope_sec": round(t_nested, 3),
+        "nested_scope_rows": n_nested,
     }
 
 

@@ -139,6 +139,14 @@ class _ElementMatcher:
     def __init__(self, verifier: "NestedVerifier", node):
         self.v = verifier
         self.node = node
+        self._memo: dict = {}
+
+    def once(self, key, fn):
+        """Query-side derived state (analyzed tokens, compiled regex,
+        parsed bounds) computes ONCE per clause, not per candidate doc."""
+        if key not in self._memo:
+            self._memo[key] = fn()
+        return self._memo[key]
 
     def field_analyzer(self, field: str):
         return analyzer_named(self.v.mapping.analyzer_for(field))
@@ -179,16 +187,18 @@ class _ElementMatcher:
         if isinstance(n, (q.RegexpQuery, q.WildcardQuery)):
             import re
 
-            if isinstance(n, q.WildcardQuery):
-                pat = re.compile(
-                    "".join(
-                        ".*" if c == "*" else "." if c == "?"
-                        else re.escape(c)
-                        for c in n.wildcard
+            def compile_pat():
+                if isinstance(n, q.WildcardQuery):
+                    return re.compile(
+                        "".join(
+                            ".*" if c == "*" else "." if c == "?"
+                            else re.escape(c)
+                            for c in n.wildcard
+                        )
                     )
-                )
-            else:
-                pat = re.compile(n.regexp)
+                return re.compile(n.regexp)
+
+            pat = self.once("pat", compile_pat)
             return any(
                 pat.fullmatch(t) for t in self.tokens(values, n.field)
             )
@@ -204,10 +214,15 @@ class _ElementMatcher:
                 for t in self.tokens(values, n.field)
             )
         if isinstance(n, q.MatchQuery):
-            ana = analyzer_named(
-                n.analyzer or self.v.mapping.analyzer_for(n.field)
+            qtoks = self.once(
+                "qtoks",
+                lambda: [
+                    t.term
+                    for t in analyzer_named(
+                        n.analyzer or self.v.mapping.analyzer_for(n.field)
+                    ).analyze(n.match)
+                ],
             )
-            qtoks = [t.term for t in ana.analyze(n.match)]
             if not qtoks:
                 return False
             etoks = set(self.tokens(values, n.field))
@@ -233,13 +248,17 @@ class _ElementMatcher:
                 return all(has(t) for t in qtoks)
             return any(has(t) for t in qtoks)
         if isinstance(n, (q.MatchPhraseQuery, q.MultiPhraseQuery)):
-            if isinstance(n, q.MatchPhraseQuery):
-                ana = analyzer_named(
-                    n.analyzer or self.v.mapping.analyzer_for(n.field)
-                )
-                slots = [[t.term] for t in ana.analyze(n.match_phrase)]
-            else:
-                slots = [list(s) for s in n.terms]
+            def mk_slots():
+                if isinstance(n, q.MatchPhraseQuery):
+                    ana_q = analyzer_named(
+                        n.analyzer or self.v.mapping.analyzer_for(n.field)
+                    )
+                    return [
+                        [t.term] for t in ana_q.analyze(n.match_phrase)
+                    ]
+                return [list(s) for s in n.terms]
+
+            slots = self.once("slots", mk_slots)
             if not slots:
                 return False
             ana = self.field_analyzer(n.field)
@@ -284,11 +303,22 @@ class _ElementMatcher:
             )
 
             fcfg = (self.v.field_configs or {}).get(n.field) or {}
-            parse = resolve_datetime_parser(
-                fcfg.get("datetime_parser") or "iso"
+            parse = self.once(
+                "parse",
+                lambda: resolve_datetime_parser(
+                    fcfg.get("datetime_parser") or "iso"
+                ),
             )
-            lo = n._bound_nanos(n.start, "start") if n.start else None
-            hi = n._bound_nanos(n.end, "end") if n.end else None
+            lo = self.once(
+                "lo",
+                lambda: n._bound_nanos(n.start, "start")
+                if n.start
+                else None,
+            )
+            hi = self.once(
+                "hi",
+                lambda: n._bound_nanos(n.end, "end") if n.end else None,
+            )
             for val in values:
                 ns = parse(val) if isinstance(val, str) else None
                 if ns is None:
@@ -341,6 +371,9 @@ class NestedVerifier:
         self.nested_paths = list(nested_paths)
         self.nested_set = set(nested_paths)
         self.field_configs = (reader.options or {}).get("fields") or {}
+        # one matcher per clause node, reused across candidate docs so
+        # query-side analysis happens once per clause
+        self._matchers: dict = {}
 
     # -- query-tree shape ------------------------------------------------
 
@@ -471,7 +504,10 @@ class NestedVerifier:
                     or self.mapping.synonyms is not None
                 ):
                     return _DOC_TRUE
-            matcher = _ElementMatcher(self, node)
+            matcher = self._matchers.get(id(node))
+            if matcher is None:
+                matcher = _ElementMatcher(self, node)
+                self._matchers[id(node)] = matcher
             groups = collect_root_leaf_values(
                 value, rootcol, field.split(".")[1:], self.nested_set
             )
@@ -495,7 +531,12 @@ class NestedVerifier:
         roots = sorted(
             {p.split(".", 1)[0] for p in self.nested_paths}
         )
-        dv = self.reader.docvalues_for(docnums, roots)
+        # rows-bounded fetch: only the candidate docs' nested structures
+        # convert to Python (reader.docvalues_rows), never whole columns
+        fetch = getattr(self.reader, "docvalues_rows", None)
+        if fetch is None:
+            fetch = self.reader.docvalues_for
+        dv = fetch(docnums, roots)
         keep = np.ones(n, dtype=bool)
         for i in range(n):
             doc_data = {r: dv[r][i] for r in roots}

@@ -398,6 +398,62 @@ class IndexReader:
             self._dv_cache[path] = cached
         return cached
 
+    def docvalues_rows(
+        self, docnums: np.ndarray, fields: List[str]
+    ) -> Dict[str, list]:
+        """Like docvalues_for but converts ONLY the requested rows to
+        Python objects (Arrow take + to_pylist per file) instead of
+        materializing whole object columns.  The right call for
+        candidate-bounded post-filters over big forward columns (the
+        nested same-element verifier): at 12% selectivity this is ~8x
+        less conversion work than the cached full-column path that
+        facets/sort amortize across calls."""
+        n = len(docnums)
+        out_np: Dict[str, np.ndarray] = {
+            f: np.full(n, None, dtype=object) for f in fields
+        }
+        fields = [f for f in fields if self.field_live(f)]
+        files = self._dv_files()
+        if not files or n == 0:
+            return {f: v.tolist() for f, v in out_np.items()}
+        order = np.argsort(docnums, kind="stable")
+        sorted_dn = docnums[order]
+        file_his = np.array([hi for _, _, hi in files], dtype=np.int64)
+        file_los = np.array([lo for _, lo, _ in files], dtype=np.int64)
+        fidx = np.searchsorted(file_his, sorted_dn, side="left")
+        in_range = (fidx < len(files)) & (
+            file_los[np.minimum(fidx, len(files) - 1)] <= sorted_dn
+        )
+        import pyarrow as pa
+
+        for fi in np.unique(fidx[in_range]):
+            sel = np.flatnonzero((fidx == fi) & in_range)
+            dn_sel = sorted_dn[sel]
+            path = files[fi][0]
+            key = ("arrow", path)
+            cached = self._dv_cache.get(key)
+            if cached is None:
+                t = pq.read_table(path).sort_by("docnum")
+                cached = (np.asarray(t["docnum"], dtype=np.int64), t)
+                self._dv_cache[key] = cached
+            nums, t = cached
+            j = np.searchsorted(nums, dn_sel)
+            j_cl = np.minimum(j, len(nums) - 1)
+            hit = nums[j_cl] == dn_sel
+            src = j_cl[hit]
+            dst = order[sel[hit]]
+            take_idx = pa.array(src)
+            for f in fields:
+                if f not in t.column_names:
+                    continue
+                vals = t[f].take(take_idx).to_pylist()
+                # 1-D object array ALWAYS (same hazard as _load_dv:
+                # np.array on uniform-length lists goes 2-D)
+                arr = np.empty(len(vals), dtype=object)
+                arr[:] = vals
+                out_np[f][dst] = arr
+        return {f: v.tolist() for f, v in out_np.items()}
+
     def docvalues_for(
         self, docnums: np.ndarray, fields: List[str]
     ) -> Dict[str, list]:
