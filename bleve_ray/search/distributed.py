@@ -151,6 +151,12 @@ class DistributedIndexReader:
     def docvalues_for(self, docnums: np.ndarray, fields: List[str]):
         return self.local.docvalues_for(docnums, fields)
 
+    def docvalues_rows(self, docnums: np.ndarray, fields: List[str]):
+        return self.local.docvalues_rows(docnums, fields)
+
+    def docvalues_arrow(self, docnums: np.ndarray, field: str):
+        return self.local.docvalues_arrow(docnums, field)
+
     def all_docnums(self) -> np.ndarray:
         return self.local.all_docnums()
 

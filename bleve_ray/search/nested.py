@@ -557,7 +557,22 @@ def apply_nested_filter(reader, mapping, query_node, hits):
         return hits
     from .searcher import SearchHits
 
-    keep = v.filter(query_node, hits.docnums)
+    # vectorized fast path for the common shape (all scoped clauses
+    # directly under one single-level nested path); general per-doc
+    # verifier otherwise
+    keep = None
+    from .nested_fast import fast_filter, fast_plan
+
+    plan = fast_plan(v, query_node)
+    if plan is not None:
+        import pyarrow as _pa
+
+        try:
+            keep = fast_filter(v, plan[0], plan[1], hits.docnums)
+        except _pa.ArrowInvalid:
+            keep = None  # data shape the kernel can't take: general path
+    if keep is None:
+        keep = v.filter(query_node, hits.docnums)
     if keep.all():
         return hits
     return SearchHits(hits.docnums[keep], hits.scores[keep])

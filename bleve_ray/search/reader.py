@@ -454,6 +454,66 @@ class IndexReader:
                 out_np[f][dst] = arr
         return {f: v.tolist() for f, v in out_np.items()}
 
+    def docvalues_arrow(self, docnums: np.ndarray, field: str):
+        """ONE forward column aligned to docnums as a zero-copy-ish
+        Arrow array (no Python conversion at all) — the input the
+        vectorized nested verifier (search/nested_fast.py) flattens.
+        None when the field is missing, dropped, or any requested doc
+        has no stored value (caller falls back to the general path)."""
+        import pyarrow as pa
+
+        n = len(docnums)
+        if n == 0 or not self.field_live(field):
+            return None
+        files = self._dv_files()
+        if not files:
+            return None
+        order = np.argsort(docnums, kind="stable")
+        sorted_dn = docnums[order]
+        file_his = np.array([hi for _, _, hi in files], dtype=np.int64)
+        file_los = np.array([lo for _, lo, _ in files], dtype=np.int64)
+        fidx = np.searchsorted(file_his, sorted_dn, side="left")
+        in_range = (fidx < len(files)) & (
+            file_los[np.minimum(fidx, len(files) - 1)] <= sorted_dn
+        )
+        arrs, dsts = [], []
+        for fi in np.unique(fidx[in_range]):
+            sel = np.flatnonzero((fidx == fi) & in_range)
+            dn_sel = sorted_dn[sel]
+            path = files[fi][0]
+            key = ("arrow", path)
+            cached = self._dv_cache.get(key)
+            if cached is None:
+                t = pq.read_table(path).sort_by("docnum")
+                cached = (np.asarray(t["docnum"], dtype=np.int64), t)
+                self._dv_cache[key] = cached
+            nums, t = cached
+            if field not in t.column_names:
+                return None
+            j = np.searchsorted(nums, dn_sel)
+            j_cl = np.minimum(j, len(nums) - 1)
+            hit = nums[j_cl] == dn_sel
+            src = j_cl[hit]
+            dst = order[sel[hit]]
+            a = t[field].take(pa.array(src))
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            arrs.append(a)
+            dsts.append(dst)
+        if not arrs:
+            return None
+        got = np.concatenate(dsts)
+        if len(got) < n:
+            return None
+        if len({str(a.type) for a in arrs}) > 1:
+            # heterogeneous file schemas (docs ingested with different
+            # nesting shapes): not concatenatable — caller falls back
+            return None
+        merged = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+        inv = np.empty(n, dtype=np.int64)
+        inv[got] = np.arange(len(got), dtype=np.int64)
+        return merged.take(pa.array(inv))
+
     def docvalues_for(
         self, docnums: np.ndarray, fields: List[str]
     ) -> Dict[str, list]:

@@ -604,3 +604,106 @@ def test_nested_sort_by_dotted_field(company_index):
         "sort": [f"{DEPT}.budget"],
     })
     assert len(res.hits) == 3
+
+
+@pytest.fixture(scope="module")
+def lineitems_index(ray_session, tmp_path_factory):
+    """Single-level nested layout (the fast-path shape): orders with a
+    top-level `lineitems` list<struct> column."""
+    tmp = tmp_path_factory.mktemp("nested_li")
+    rows = []
+    rng_flags = ["R", "A", "N"]
+    for ok in range(40):
+        items = [
+            {"l_linenumber": i,
+             "l_returnflag": rng_flags[(ok + i) % 3],
+             "l_quantity": float((ok * 7 + i * 13) % 50 + 1),
+             "l_comment": f"item {i} of order {ok}"}
+            for i in range((ok % 5) + 1)
+        ]
+        rows.append({"o_orderkey": ok, "lineitems": items})
+    src = str(tmp / "orders.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    root = new_document_mapping()
+    li = new_nested_document_mapping()
+    li.add_field_mapping_at("l_returnflag", FieldConfig(analyzer="keyword"))
+    li.add_field_mapping_at("l_quantity", FieldConfig(field_type="numeric"))
+    li.add_field_mapping_at("l_comment", FieldConfig(analyzer="standard"))
+    root.add_sub_document_mapping("lineitems", li)
+    idx_dir = str(tmp / "idx")
+    build_index([src], idx_dir, options_from_mapping(
+        root, doc_id_fields=["o_orderkey"], num_shards=1, bucket_bits=8))
+    return Index.open(idx_dir), rows
+
+
+@pytest.mark.parametrize("clauses", [
+    [{"term": "R", "field": "lineitems.l_returnflag"},
+     {"min": 40.0, "field": "lineitems.l_quantity"}],
+    [{"term": "A", "field": "lineitems.l_returnflag"},
+     {"min": 10.0, "max": 30.0, "inclusive_max": True,
+      "field": "lineitems.l_quantity"}],
+    [{"match": "item order", "field": "lineitems.l_comment",
+      "operator": "and"},
+     {"min": 45.0, "field": "lineitems.l_quantity"}],
+    [{"prefix": "ite", "field": "lineitems.l_comment"},
+     {"term": "N", "field": "lineitems.l_returnflag"}],
+])
+def test_nested_fast_path_matches_general_verifier(lineitems_index,
+                                                   clauses):
+    """The vectorized single-level fast path (nested_fast.py) must be
+    result-identical to the general per-doc verifier AND to a brute
+    Python reimplementation over the raw rows."""
+    import numpy as np
+
+    from bleve_ray.search.nested import NestedVerifier
+    from bleve_ray.search.nested_fast import fast_filter, fast_plan
+    from bleve_ray.search.query import parse_query
+
+    idx, rows = lineitems_index
+    node = parse_query({"conjuncts": clauses})
+    v = NestedVerifier(idx.reader, idx.mapping,
+                       idx.reader.options["nested_paths"])
+    plan = fast_plan(v, node)
+    assert plan is not None, "query should be fast-path eligible"
+    all_docs = idx.reader.all_docnums()
+    keep_fast = fast_filter(v, plan[0], plan[1], all_docs)
+    keep_gen = v.filter(node, all_docs)
+    assert keep_fast is not None
+    assert np.array_equal(keep_fast, keep_gen)
+    # end-to-end search agrees (the hook prefers the fast path)
+    res = idx.search({"query": {"conjuncts": clauses}, "size": 100})
+    got = sorted(int(h.id) for h in res.hits)
+    doc_ids = idx.reader.doc_ids_for(all_docs)
+    want = sorted(
+        int(doc_ids[i]) for i in np.flatnonzero(keep_gen)
+        if _doc_level_match(rows[int(doc_ids[i])], clauses)
+    )
+    assert got == want
+
+
+def _doc_level_match(row, clauses):
+    """Brute doc-level AND (the pre-verifier superset) — every clause
+    satisfied by SOME element; used to mirror what the doc-level search
+    feeds the verifier."""
+    for c in clauses:
+        ok = False
+        for it in row["lineitems"]:
+            if "term" in c:
+                ok |= it["l_returnflag"] == c["term"]
+            elif "prefix" in c:
+                ok |= any(t.startswith(c["prefix"])
+                          for t in it["l_comment"].split())
+            elif "match" in c:
+                toks = set(it["l_comment"].split())
+                qt = c["match"].split()
+                ok |= all(t in toks for t in qt) if c.get(
+                    "operator") == "and" else any(t in toks for t in qt)
+            elif "min" in c or "max" in c:
+                v = it["l_quantity"]
+                lo_ok = "min" not in c or v >= c["min"]
+                hi_ok = "max" not in c or (
+                    v <= c["max"] if c.get("inclusive_max") else v < c["max"])
+                ok |= lo_ok and hi_ok
+        if not ok:
+            return False
+    return True
