@@ -60,19 +60,30 @@ def build_knn_ivf(
     if not files:
         raise ValueError("index has no docvalue files")
 
-    # bounded driver-side training sample (spread across files AND
-    # strided within each file — a head slice trains biased centroids
-    # on sorted/clustered corpora)
+    # bounded driver-side training sample: spread across files AND
+    # across row groups within each file (a head slice trains biased
+    # centroids on sorted/clustered corpora), reading ONLY the sampled
+    # row groups of the vector column — never the full file
     sample_rows: list = []
     per_file = max(1, train_sample // len(files))
     for p in files:
-        t = pq.read_table(p, columns=[field])
-        n = len(t)
-        if n > per_file:
-            idx = np.linspace(0, n - 1, per_file).astype(np.int64)
-            t = t.take(pa.array(idx))
-        vals = [v for v in t[field].to_pylist() if v is not None]
-        sample_rows.extend(vals)
+        pf = pq.ParquetFile(p)
+        m = pf.metadata.num_row_groups
+        rgs = sorted(
+            set(np.linspace(0, m - 1, min(m, 8)).astype(int).tolist())
+        )
+        per_rg = max(1, per_file // max(1, len(rgs)))
+        for rg in rgs:
+            t = pf.read_row_group(rg, columns=[field])
+            n = len(t)
+            if n > per_rg:
+                idx = np.linspace(0, n - 1, per_rg).astype(np.int64)
+                t = t.take(pa.array(idx))
+            sample_rows.extend(
+                v for v in t[field].to_pylist() if v is not None
+            )
+            if len(sample_rows) >= train_sample:
+                break
         if len(sample_rows) >= train_sample:
             break
     if not sample_rows:
