@@ -43,9 +43,19 @@ def fast_plan(verifier, node) -> Optional[Tuple[str, List]]:
     children = verifier.children_of(node)
     if children is None or isinstance(node, q.DisjunctionQuery):
         return None
+    # inner conjunctions scoped at the same single path intersect at
+    # that path exactly like their inlined leaves: flatten them
+    stack = list(children)
+    flat: List = []
+    while stack:
+        c = stack.pop(0)
+        if isinstance(c, q.ConjunctionQuery):
+            stack = list(c.conjuncts) + stack
+        else:
+            flat.append(c)
     path = None
     scoped: List = []
-    for c in children:
+    for c in flat:
         chain = verifier.chain_of(c)
         if not chain:
             # doc-level clause: already enforced by the doc-level

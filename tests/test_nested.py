@@ -707,3 +707,32 @@ def _doc_level_match(row, clauses):
         if not ok:
             return False
     return True
+
+
+def test_nested_fast_path_boolean_must_and_inner_conjunction(
+    lineitems_index,
+):
+    """{"must":[...]} and inner same-path conjunctions flatten into the
+    fast plan; results equal the general verifier."""
+    import numpy as np
+
+    from bleve_ray.search.nested import NestedVerifier
+    from bleve_ray.search.nested_fast import fast_filter, fast_plan
+    from bleve_ray.search.query import parse_query
+
+    idx, _rows = lineitems_index
+    node = parse_query({"must": [
+        {"term": "R", "field": "lineitems.l_returnflag"},
+        {"conjuncts": [
+            {"min": 20.0, "field": "lineitems.l_quantity"},
+            {"max": 45.0, "inclusive_max": True,
+             "field": "lineitems.l_quantity"},
+        ]},
+    ]})
+    v = NestedVerifier(idx.reader, idx.mapping,
+                       idx.reader.options["nested_paths"])
+    plan = fast_plan(v, node)
+    assert plan is not None and len(plan[1]) == 3
+    all_docs = idx.reader.all_docnums()
+    keep_fast = fast_filter(v, plan[0], plan[1], all_docs)
+    assert np.array_equal(keep_fast, v.filter(node, all_docs))
