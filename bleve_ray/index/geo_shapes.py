@@ -263,16 +263,21 @@ def parse_geojson(shape) -> List[tuple]:
                 out.extend(_split_poly_antimeridian(rings[0], rings[1:]))
         return out
     if t == "envelope":
-        # reference geo/parse.go: [[minLon, maxLat], [maxLon, minLat]]
+        # reference geo/parse.go: [[minLon, maxLat], [maxLon, minLat]].
+        # kind "env" behaves exactly like its rect polygon EXCEPT as a
+        # WITHIN/CONTAINS container, where the reference's envelope
+        # interior is OPEN: shapes touching the rect boundary are not
+        # contained (geoshape_within_test.go TestEnvelopePolygonWithin
+        # "polygon completely within bounded rectangle" -> false).
         (x1, y2), (x2, y1) = _pt(c[0]), _pt(c[1])
         if x1 > x2:
             # minLon > maxLon = dateline-crossing envelope: split like
             # geo bbox queries (search/query.py)
             return [
-                ("poly", (_rect_poly(x1, y1, 180.0, y2), [])),
-                ("poly", (_rect_poly(-180.0, y1, x2, y2), [])),
+                ("env", (_rect_poly(x1, y1, 180.0, y2), [])),
+                ("env", (_rect_poly(-180.0, y1, x2, y2), [])),
             ]
-        return [("poly", (_rect_poly(x1, y1, x2, y2), []))]
+        return [("env", (_rect_poly(x1, y1, x2, y2), []))]
     if t == "circle":
         r_km = parse_distance_km(
             shape.get("radius", shape.get("radiusInMeters", 0))
@@ -437,7 +442,7 @@ def _spoly_other_parts(prim):
     spherical predicates; circles polygonalize geodesically."""
     from .geo_sphere import geodesic_circle_ring, segments_xyz
 
-    k, v = prim
+    k, v = _as_poly(prim)
     if k == "pt":
         return [v], []
     if k == "line":
@@ -492,7 +497,15 @@ def _prim_within_spoly(prim, sp) -> bool:
     )
 
 
+def _as_poly(p: tuple) -> tuple:
+    """Envelopes behave as their rect polygon everywhere except as a
+    strict (open-interior) WITHIN container — see _prim_within."""
+    return ("poly", p[1]) if p[0] == "env" else p
+
+
 def _prim_intersects(a: tuple, b: tuple) -> bool:
+    a = _as_poly(a)
+    b = _as_poly(b)
     ka, va = a
     kb, vb = b
     if ka == "spoly" or kb == "spoly":
@@ -580,8 +593,47 @@ _SWAP = {
 }
 
 
+def _prim_within_env(a: tuple, ring) -> bool:
+    """Envelope containment with the reference's MIXED boundary rule
+    (geoshape_within_test.go): POINTS on the rect boundary are within
+    (TestEnvelopePointWithin "point on vertex" -> true) but POLYGONS
+    touching the boundary are not (TestEnvelopePolygonWithin "polygon
+    completely within bounded rectangle" with edge overlap -> false;
+    same for contains).  The rect is convex, so vertex tests are
+    exact."""
+    x1 = min(x for x, _ in ring)
+    x2 = max(x for x, _ in ring)
+    y1 = min(y for _, y in ring)
+    y2 = max(y for _, y in ring)
+    ka, va = a
+    if ka == "spoly":
+        return False
+    if ka == "circle":
+        cx, cy, r = va
+        if not point_in_rect(cx, cy, (x1, y1, x2, y2)):
+            return False
+        return not any(
+            _seg_near_point(s, e, cx, cy, r - EPS)
+            for s, e in _poly_segments((ring, []))
+        )
+    if ka in ("pt", "line"):
+        # closed-boundary containees
+        return all(
+            point_in_rect(px, py, (x1, y1, x2, y2))
+            for px, py in _prim_vertices(a)
+        )
+    # polygon-like containees: open interior (strictly inside)
+    return all(
+        (px - x1) > EPS
+        and (x2 - px) > EPS
+        and (py - y1) > EPS
+        and (y2 - py) > EPS
+        for px, py in _prim_vertices(a)
+    )
+
+
 def _prim_vertices(p: tuple) -> List[Tuple[float, float]]:
-    k, v = p
+    k, v = _as_poly(p)
     if k == "spoly":
         return list(v.lonlat)
     if k == "pt":
@@ -598,6 +650,9 @@ def _prim_vertices(p: tuple) -> List[Tuple[float, float]]:
 
 def _prim_within(a: tuple, b: tuple) -> bool:
     """Is primitive ``a`` entirely inside container primitive ``b``?"""
+    if b[0] == "env":
+        return _prim_within_env(_as_poly(a), b[1][0])
+    a = _as_poly(a)
     ka, va = a
     kb, vb = b
     if kb == "spoly":

@@ -30,17 +30,11 @@ _VECS = json.load(
 #  - "envelope-open": the reference's envelope containment excludes
 #    shapes sharing the rect boundary (open edges) while polygons are
 #    closed; this engine treats both as closed
-_DIVERGENT = {
-    # r5: the former "geodesic" (planar line math) and "guardrail"
-    # (>180-degree-lon rejection) divergences are FIXED by the
-    # great-circle geometry in index/geo_sphere.py — those vectors now
-    # run and pass below.  Only the envelope-open semantics remain.
-    ("TestEnvelopePolygonWithin",
-     "polygon completely within bounded rectangle"): "envelope-open",
-    ("TestPolygonEnvelopeContains",
-     "polygon contained inside envelope with edge overlaps",
-     ): "envelope-open",
-}
+# r5: the former "geodesic" (planar line math), "guardrail"
+# (>180-degree-lon rejection) and "envelope-open" (open-interior
+# envelope containment) divergences are all FIXED — every vector
+# below now runs and passes.
+_DIVERGENT = {}
 
 # one reference vector's DocShapeVertices is a doc NAME, not
 # coordinates (extraction artifact of a malformed fixture entry)
