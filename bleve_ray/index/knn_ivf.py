@@ -226,6 +226,15 @@ class KnnIvf:
         qn = qn / (np.linalg.norm(qn) or 1.0)
         d2 = ((qn[None, :] - self.centroids) ** 2).sum(-1)
         probe = np.argsort(d2)[: max(1, nprobe)]
+        cold = [int(c) for c in probe if int(c) not in self._cells]
+        if len(cold) > 1:
+            # parquet decode releases the GIL: load cold cells
+            # concurrently (helps the cold-query tail; warm probes hit
+            # the LRU and never get here)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(cold))) as ex:
+                list(ex.map(self._load_cell, cold))
         parts = [self._load_cell(int(c)) for c in probe]
         parts = [p for p in parts if len(p[0])]
         if not parts:
