@@ -752,16 +752,21 @@ class PhraseSearcher(Searcher):
             total = int(counts.sum())
             if total == 0:
                 continue
-            # vectorized gather of each candidate doc's position slice
-            rep_starts = np.repeat(starts[pidx], counts)
-            within = np.arange(total) - np.repeat(
-                np.concatenate(([0], np.cumsum(counts[:-1]))), counts
+            # vectorized gather of each candidate doc's position slice;
+            # one fused repeat: tok_idx = arange + repeat(start - out_off)
+            out_off = np.concatenate(([0], np.cumsum(counts[:-1])))
+            tok_idx = np.arange(total) + np.repeat(
+                starts[pidx] - out_off, counts
             )
-            tok_idx = rep_starts + within
-            poss = p.positions_flat[tok_idx].astype(np.int64)
-            rank_rep = np.repeat(ranks, counts)
-            # pos-offset can go slightly negative for later slots; bias +64
-            keys.append(rank_rep * _KEY_BASE + (poss - offset + 64))
+            rank_rep = np.repeat(ranks, counts)  # flatnonzero: int64
+            # pos-offset can go slightly negative for later slots; bias
+            # +64.  positions stay int32 through the subtraction; the
+            # add upcasts once into the int64 rank keys (no full-width
+            # astype copy of the position gather)
+            keys.append(
+                rank_rep * _KEY_BASE
+                + (p.positions_flat[tok_idx] - np.int32(offset - 64))
+            )
         if not keys:
             return np.empty(0, dtype=np.int64)
         if len(keys) == 1:
