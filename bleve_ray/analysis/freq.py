@@ -415,7 +415,7 @@ def invert_batch(
     uniq_codes = tcode[term_offsets[:-1]]
     term_strs = dictionary.take(pa.array(uniq_codes, type=pa.int64()))
 
-    docnums_flat = docnums[tdoc].astype(np.int64)
+    docnums_flat = docnums[tdoc].astype(np.int64, copy=False)
     norms_flat = (
         1.0 / np.sqrt(field_len[tdoc].astype(np.float64))
     ).astype(np.float32)
@@ -480,12 +480,12 @@ def invert_batch_encoded(
         # cheaper than the widened composite key below
         term_codes = np.asarray(enc.indices)
         order = np.argsort(term_codes, kind="stable")
-        ts = term_codes[order].astype(np.int64)
+        ts = term_codes[order].astype(np.int64, copy=False)
         ds = doc_idx[order]
         runs = (
             np.flatnonzero((np.diff(ts) != 0) | (np.diff(ds) != 0)) + 1
         )
-        term_codes = term_codes.astype(np.int64)
+        term_codes = term_codes.astype(np.int64, copy=False)
     else:  # _all concatenates per-field streams; doc order interleaves
         term_codes = np.asarray(enc.indices, dtype=np.int64)
         key = term_codes * len(field_len) + doc_idx
@@ -493,7 +493,7 @@ def invert_batch_encoded(
         runs = np.flatnonzero(np.diff(key[order])) + 1
     run_starts = np.concatenate(([0], runs))
     run_ends = np.concatenate((runs, [n_tokens]))
-    tfs_all = (run_ends - run_starts).astype(np.int64)
+    tfs_all = (run_ends - run_starts).astype(np.int64, copy=False)
     tdoc = doc_idx[order][run_starts]
     tcode = term_codes[order][run_starts]
     pos_sorted = positions[order]
@@ -503,7 +503,7 @@ def invert_batch_encoded(
     uniq_codes = tcode[t_off[:-1]]
     term_strs = dictionary.take(pa.array(uniq_codes, type=pa.int64()))
 
-    docnums_flat = docnums[tdoc].astype(np.int64)
+    docnums_flat = docnums[tdoc].astype(np.int64, copy=False)
     norms_flat = (
         1.0 / np.sqrt(field_len[tdoc].astype(np.float64))
     ).astype(np.float32)
@@ -517,7 +517,7 @@ def invert_batch_encoded(
         # positions deltas restart at every (term, doc) run start, which
         # includes every term boundary -- safe to slice per term
         ps_buf, ps_off = codec.encode_with_restarts(
-            pos_sorted.astype(np.int64), run_starts
+            pos_sorted.astype(np.int64, copy=False), run_starts
         )
     min_dn = docnums_flat[t_off[:-1]]
     max_dn = docnums_flat[t_off[1:] - 1]
