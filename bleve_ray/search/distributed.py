@@ -478,7 +478,7 @@ class IndexAlias:
         alias-wide docTotal/avgDocLength.  Term df stays member-local,
         exactly like the reference (search_term.go:145 reader.Count())."""
         stats = {"doc_count": 0, "field_cardinality": {}}
-        for idx in self.indexes:
+        for idx in self._leaf_indexes():
             r = idx.reader
             stats["doc_count"] += int(r.doc_count())
             for f in r.options.get("fields", {}):
@@ -545,11 +545,15 @@ class IndexAlias:
         ]
         weights = [1.0]
 
-        # phase 1 (presearch): global top-k per KNN clause across members
+        # phase 1 (presearch): global top-k per KNN clause across members.
+        # Recurse to LEAF indexes -- a nested sub-alias has no reader of
+        # its own; the reference's preSearch likewise fans out to every
+        # concrete member (index_alias_impl.go preSearchAll over leaves).
+        leaves = self._leaf_indexes()
         for kr in request.get("knn") or []:
             k = int(kr.get("k", 10))
             cands = []  # (sim, id, member_idx, docnum)
-            for mi, idx in enumerate(self.indexes):
+            for mi, idx in enumerate(leaves):
                 try:
                     allowed = idx._knn_filter_docnums(
                         kr,
@@ -616,13 +620,22 @@ class IndexAlias:
         for i, s in page:
             h = by_id[i]
             hits.append(Hit(id=i, score=float(s), docnum=h.docnum))
-        return SearchResult(
+        out = SearchResult(
             total_hits=len(fused),
             max_score=max(fused.values(), default=0.0),
             hits=hits,
             took_ms=(_t.perf_counter() - t0) * 1e3,
             status=status,
         )
+        if request.get("facets"):
+            # facets ride the member FTS pass (fts_req keeps the facets
+            # key) and merge exactly like the non-knn alias path; fusion
+            # reordering must not change them (rescorer.go wraps the
+            # complete search, index_impl.go:1040-1056)
+            out.facets = _merge_facet_results(
+                request["facets"], [r.facets for r in results if r.facets]
+            )
+        return out
 
 
 def _merge_facet_results(requests: dict, facet_sets: List[dict]) -> dict:
