@@ -1,0 +1,569 @@
+"""Mapping-update validation vectors ported from the reference's
+index_update_test.go: TestCompareFieldMapping (:40-293),
+TestCompareMappings (:294-400), TestCompareAnalysers (:400-552),
+TestCompareDatetimeParsers (:553-719), TestCompareSynonymSources
+(:720-818) and the TestDeletedFields end-to-end table (:819-2350).
+
+Pure validation logic -- no Ray session needed."""
+
+import pytest
+
+from bleve_ray.index.mapping_update import (
+    FieldMapInfo,
+    PathInfo,
+    compare_analyzers,
+    compare_datetime_parsers,
+    compare_field_mapping,
+    compare_mappings,
+    compare_synonym_sources,
+    deleted_fields_mapping,
+)
+from bleve_ray.index.update import MappingUpdateError, UpdateFieldInfo
+
+# ---------------------------------------------------------------------------
+# TestCompareFieldMapping (index_update_test.go:40-293)
+# ---------------------------------------------------------------------------
+
+FIELD_VECTORS = [
+    # (original, updated, expected UpdateFieldInfo kwargs | None, err)
+    (None, None, None, True),
+    ({}, None, {"deleted": True}, False),
+    ({"type": "text"}, {"type": "datetime"}, None, True),
+    (  # synonym source change on text is a no-op
+        {"type": "text", "synonym_source": "a"},
+        {"type": "text", "synonym_source": "b"},
+        {},
+        False,
+    ),
+    (
+        {"type": "text", "analyzer": "a"},
+        {"type": "text", "analyzer": "b"},
+        None,
+        True,
+    ),
+    (
+        {"type": "vector", "dims": 128, "similarity": "l2_norm",
+         "vector_index_optimized_for": "memory-efficient"},
+        {"type": "vector", "dims": 1024, "similarity": "l2_norm",
+         "vector_index_optimized_for": "memory-efficient"},
+        None,
+        True,
+    ),
+    (
+        {"type": "vector_base64", "similarity": "l2_norm", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient"},
+        {"type": "vector_base64", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient"},
+        None,
+        True,
+    ),
+    (
+        {"type": "vector", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient"},
+        {"type": "vector", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "latency"},
+        None,
+        True,
+    ),
+    (
+        {"type": "vector", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient", "gpu": False},
+        {"type": "vector", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient", "gpu": True},
+        None,
+        True,
+    ),
+    (
+        {"type": "vector_base64", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient", "gpu": False},
+        {"type": "vector_base64", "similarity": "dot_product", "dims": 128,
+         "vector_index_optimized_for": "memory-efficient", "gpu": True},
+        None,
+        True,
+    ),
+    (
+        {"type": "numeric", "include_in_all": True},
+        {"type": "numeric", "include_in_all": False},
+        None,
+        True,
+    ),
+    (
+        {"type": "numeric", "include_term_vectors": False},
+        {"type": "numeric", "include_term_vectors": True},
+        None,
+        True,
+    ),
+    (
+        {"type": "numeric", "skip_freq_norm": True},
+        {"type": "numeric", "skip_freq_norm": False},
+        None,
+        True,
+    ),
+    (
+        {"type": "geopoint", "index": True},
+        {"type": "geopoint", "index": False},
+        {"index": True, "docvalues": True},
+        False,
+    ),
+    (
+        {"type": "numeric", "docvalues": True},
+        {"type": "numeric", "docvalues": False},
+        {"docvalues": True},
+        False,
+    ),
+    (  # non-text/vector attribute changes on a datetime field: no-op
+        {"name": "", "type": "datetime", "analyzer": "a", "store": True,
+         "index": False, "include_term_vectors": True,
+         "include_in_all": False, "date_format": "a", "docvalues": False,
+         "skip_freq_norm": True, "dims": 128,
+         "similarity": "dot_product",
+         "vector_index_optimized_for": "memory-efficient",
+         "synonym_source": "a"},
+        {"name": "", "type": "datetime", "analyzer": "b", "store": True,
+         "index": False, "include_term_vectors": True,
+         "include_in_all": False, "date_format": "a", "docvalues": False,
+         "skip_freq_norm": True, "dims": 256, "similarity": "l2_norm",
+         "vector_index_optimized_for": "latency",
+         "synonym_source": "b"},
+        {},
+        False,
+    ),
+]
+
+
+@pytest.mark.parametrize("ori,upd,want,err", FIELD_VECTORS)
+def test_compare_field_mapping(ori, upd, want, err):
+    if err:
+        with pytest.raises(MappingUpdateError):
+            compare_field_mapping(ori, upd)
+    else:
+        got = compare_field_mapping(ori, upd)
+        assert got == UpdateFieldInfo(**want)
+
+
+# ---------------------------------------------------------------------------
+# TestCompareMappings (index_update_test.go:294-400)
+# ---------------------------------------------------------------------------
+
+MAPPING_VECTORS = [
+    (  # type field change with type mappings present
+        {"type_field": "a", "types": {"a": {}, "b": {}}},
+        {"type_field": "b", "types": {"a": {}, "b": {}}},
+        True,
+    ),
+    ({"default_type": "a"}, {"default_type": "b"}, True),
+    ({"default_analyzer": "a"}, {"default_analyzer": "b"}, False),
+    (
+        {"default_datetime_parser": "a"},
+        {"default_datetime_parser": "b"},
+        False,
+    ),
+    (
+        {"default_synonym_source": "a"},
+        {"default_synonym_source": "b"},
+        False,
+    ),
+    ({"default_field": "a"}, {"default_field": "b"}, False),
+    ({"index_dynamic": True}, {"index_dynamic": False}, True),
+    ({"store_dynamic": False}, {"store_dynamic": True}, True),
+    ({"docvalues_dynamic": True}, {"docvalues_dynamic": False}, True),
+]
+
+
+@pytest.mark.parametrize("ori,upd,err", MAPPING_VECTORS)
+def test_compare_mappings(ori, upd, err):
+    if err:
+        with pytest.raises(MappingUpdateError):
+            compare_mappings(ori, upd)
+    else:
+        compare_mappings(ori, upd)
+
+
+# ---------------------------------------------------------------------------
+# TestCompareAnalysers (index_update_test.go:400-552)
+# ---------------------------------------------------------------------------
+
+def _text_paths():
+    paths = {}
+    for p in ("a", "b", "c"):
+        pi = PathInfo(path=p, parent_path="")
+        pi.field_map_info = [FieldMapInfo(field_mapping={"type": "text"})]
+        paths[p] = pi
+    return paths
+
+
+def _im_with_field_analyzers(custom_3xbla):
+    """NewIndexMapping with text fields a/b/c where b's doc mapping uses
+    the custom analyzer 3xbla and c uses the built-in simple."""
+    return {
+        "default_analyzer": "standard",
+        "default_mapping": {
+            "enabled": True,
+            "dynamic": True,
+            "properties": {
+                "a": {"enabled": True, "fields": [{"type": "text"}]},
+                "b": {
+                    "enabled": True,
+                    "default_analyzer": "3xbla",
+                    "fields": [{"type": "text"}],
+                },
+                "c": {
+                    "enabled": True,
+                    "default_analyzer": "simple",
+                    "fields": [{"type": "text"}],
+                },
+            },
+        },
+        "analysis": {"analyzers": {"3xbla": custom_3xbla}},
+    }
+
+
+def test_compare_analyzers_identical():
+    spec = {
+        "type": "custom",
+        "tokenizer": "whitespace",
+        "token_filters": ["to_lower", "stop_en"],
+    }
+    ori = _im_with_field_analyzers(dict(spec))
+    upd = _im_with_field_analyzers(dict(spec))
+    compare_analyzers(_text_paths(), _text_paths(), ori, upd)
+
+
+def test_compare_analyzers_changed_definition():
+    ori = _im_with_field_analyzers(
+        {
+            "type": "custom",
+            "tokenizer": "whitespace",
+            "token_filters": ["to_lower", "stop_en"],
+        }
+    )
+    upd = _im_with_field_analyzers(
+        {
+            "type": "custom",
+            "tokenizer": "letter",
+            "token_filters": ["to_lower", "stop_en"],
+        }
+    )
+    with pytest.raises(MappingUpdateError, match="changed while being used"):
+        compare_analyzers(_text_paths(), _text_paths(), ori, upd)
+
+
+# ---------------------------------------------------------------------------
+# TestCompareDatetimeParsers (index_update_test.go:553-719)
+# ---------------------------------------------------------------------------
+
+def _dt_paths():
+    paths = {}
+    for p, fmt in (("a", ""), ("b", "customDT"), ("c", "")):
+        fm = {"type": "datetime"}
+        if fmt:
+            fm["date_format"] = fmt
+        pi = PathInfo(path=p, parent_path="")
+        pi.field_map_info = [FieldMapInfo(field_mapping=fm)]
+        paths[p] = pi
+    return paths
+
+
+def _im_with_dt_parser(layouts):
+    return {
+        "default_datetime_parser": "dateTimeOptional",
+        "analysis": {
+            "date_time_parsers": {
+                "customDT": {"type": "sanitizedgo", "layouts": layouts}
+            }
+        },
+    }
+
+
+def test_compare_datetime_parsers_identical():
+    layouts = ["02/01/2006 15:04:05", "2006/01/02 3:04PM"]
+    compare_datetime_parsers(
+        _dt_paths(),
+        _dt_paths(),
+        _im_with_dt_parser(list(layouts)),
+        _im_with_dt_parser(list(layouts)),
+    )
+
+
+def test_compare_datetime_parsers_changed():
+    with pytest.raises(MappingUpdateError, match="changed while being used"):
+        compare_datetime_parsers(
+            _dt_paths(),
+            _dt_paths(),
+            _im_with_dt_parser(["02/01/2006 15:04:05", "2006/01/02 3:04PM"]),
+            _im_with_dt_parser(["02/01/2006 15:04:05", "2006/01/02"]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# TestCompareSynonymSources (index_update_test.go:720-818)
+# ---------------------------------------------------------------------------
+
+def _im_with_synonym_sources(col2):
+    return {
+        "analysis": {
+            "synonym_sources": {
+                "syn1": {"collection": "col1", "analyzer": "simple"},
+                "syn2": {"collection": col2, "analyzer": "standard"},
+            }
+        }
+    }
+
+
+def test_compare_synonym_sources_identical():
+    compare_synonym_sources(
+        _im_with_synonym_sources("col2"), _im_with_synonym_sources("col2")
+    )
+
+
+def test_compare_synonym_sources_changed():
+    with pytest.raises(MappingUpdateError, match="synonym sources"):
+        compare_synonym_sources(
+            _im_with_synonym_sources("col2"),
+            _im_with_synonym_sources("col3"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# TestDeletedFields (index_update_test.go:819-2350)
+# ---------------------------------------------------------------------------
+
+def _prop(ftype="numeric", **field_kwargs):
+    """A property holding one anonymous field mapping."""
+    return {
+        "enabled": True,
+        "dynamic": False,
+        "fields": [{"type": ftype, **field_kwargs}],
+    }
+
+
+def _doc(properties=None, enabled=True, dynamic=False, **kwargs):
+    dm = {"enabled": enabled, "dynamic": dynamic, **kwargs}
+    if properties is not None:
+        dm["properties"] = properties
+    return dm
+
+
+def _im(types=None, default_mapping=None, **kwargs):
+    im = {
+        "types": types or {},
+        "default_mapping": default_mapping
+        if default_mapping is not None
+        else _doc(),
+        "index_dynamic": False,
+        "store_dynamic": False,
+        "docvalues_dynamic": False,
+    }
+    im.update(kwargs)
+    return im
+
+
+def test_deleted_fields_default_analyzer_index_dynamic():
+    """Changed default analyzer with index dynamic => error."""
+    ori = _im(
+        default_mapping=_doc(enabled=False),
+        default_analyzer="standard",
+        index_dynamic=True,
+    )
+    upd = _im(
+        default_mapping=_doc(enabled=False),
+        default_analyzer="simple",
+        index_dynamic=True,
+    )
+    with pytest.raises(MappingUpdateError, match="default analyser"):
+        deleted_fields_mapping(ori, upd)
+
+
+def test_deleted_fields_mapping_analyzer_index_dynamic():
+    """Changed DEFAULT MAPPING analyzer under a dynamic mapping."""
+    ori = _im(
+        default_mapping=_doc(dynamic=True, default_analyzer="standard"),
+        index_dynamic=True,
+    )
+    upd = _im(
+        default_mapping=_doc(dynamic=True, default_analyzer="simple"),
+        index_dynamic=True,
+    )
+    with pytest.raises(
+        MappingUpdateError, match="analyser has been changed for a dynamic"
+    ):
+        deleted_fields_mapping(ori, upd)
+
+
+def test_deleted_fields_default_dt_parser_index_dynamic():
+    ori = _im(
+        default_mapping=_doc(enabled=False),
+        default_datetime_parser="percentstyle",
+        index_dynamic=True,
+    )
+    upd = _im(
+        default_mapping=_doc(enabled=False),
+        default_datetime_parser="sanitizedgo",
+        index_dynamic=True,
+    )
+    with pytest.raises(MappingUpdateError, match="default datetime parser"):
+        deleted_fields_mapping(ori, upd)
+
+
+def _three_mapping_im(a_kwargs, b_kwargs, c_kwargs):
+    """map1.a + map2.b in types, c in the default mapping."""
+    return _im(
+        types={
+            "map1": _doc({"a": _prop(**a_kwargs)}),
+            "map2": _doc({"b": _prop(**b_kwargs)}),
+        },
+        default_mapping=_doc({"c": _prop(**c_kwargs)}),
+    )
+
+
+def test_deleted_fields_no_changes():
+    ori = _three_mapping_im(
+        {"index": True}, {"index": True}, {"index": True}
+    )
+    upd = _three_mapping_im(
+        {"index": True}, {"index": True}, {"index": True}
+    )
+    assert deleted_fields_mapping(ori, upd) == {}
+
+
+def test_deleted_fields_disabled_default_mapping_changes_ignored():
+    """Disabled default mapping may change freely (its paths are not
+    walked)."""
+    ori = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"b": _prop(index=True)}),
+        },
+        default_mapping=_doc({"c": _prop(index=True)}, enabled=False),
+    )
+    upd = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"b": _prop(index=True)}),
+        },
+        default_mapping=_doc({"d": _prop(index=True)}, enabled=False),
+    )
+    assert deleted_fields_mapping(ori, upd) == {}
+
+
+def test_deleted_fields_new_type_mapping_property():
+    """map2's property renamed b->c => new property => error."""
+    ori = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"b": _prop(index=True)}),
+        }
+    )
+    upd = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"c": _prop(index=True)}),
+        }
+    )
+    with pytest.raises(MappingUpdateError, match="new properties"):
+        deleted_fields_mapping(ori, upd)
+
+
+def test_deleted_fields_new_default_mapping_property():
+    ori = _im(default_mapping=_doc({"a": _prop(index=True)}))
+    upd = _im(default_mapping=_doc({"b": _prop(index=True)}))
+    with pytest.raises(MappingUpdateError, match="new properties"):
+        deleted_fields_mapping(ori, upd)
+
+
+def test_deleted_fields_removed_type_mapping_with_dynamic():
+    """Fully removed type mapping while turning index_dynamic on."""
+    ori = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"b": _prop(index=True)}),
+        },
+        default_mapping=_doc({"c": _prop(index=True)}),
+    )
+    upd = _im(
+        types={"map1": _doc({"a": _prop(index=True)})},
+        default_mapping=_doc({"c": _prop(index=True)}),
+        index_dynamic=True,
+    )
+    with pytest.raises(MappingUpdateError):
+        deleted_fields_mapping(ori, upd)
+
+
+def test_deleted_fields_index_drop_in_type_mapping():
+    """map2.b index true->false => {'b': index+docvalues}."""
+    ori = _three_mapping_im(
+        {"index": True}, {"index": True}, {"index": True}
+    )
+    upd = _three_mapping_im(
+        {"index": True}, {"index": False}, {"index": True}
+    )
+    assert deleted_fields_mapping(ori, upd) == {
+        "b": UpdateFieldInfo(index=True, docvalues=True)
+    }
+
+
+def test_deleted_fields_two_paths_same_field_matching():
+    """map1.a and map2.a both drop index => one consolidated entry."""
+    def build(index_flag):
+        return _im(
+            types={
+                "map1": _doc({"a": _prop(index=index_flag)}),
+                "map2": _doc({"a": _prop(index=index_flag)}),
+            },
+            default_mapping=_doc({"b": _prop(index=True)}),
+        )
+
+    assert deleted_fields_mapping(build(True), build(False)) == {
+        "a": UpdateFieldInfo(index=True, docvalues=True)
+    }
+
+
+def test_deleted_fields_two_paths_same_field_conflicting():
+    """Only map1.a drops index while map2.a keeps it => conflict."""
+    ori = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"a": _prop(index=True)}),
+        },
+        default_mapping=_doc({"b": _prop(index=True)}),
+    )
+    upd = _im(
+        types={
+            "map1": _doc({"a": _prop(index=False)}),
+            "map2": _doc({"a": _prop(index=True)}),
+        },
+        default_mapping=_doc({"b": _prop(index=True)}),
+    )
+    with pytest.raises(
+        MappingUpdateError, match="multiple mappings point to the same"
+    ):
+        deleted_fields_mapping(ori, upd)
+
+
+def test_deleted_fields_composite_drops():
+    """One index drop, one store drop, one docvalues drop and one full
+    property delete across type + default mappings."""
+    ori = _im(
+        types={
+            "map1": _doc({"a": _prop(index=True)}),
+            "map2": _doc({"b": _prop(store=True)}),
+            "map3": _doc({"c": _prop(docvalues=True)}),
+        },
+        default_mapping=_doc(
+            {"d": _prop(index=True, store=True, docvalues=True)}
+        ),
+    )
+    upd = _im(
+        types={
+            "map1": _doc({"a": _prop(index=False)}),
+            "map2": _doc({"b": _prop(store=False)}),
+            "map3": _doc({"c": _prop(docvalues=False)}),
+        },
+        default_mapping=_doc({}),
+    )
+    assert deleted_fields_mapping(ori, upd) == {
+        "a": UpdateFieldInfo(index=True, docvalues=True),
+        "b": UpdateFieldInfo(store=True),
+        "c": UpdateFieldInfo(docvalues=True),
+        "d": UpdateFieldInfo(deleted=True),
+    }
