@@ -247,3 +247,71 @@ def test_successive_updates_accumulate_drops(ray_session, tmp_path):
     assert ix.search(
         {"query": {"term": "gamma", "field": "c"}, "size": 0}
     ).total_hits == 2
+
+
+def test_update_then_force_merge(ray_session, tmp_path):
+    """TestIndexUpdateMerge (index_update_test.go:2738-3121): after a
+    mapping update drops fields, a forced merge must keep the index
+    consistent -- dropped fields still serve nothing, every retained
+    field still serves hits, and stored/docvalue access works."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index.build import run_merge_phase
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"m{i}" for i in range(8)]),
+            "a": pa.array([f"alpha common{i % 2}" for i in range(8)]),
+            "b": pa.array([f"beta common{i % 2}" for i in range(8)]),
+            "c": pa.array([f"gamma common{i % 2}" for i in range(8)]),
+        }
+    )
+    srcs = []
+    # several input files => several segments to actually merge
+    for part in range(4):
+        src = str(tmp_path / f"in{part}.parquet")
+        pq.write_table(tbl.slice(part * 2, 2), src)
+        srcs.append(src)
+    d = str(tmp_path / "idx")
+    opts = IndexOptions(
+        fields={
+            "a": FieldConfig(analyzer="ascii_alnum_lower"),
+            "b": FieldConfig(analyzer="ascii_alnum_lower"),
+            "c": FieldConfig(analyzer="ascii_alnum_lower"),
+        },
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+        target_segments_per_shard=4,
+    )
+    build_index(srcs, d, opts)
+
+    upd = IndexOptions(
+        fields={k: v for k, v in opts.fields.items() if k != "b"},
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+        target_segments_per_shard=4,
+    )
+    info = apply_mapping_update(d, upd)
+    assert info["b"].deleted
+
+    man = manifest_mod.load(d)
+    segs_before = len(man.segments)
+    man.merge_done = False
+    merge_opts = copy.deepcopy(opts)
+    merge_opts.target_segments_per_shard = 1
+    man2 = run_merge_phase(d, man, merge_opts)
+    assert len(man2.segments) < segs_before
+
+    ix = Index.open(d)
+    assert ix.doc_count() == 8
+    # dropped field serves nothing after the merge
+    assert ix.search(
+        {"query": {"term": "beta", "field": "b"}, "size": 0}
+    ).total_hits == 0
+    # retained fields still serve every doc
+    for f, term in (("a", "alpha"), ("c", "gamma")):
+        assert ix.search(
+            {"query": {"term": term, "field": f}, "size": 0}
+        ).total_hits == 8
+    # and term-level queries still rank
+    r = ix.search({"query": {"term": "common0", "field": "a"}, "size": 8})
+    assert r.total_hits == 4

@@ -567,3 +567,112 @@ def test_deleted_fields_composite_drops():
         "c": UpdateFieldInfo(docvalues=True),
         "d": UpdateFieldInfo(deleted=True),
     }
+
+
+# ---------------------------------------------------------------------------
+# TestIndexUpdateNestedMapping (index_update_test.go:3122-3250): the
+# nested flag is frozen across updates, at every depth of the tree.
+# ---------------------------------------------------------------------------
+
+def _text_field():
+    return {
+        "type": "text",
+        "store": True,
+        "index": True,
+        "include_term_vectors": True,
+        "include_in_all": True,
+        "docvalues": True,
+    }
+
+
+def _numeric_field():
+    return {
+        "type": "number",
+        "store": True,
+        "index": True,
+        "include_in_all": True,
+        "docvalues": True,
+    }
+
+
+def _company_mapping(
+    nested_employees, nested_departments, nested_projects, nested_locations
+):
+    """createCompanyMapping: note the reference's inverted flags for
+    employees/projects (nested when the flag is FALSE)."""
+
+    def dm(nested=False, **kw):
+        d = {"enabled": True, "dynamic": True, **kw}
+        if nested:
+            d["nested"] = True
+        return d
+
+    dept = dm(
+        nested=nested_departments,
+        properties={
+            "name": dm(fields=[_text_field()]),
+            "budget": dm(fields=[_numeric_field()]),
+            "employees": dm(
+                nested=not nested_employees,
+                properties={
+                    "name": dm(fields=[_text_field()]),
+                    "role": dm(fields=[_text_field()]),
+                },
+            ),
+            "projects": dm(
+                nested=not nested_projects,
+                properties={
+                    "title": dm(fields=[_text_field()]),
+                    "status": dm(fields=[_text_field()]),
+                },
+            ),
+        },
+    )
+    company = dm(
+        properties={
+            "id": dm(fields=[_text_field()]),
+            "name": dm(fields=[_text_field()]),
+            "departments": dept,
+            "locations": dm(
+                nested=nested_locations,
+                properties={
+                    "address": dm(fields=[_text_field()]),
+                    "city": dm(fields=[_text_field()]),
+                },
+            ),
+        }
+    )
+    return {
+        "type_field": "_type",
+        "default_type": "_default",
+        "default_analyzer": "standard",
+        "index_dynamic": True,
+        "store_dynamic": True,
+        "docvalues_dynamic": True,
+        "default_mapping": dm(properties={"company": company}),
+    }
+
+
+NESTED_UPDATE_VECTORS = [
+    # (ori flags, upd flags, err)
+    ((False, False, False, False), (True, True, True, True), True),
+    ((False, False, False, False), (True, False, True, False), True),
+    ((False, False, False, False), (True, True, True, False), True),
+    ((False, True, False, True), (False, False, True, True), True),
+    ((True, True, True, True), (False, False, False, False), True),
+    ((True, False, True, False), (True, True, True, True), True),
+    ((True, True, True, True), (True, False, True, False), True),
+    ((False, False, False, False), (False, False, False, False), False),
+    ((True, True, True, True), (True, True, True, True), False),
+]
+
+
+@pytest.mark.parametrize("ori_flags,upd_flags,err", NESTED_UPDATE_VECTORS)
+def test_nested_mapping_update(ori_flags, upd_flags, err):
+    ori = _company_mapping(*ori_flags)
+    upd = _company_mapping(*upd_flags)
+    if err:
+        with pytest.raises(MappingUpdateError, match="nested property"):
+            deleted_fields_mapping(ori, upd)
+    else:
+        assert deleted_fields_mapping(ori, upd) == {}
