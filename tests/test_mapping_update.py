@@ -315,3 +315,92 @@ def test_update_then_force_merge(ray_session, tmp_path):
     # and term-level queries still rank
     r = ix.search({"query": {"term": "common0", "field": "a"}, "size": 8})
     assert r.total_hits == 4
+
+
+def test_synonym_search_after_mapping_update(ray_session, tmp_path):
+    """TestIndexUpdateSynonym (index_update_test.go:2576-2737): after an
+    update drops fields, synonym expansion keeps working on retained
+    fields while dropped fields serve nothing -- even via synonyms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text1 = (
+        "The hardworking employee consistently strives to exceed "
+        "expectations. His industrious nature makes him a valuable asset "
+        "to any team."
+    )
+    text2 = (
+        "The tranquil surroundings of the retreat provide a perfect "
+        "escape. Guests enjoy the peaceful atmosphere and the calm "
+        "environment."
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["003", "004"]),
+            "a": pa.array([text1, text2]),
+            "b": pa.array([text1, text2]),
+            "c": pa.array([text1, text2]),
+        }
+    )
+    src = str(tmp_path / "syn.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "idx")
+    opts = IndexOptions(
+        fields={
+            "a": FieldConfig(analyzer="en"),
+            "b": FieldConfig(analyzer="en"),
+            "c": FieldConfig(analyzer="en"),
+        },
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+    )
+    build_index([src], d, opts)
+
+    collection = "collection1"
+    ix = Index.open(d)
+    ix.index_synonym(
+        "001",
+        collection,
+        {"synonyms": ["hardworking", "industrious", "conscientious",
+                      "persistent", "focused", "devoted"]},
+        "en",
+    )
+    ix.index_synonym(
+        "002",
+        collection,
+        {"synonyms": ["tranquil", "peaceful", "calm", "relaxed",
+                      "unruffled"]},
+        "en",
+    )
+
+    def wire(index):
+        for f in ("a", "b", "c"):
+            index.mapping.synonym_sources[f] = collection
+
+    wire(ix)
+    # sanity before the update: synonyms expand on every field
+    assert ix.search(
+        {"query": {"match": "devoted", "field": "a"}, "size": 5}
+    ).total_hits == 1
+    assert ix.search(
+        {"query": {"match": "unruffled", "field": "c"}, "size": 5}
+    ).total_hits == 1
+
+    upd = IndexOptions(
+        fields={"a": opts.fields["a"]},
+        doc_id_fields=["doc_id"], num_shards=2, bucket_bits=6,
+    )
+    info = apply_mapping_update(d, upd)
+    assert info["b"].deleted and info["c"].deleted
+
+    ix2 = Index.open(d)
+    wire(ix2)
+    # a:devoted -> the hardworking doc via synonym expansion
+    r1 = ix2.search({"query": {"match": "devoted", "field": "a"}, "size": 5})
+    assert r1.total_hits == 1 and r1.hits[0].id == "003"
+    # dropped fields serve nothing, synonyms included
+    assert ix2.search(
+        {"query": {"match": "devoted", "field": "b"}, "size": 5}
+    ).total_hits == 0
+    assert ix2.search(
+        {"query": {"match": "unruffled", "field": "c"}, "size": 5}
+    ).total_hits == 0
