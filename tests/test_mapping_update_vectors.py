@@ -676,3 +676,71 @@ def test_nested_mapping_update(ori_flags, upd_flags, err):
             deleted_fields_mapping(ori, upd)
     else:
         assert deleted_fields_mapping(ori, upd) == {}
+
+
+# ---------------------------------------------------------------------------
+# Analyzer-for-path resolution vectors (mapping/mapping_test.go:
+# TestMappingForPath:314, TestDefaultAnalyzerInheritance:1145,
+# TestWrongAnalyzerSearchableAs:1156)
+# ---------------------------------------------------------------------------
+
+from bleve_ray.index.mapping_update import (  # noqa: E402
+    _default_analyzer_name,
+    analyzer_name_for_path,
+)
+
+
+def test_mapping_for_path():
+    en_field = {"type": "text", "analyzer": "en"}
+    custom = {"type": "text", "analyzer": "xyz", "name": "nameCustom"}
+    custom_x = {"type": "text", "analyzer": "analyzerx"}
+    doc_a = {
+        "enabled": True,
+        "dynamic": True,
+        "properties": {
+            "name": {"enabled": True, "fields": [en_field]},
+            "author": {"enabled": True, "fields": [en_field, custom]},
+            "child": {
+                "enabled": True,
+                "properties": {
+                    "desc": {"enabled": True, "fields": [custom_x]}
+                },
+            },
+        },
+    }
+    im = {
+        "types": {"a": doc_a},
+        "default_mapping": {"enabled": True, "dynamic": True},
+        "default_analyzer": "standard",
+    }
+    assert analyzer_name_for_path(im, "name") == "en"
+    assert analyzer_name_for_path(im, "nameCustom") == "xyz"
+    assert analyzer_name_for_path(im, "child.desc") == "analyzerx"
+
+
+def test_default_analyzer_inheritance():
+    doc = {
+        "enabled": True,
+        "default_analyzer": "xyz",
+        "properties": {
+            "field": {"enabled": True, "fields": [{"type": "text"}]}
+        },
+    }
+    assert _default_analyzer_name(doc, ["field"]) == "xyz"
+
+
+def test_wrong_analyzer_searchable_as():
+    """A field whose name overrides its property path ('geo.accuracy'
+    under property 'geo') resolves at the overridden full path."""
+    field = {"type": "text", "analyzer": "xyz", "name": "geo.accuracy"}
+    nested = {
+        "enabled": True,
+        "properties": {"accuracy": {"enabled": True, "fields": [field]}},
+    }
+    doc = {"enabled": True, "properties": {"geo": nested}}
+    im = {
+        "types": {"brewery": doc},
+        "default_mapping": {"enabled": True, "dynamic": True},
+        "default_analyzer": "standard",
+    }
+    assert analyzer_name_for_path(im, "geo.geo.accuracy") == "xyz"
