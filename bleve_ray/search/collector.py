@@ -895,6 +895,57 @@ class Index:
             if request.get("search_after") or request.get("search_before"):
                 result.total_hits = pre_cursor_total
         result.took_ms = (_t.perf_counter() - t0) * 1e3
+        if request.get("explain") and result.hits:
+            # hybrid explanations must not be dropped (reference
+            # search_knn_test.go TestHybridExplainNotDropped): every hit
+            # carries an explanation whose value equals its score, and a
+            # hit present in both branches merges the text and vector
+            # sub-explanations (search_knn.go mergeKNNResults)
+            from .scorer import Explanation
+
+            expl_searcher = query.searcher(
+                self.reader, self.mapping, options
+            )
+            fts_pos = {int(d): i for i, d in enumerate(sources[0][0])}
+            knn_reqs = request.get("knn") or []
+            knn_pos = [
+                {int(d): i for i, d in enumerate(s[0])}
+                for s in sources[1:]
+            ]
+            for h in result.hits:
+                dn = int(h.docnum)
+                children = []
+                if dn in fts_pos:
+                    e = expl_searcher.explain(dn, h.id)
+                    if e is None:
+                        e = Explanation(
+                            float(sources[0][1][fts_pos[dn]]),
+                            "fts score",
+                        )
+                    children.append(e)
+                for ci, pos in enumerate(knn_pos):
+                    if dn not in pos:
+                        continue
+                    sim = float(sources[1 + ci][1][pos[dn]])
+                    w = weights[1 + ci]
+                    fld = (
+                        knn_reqs[ci].get("field", "")
+                        if ci < len(knn_reqs)
+                        else ""
+                    )
+                    children.append(
+                        Explanation(
+                            w * sim,
+                            f"vector similarity of field {fld}, "
+                            f"similarity={sim:g}, boost={w:g}",
+                        )
+                    )
+                msg = (
+                    "sum of:"
+                    if mode not in ("rrf", "rsf")
+                    else f"{mode} fusion of:"
+                )
+                h.expl = Explanation(h.score, msg, children)
         if request.get("facets"):
             # reference semantics (index_impl.go:1040-1056): facets come
             # from the FTS collector over every query match; knn hits and

@@ -563,3 +563,92 @@ def test_knn_similarity_metrics(ray_session, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="similarity"):
         run("manhattan")
+
+
+@pytest.fixture(scope="module")
+def health_index(ray_session, tmp_path_factory):
+    """TestHybridExplainNotDropped corpus (search_knn_test.go:3058):
+    4 docs spanning text-only / vector-only / both / neither."""
+    d = tmp_path_factory.mktemp("hybrid_expl")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                ["vdocBoth", "vdocVecOnly", "vdocTextOnly", "vdocNeither"]
+            ),
+            "category": pa.array(["health", "", "health", "finance"]),
+            "vector": pa.array(
+                [
+                    [0.1, 0.9, 0.2, 0.5],
+                    [0.1, 0.9, 0.2, 0.5],
+                    [0.1, 0.2, 0.9, 0.1],
+                    [0.8, 0.1, 0.1, 0.9],
+                ],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    src = str(d / "docs.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(d / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={"category": FieldConfig(analyzer="keyword")},
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=6,
+            docvalue_fields=["vector"],
+            store_fields=["category"],
+        ),
+    )
+    return Index.open(idx_dir)
+
+
+def test_hybrid_explain_not_dropped(health_index):
+    """search_knn_test.go TestHybridExplainNotDropped: every hybrid hit
+    carries an explanation, expl.value == score, and the both-branches
+    hit merges text + vector sub-explanations."""
+    r = health_index.search(
+        {
+            "query": {"term": "health", "field": "category"},
+            "knn": [
+                {
+                    "field": "vector",
+                    "vector": [0.1, 0.9, 0.2, 0.4],
+                    "k": 2,
+                    "boost": 1.0,
+                    "similarity": "l2_norm",
+                }
+            ],
+            "explain": True,
+            "fields": ["category"],
+            "size": 10,
+        }
+    )
+    assert r.hits
+    ids = {h.id for h in r.hits}
+    assert "vdocBoth" in ids
+    for h in r.hits:
+        assert h.expl is not None, f"hit {h.id} has no explanation"
+        assert abs(h.expl["value"] - h.score) <= 1e-6, (
+            h.id,
+            h.expl["value"],
+            h.score,
+        )
+        if h.id == "vdocBoth":
+            assert len(h.expl.get("children", [])) >= 2
+
+
+def test_knn_null_params(health_index):
+    """search_knn_test.go TestKNNNullParams: null params / filter /
+    pre_search_data in the request JSON must parse and run."""
+    import json
+
+    raw = json.loads(
+        '{"pre_search_data": null, "knn": [{"field": "vector", '
+        '"params": null, "filter": null, '
+        '"vector": [0.1, 0.9, 0.2, 0.4], "k": 3}], "size": 3}'
+    )
+    r = health_index.search(raw)
+    assert len(r.hits) == 3
