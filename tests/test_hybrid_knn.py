@@ -652,3 +652,95 @@ def test_knn_null_params(health_index):
     )
     r = health_index.search(raw)
     assert len(r.hits) == 3
+
+
+@pytest.fixture(scope="module")
+def cosine_index(ray_session, tmp_path_factory):
+    """TestMultiVectorCosineNormalization corpus (search_knn_test.go:
+    2138): single-vector docs on 'vec', one multi-vector doc on
+    'multi_vec', cosine similarity."""
+    d = tmp_path_factory.mktemp("cosnorm")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["doc1", "doc2", "doc3"]),
+            "vec": pa.array(
+                [[3.0, 0.0, 0.0], [0.0, 4.0, 0.0], None],
+                type=pa.list_(pa.float32()),
+            ),
+            "multi_vec": pa.array(
+                [None, None, [[3.0, 0.0, 0.0], [0.0, 4.0, 0.0]]],
+                type=pa.list_(pa.list_(pa.float32())),
+            ),
+        }
+    )
+    src = str(d / "docs.parquet")
+    pq.write_table(tbl, src)
+    idx_dir = str(d / "idx")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={"doc_id": FieldConfig(analyzer="keyword")},
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=6,
+            docvalue_fields=["vec", "multi_vec"],
+        ),
+    )
+    return Index.open(idx_dir)
+
+
+def _knn_only(idx, field, qvec, k=3):
+    return idx.search(
+        {
+            "query": {"match_none": {}},
+            "knn": [{"field": field, "vector": qvec, "k": k,
+                     "similarity": "cosine"}],
+            "size": k,
+        }
+    )
+
+
+def test_multi_vector_cosine_normalization(cosine_index):
+    """Cosine scores normalize magnitude away: axis-aligned docs score
+    exactly 1.0 / 0.0, and a multi-vector doc scores by its best
+    sub-vector in either direction."""
+    r = _knn_only(cosine_index, "vec", [1.0, 0.0, 0.0])
+    assert [h.id for h in r.hits] == ["doc1", "doc2"]
+    assert abs(r.hits[0].score - 1.0) <= 1e-6
+    assert abs(r.hits[1].score - 0.0) <= 1e-6
+
+    r = _knn_only(cosine_index, "vec", [0.0, 1.0, 0.0])
+    assert [h.id for h in r.hits] == ["doc2", "doc1"]
+    assert abs(r.hits[0].score - 1.0) <= 1e-6
+    assert abs(r.hits[1].score - 0.0) <= 1e-6
+
+    for q in ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]):
+        r = _knn_only(cosine_index, "multi_vec", q)
+        assert [h.id for h in r.hits] == ["doc3"]
+        assert abs(r.hits[0].score - 1.0) <= 1e-6
+
+
+def test_knn_score_boosting(vec_index):
+    """TestKNNScoreBoosting (search_knn_test.go:1491): boost=10 scales
+    every knn hit's score by exactly 10x."""
+    idx, vecs = vec_index
+    q = vecs[5].astype(float).tolist()
+
+    def run(boost):
+        r = idx.search(
+            {
+                "query": {"match_none": {}},
+                "knn": [
+                    {"field": "embedding", "vector": q, "k": 3,
+                     "boost": boost, "similarity": "dot_product"}
+                ],
+                "size": 3,
+            }
+        )
+        return {h.id: h.score for h in r.hits}
+
+    one, ten = run(1.0), run(10.0)
+    assert set(one) == set(ten)
+    for i, s in one.items():
+        assert ten[i] == pytest.approx(s * 10.0, rel=1e-9)
