@@ -106,6 +106,11 @@ def main(argv=None):
     tt.add_argument("field")
     tt.add_argument("--limit", type=int, default=20)
 
+    cc = sub.add_parser("centroids")
+    cc.add_argument("index_dir")
+    cc.add_argument("field")
+    cc.add_argument("--limit", type=int, default=20)
+
     d = sub.add_parser("dictionary")
     d.add_argument("index_dir")
     d.add_argument("field")
@@ -441,9 +446,11 @@ def main(argv=None):
         )
         print(json.dumps(res.to_dict(), indent=1))
     elif args.cmd == "topterms":
-        d = idx.reader.dictionary(args.field)
-        for term, df in sorted(d, key=lambda td: (-td[1], td[0]))[: args.limit]:
+        for term, df in idx.term_frequencies(args.field, args.limit):
             print(f"{term}\t{df}")
+    elif args.cmd == "centroids":
+        for e in idx.centroid_cardinalities(args.field, args.limit):
+            print(json.dumps(e))
     elif args.cmd == "dictionary":
         for term, df in idx.reader.dictionary(args.field)[: args.limit]:
             print(f"{term}\t{df}")

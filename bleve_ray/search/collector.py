@@ -502,6 +502,66 @@ class Index:
     def doc_count(self) -> int:
         return self.reader.doc_count()
 
+    # --- InsightsIndex (reference index.go:397-403) ---------------------
+
+    def term_frequencies(
+        self, field: str, limit: int = 10, descending: bool = True
+    ):
+        """InsightsIndex.TermFrequencies: the field's top terms by
+        document frequency, (term, df) pairs ordered by (df desc, term
+        asc) -- the search_knn_test.go TestIndexInsightsTermFrequencies
+        ordering.  descending=False returns the rarest terms instead."""
+        d = self.reader.dictionary(field)
+        if descending:
+            ranked = sorted(d, key=lambda td: (-td[1], td[0]))
+        else:
+            ranked = sorted(d, key=lambda td: (td[1], td[0]))
+        return [(t, int(df)) for t, df in ranked[:limit]]
+
+    def centroid_cardinalities(
+        self, field: str, limit: int = 10, descending: bool = True
+    ):
+        """InsightsIndex.CentroidCardinalities: per-IVF-cell member
+        counts for a vector field, from the knn sidecar's partition
+        METADATA only (no vector decode).  Requires a current-epoch
+        sidecar (bleve_ray.index.knn_ivf.build_knn_ivf)."""
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from ..index.knn_ivf import load_knn_ivf
+
+        ivf = load_knn_ivf(self.reader, field)
+        if ivf is None:
+            raise ValueError(
+                f"no current-epoch IVF sidecar for field {field!r}; "
+                "build one with build_knn_ivf"
+            )
+        entries = []
+        for cdir in _glob.glob(_os.path.join(ivf.dir, "list_id=*")):
+            try:
+                cell = int(_os.path.basename(cdir).split("=", 1)[1])
+            except ValueError:
+                continue
+            n = 0
+            for f in _glob.glob(_os.path.join(cdir, "*.parquet")):
+                n += _pq.ParquetFile(f).metadata.num_rows
+            entries.append(
+                {
+                    "centroid": cell,
+                    "cardinality": int(n),
+                    "index": f"{field}/list_id={cell}",
+                }
+            )
+        entries.sort(
+            key=lambda e: (
+                -e["cardinality"] if descending else e["cardinality"],
+                e["centroid"],
+            )
+        )
+        return entries[:limit]
+
     def fields(self):
         """Indexed field names (index.go Fields())."""
         return sorted(self.reader.options["fields"])

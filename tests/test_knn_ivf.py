@@ -280,3 +280,74 @@ def test_alias_forwards_knn_method_and_nprobe(big_vec_index):
     assert r_fail.status["errors"]
     assert not r_fail.hits
     shutil.rmtree(bare)
+
+
+def test_insights_term_frequencies(ray_session, tmp_path):
+    """TestIndexInsightsTermFrequencies (search_knn_test.go:2537): exact
+    top-5 (term, df) list with (df desc, term asc) ordering under the en
+    analyzer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bleve_ray.index import FieldConfig, IndexOptions, build_index
+    from bleve_ray.search import Index
+
+    data = [
+        ("one", "She sells sea shells by the sea shore"),
+        ("two", "The quick brown fox jumps over the lazy dog"),
+        ("three", "She sold sea shells to the person with the dog"),
+        ("four", "But there are a lot of dogs on the beach"),
+        ("five", "To hell with the foxes"),
+        ("six", "What about the dogs"),
+        ("seven", "Dogs are OK, foxes are not"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in data]),
+                "text": pa.array([d[1] for d in data]),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "idx")
+    build_index(
+        [src],
+        d,
+        IndexOptions(
+            fields={"text": FieldConfig(analyzer="en")},
+            doc_id_fields=["doc_id"],
+            num_shards=2,
+            bucket_bits=6,
+        ),
+    )
+    ix = Index.open(d)
+    assert ix.term_frequencies("text", 5, descending=True) == [
+        ("dog", 5),
+        ("fox", 3),
+        ("sea", 2),
+        ("shell", 2),
+        ("beach", 1),
+    ]
+
+
+def test_insights_centroid_cardinalities(big_vec_index):
+    """TestIndexInsightsCentroidCardinalities (search_knn_test.go:2618):
+    top-k centroids with member counts and a non-empty index name; the
+    counts must sum to the corpus size across ALL cells."""
+    idx_dir, vecs = big_vec_index
+    n_docs = len(vecs)
+    from bleve_ray.search import Index
+
+    ix = Index.open(idx_dir)
+    top = ix.centroid_cardinalities("embedding", 5, descending=True)
+    assert len(top) == 5
+    for e in top:
+        assert e["index"]
+        assert e["cardinality"] > 0
+    # descending order
+    cards = [e["cardinality"] for e in top]
+    assert cards == sorted(cards, reverse=True)
+    everything = ix.centroid_cardinalities("embedding", 10**6)
+    assert sum(e["cardinality"] for e in everything) == n_docs
