@@ -833,6 +833,96 @@ class Index:
         hits = q.searcher(self.reader, self.mapping, options).search()
         return np.sort(hits.docnums)
 
+    def _knn_nested_scoped(self, kr: dict, options):
+        """Nested-scoped filtered kNN (search_knn_test.go
+        TestHierarchicalNestedVectorSearch): when the knn FIELD lives
+        under a nested path and the clause's filter scopes to the SAME
+        nested root, only sub-vectors of elements MATCHING the filter
+        participate -- the scorch block-join semantics where the filter
+        selects nested sub-documents, not whole parents.
+
+        Returns (docnums, sims) sorted by (-sim, docnum) capped at k, or
+        None when the clause is not nested-scoped (doc-level path
+        applies)."""
+        fq = kr.get("filter")
+        field = kr.get("field", "")
+        if not fq or "." not in field:
+            return None
+        nested = (self.reader.options or {}).get("nested_paths") or []
+        if not nested:
+            return None
+        from ..index.nested import nested_prefixes
+        from .nested import NestedVerifier, collect_root_leaf_values
+
+        kchain = nested_prefixes(field, nested)
+        if not kchain:
+            return None
+        node = parse_query(fq) if isinstance(fq, dict) else fq
+        verifier = NestedVerifier(self.reader, self.mapping, nested)
+        fchain = verifier.chain_of(node)
+        if not fchain or fchain[0] != kchain[0]:
+            return None  # filter is doc-level relative to the vectors
+        allowed = self._knn_filter_docnums(kr, options)
+        k = int(kr.get("k", 10))
+        metric = kr.get("similarity", "cosine")
+        if allowed is None or len(allowed) == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        from .fusion import _metric_sims as _sims_fn
+
+        qv = np.asarray(_knn_vector(kr), dtype=np.float64)
+        root = field.split(".", 1)[0]
+        fetch = getattr(self.reader, "docvalues_rows", None)
+        if fetch is None:
+            fetch = self.reader.docvalues_for
+        dv = fetch(allowed, [root])
+        L = min(len(fchain), len(kchain))
+        nums_out, sims_out = [], []
+        for i, dn in enumerate(allowed):
+            value = dv[root][i]
+            if value is None:
+                continue
+            _, m = verifier.eval(node, {root: value})
+            if m is False or (not isinstance(m, bool) and not m):
+                continue
+            groups = collect_root_leaf_values(
+                value, root, field.split(".")[1:], verifier.nested_set
+            )
+            if isinstance(m, bool):  # doc-level TRUE: every element
+                eligible = groups
+            else:
+                keys = {t[:L] for t in m}
+                eligible = {
+                    o: v for o, v in groups.items() if o[:L] in keys
+                }
+            vecs = []
+            for vals in eligible.values():
+                if not vals:
+                    continue
+                a = np.asarray(vals, dtype=np.float64).reshape(
+                    -1, len(qv)
+                )
+                vecs.append(a)
+            if not vecs:
+                continue
+            mat = np.vstack(vecs)
+            sims = _sims_fn(mat, qv, metric)
+            nums_out.append(int(dn))
+            sims_out.append(float(sims.max()))
+        if not nums_out:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        nums_a = np.asarray(nums_out, dtype=np.int64)
+        sims_a = np.asarray(sims_out, dtype=np.float64)
+        order = sorted(
+            range(len(nums_a)), key=lambda j: (-sims_a[j], nums_a[j])
+        )[:k]
+        return nums_a[order], sims_a[order]
+
     def _search_hybrid(self, request: dict) -> SearchResult:
         """Hybrid FTS + KNN search (search_knn.go + rescorer.go):
         request["knn"] = [{"field", "vector", "k", "boost"?}, ...];
@@ -867,6 +957,14 @@ class Index:
         sources = [(fts.docnums[fkeep].tolist(), fts.scores[fkeep])]
         weights = [1.0]
         for kr in request.get("knn") or []:
+            scoped = self._knn_nested_scoped(kr, options)
+            if scoped is not None:
+                nums, sims = scoped
+                kkeep = self.reader.filter_deleted(nums)
+                nums, sims = nums[kkeep], sims[kkeep]
+                sources.append((nums.tolist(), sims))
+                weights.append(float(kr.get("boost", 1.0)))
+                continue
             allowed = self._knn_filter_docnums(kr, options)
             # per-clause ANN controls: method "auto" (IVF sidecar when
             # present at the current epoch, exact otherwise), "exact"

@@ -156,6 +156,45 @@ def _file_topk(
     return nums[idx[keep]], sims[keep]
 
 
+def _extract_vecs(value, elems, out=None):
+    """Vectors at dotted path ``elems`` under an arbitrarily nested
+    struct/list value (nested vector fields like items.embedding_vector,
+    search_knn_test.go TestHierarchicalNestedVectorSearch).  Returns a
+    flat list of vectors (element order preserved)."""
+    if out is None:
+        out = []
+    if value is None:
+        return out
+    if not elems:
+        if isinstance(value, (list, tuple, np.ndarray)) and len(value):
+            if isinstance(value[0], (list, tuple, np.ndarray)):
+                out.extend(value)  # multi-vector element
+            else:
+                out.append(value)
+        return out
+    if isinstance(value, dict):
+        _extract_vecs(value.get(elems[0]), elems[1:], out)
+    elif isinstance(value, (list, tuple, np.ndarray)):
+        for x in value:
+            _extract_vecs(x, elems, out)
+    return out
+
+
+def _dotted_vec_col(cols: dict, field: str):
+    """Derive a per-doc multi-vector column for a DOTTED field from its
+    root docvalue column; None when the root column is absent."""
+    root = field.split(".", 1)[0]
+    base = cols.get(root)
+    if base is None:
+        return None
+    elems = field.split(".")[1:]
+    out = np.empty(len(base), dtype=object)
+    for i, v in enumerate(base):
+        vecs = _extract_vecs(v, elems)
+        out[i] = vecs if vecs else None
+    return out
+
+
 def _allowed_mask(nums: np.ndarray, allowed: np.ndarray) -> np.ndarray:
     """Membership mask of nums in the SORTED allowed docnum array."""
     if len(allowed) == 0:
@@ -240,11 +279,29 @@ def knn_topk(
         def _task(path: str, allowed_b):
             import pyarrow.parquet as _pq
 
-            t = _pq.read_table(path, columns=["docnum", field]).sort_by(
+            root = field.split(".", 1)[0]
+            schema_names = _pq.ParquetFile(path).schema_arrow.names
+            want = field if field in schema_names else root
+            if want not in schema_names:
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64),
+                )
+            t = _pq.read_table(path, columns=["docnum", want]).sort_by(
                 "docnum"
             )
             nums = np.asarray(t["docnum"], dtype=np.int64)
-            col = np.asarray(t[field].to_pylist(), dtype=object)
+            if want == field:
+                col = np.asarray(t[field].to_pylist(), dtype=object)
+            else:
+                col = _dotted_vec_col(
+                    {root: t[root].to_pylist()}, field
+                )
+                if col is None:
+                    return (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                    )
             if allowed_b is not None:
                 ok = _allowed_mask(nums, allowed_b)
                 if not ok.any():
@@ -261,6 +318,8 @@ def knn_topk(
         for p, _, _ in files:
             nums, cols = reader._load_dv(p)
             col = cols.get(field)
+            if col is None and "." in field:
+                col = _dotted_vec_col(cols, field)
             if col is None:
                 continue
             if allowed is not None:

@@ -744,3 +744,100 @@ def test_knn_score_boosting(vec_index):
     assert set(one) == set(ten)
     for i, s in one.items():
         assert ten[i] == pytest.approx(s * 10.0, rel=1e-9)
+
+
+ITEMS_DOCS = [
+    {
+        "doc_id": "doc1",
+        "items": [
+            {"description": "I like trains",
+             "embedding_vector": [1.0, 0.0, 0.0], "type": "transport"},
+            {"description": "I love pizza",
+             "embedding_vector": [0.0, 1.0, 0.0], "type": "food"},
+        ],
+    },
+    {
+        "doc_id": "doc2",
+        "items": [
+            {"description": "I go to school by bus",
+             "embedding_vector": [0.9, 0.1, 0.0], "type": "transport"},
+            {"description": "Sushi is delicious",
+             "embedding_vector": [0.0, 1.0, 0.0], "type": "food"},
+        ],
+    },
+    {
+        "doc_id": "doc3",
+        "items": [
+            {"description": "Hamburgers are tasty",
+             "embedding_vector": [0.0, 0.8, 0.2], "type": "food"},
+            {"description": "I enjoy biking",
+             "embedding_vector": [0.7, 0.0, 0.3], "type": "transport"},
+        ],
+    },
+]
+
+
+def _items_index(tmpdir, nested):
+    src = str(tmpdir / f"items_{nested}.parquet")
+    pq.write_table(pa.Table.from_pylist(ITEMS_DOCS), src)
+    idx_dir = str(tmpdir / f"idx_{nested}")
+    build_index(
+        [src],
+        idx_dir,
+        IndexOptions(
+            fields={
+                "items.type": FieldConfig(analyzer="keyword"),
+                "items.description": FieldConfig(analyzer="en"),
+            },
+            doc_id_fields=["doc_id"],
+            num_shards=1,
+            bucket_bits=6,
+            docvalue_fields=["items"],
+            nested_paths=["items"] if nested else [],
+        ),
+    )
+    return Index.open(idx_dir)
+
+
+@pytest.fixture(scope="module")
+def items_indexes(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hier_nested_vec")
+    return _items_index(d, False), _items_index(d, True)
+
+
+def _items_knn(idx, with_filter):
+    kr = {"field": "items.embedding_vector", "vector": [0.0, 1.0, 0.0],
+          "k": 5, "similarity": "cosine"}
+    if with_filter:
+        kr["filter"] = {"term": "transport", "field": "items.type"}
+    return idx.search(
+        {"query": {"match_none": {}}, "knn": [kr], "size": 5}
+    )
+
+
+def test_hierarchical_nested_vector_search(items_indexes):
+    """search_knn_test.go TestHierarchicalNestedVectorSearch: plain and
+    doc-level-filtered knn behave identically on nested and non-nested
+    mappings; a filter under the SAME nested root scopes eligible
+    sub-vectors to matching elements only."""
+    flat, nested = items_indexes
+    plain_order = ["doc1", "doc2", "doc3"]
+    plain_scores = [1.0, 1.0, 0.970]
+
+    for idx in (flat, nested):
+        r = _items_knn(idx, with_filter=False)
+        assert [h.id for h in r.hits] == plain_order
+        for h, want in zip(r.hits, plain_scores):
+            assert abs(h.score - want) <= 0.01
+
+    # non-nested: filter applies at doc level -> identical result
+    r = _items_knn(flat, with_filter=True)
+    assert [h.id for h in r.hits] == plain_order
+    for h, want in zip(r.hits, plain_scores):
+        assert abs(h.score - want) <= 0.01
+
+    # nested: only transport elements' vectors are eligible
+    r = _items_knn(nested, with_filter=True)
+    assert [h.id for h in r.hits] == ["doc2", "doc1", "doc3"]
+    for h, want in zip(r.hits, [0.110, 0.0, 0.0]):
+        assert abs(h.score - want) <= 0.01
