@@ -279,6 +279,45 @@ def decode_geohash(gh: str):
     return (lat[0] + lat[1]) / 2, (lon[0] + lon[1]) / 2
 
 
+def encode_geohash(lat: float, lon: float, precision: int = 12) -> str:
+    """geo/geohash.go EncodeGeoHash: (lat, lon) -> base32 geohash.
+
+    Bisects the lat/lon intervals, emitting one base32 char per 5 bits,
+    using strict `>` against the midpoint like the reference.
+    """
+    enc = "0123456789bcdefghjkmnpqrstuvwxyz"
+    even = True
+    lats = [-90.0, 90.0]
+    lons = [-180.0, 180.0]
+    out = []
+    ch = 0
+    bit = 0
+    masks = (16, 8, 4, 2, 1)
+    while len(out) < precision:
+        if even:
+            mid = (lons[0] + lons[1]) / 2
+            if lon > mid:
+                ch |= masks[bit]
+                lons[0] = mid
+            else:
+                lons[1] = mid
+        else:
+            mid = (lats[0] + lats[1]) / 2
+            if lat > mid:
+                ch |= masks[bit]
+                lats[0] = mid
+            else:
+                lats[1] = mid
+        even = not even
+        if bit < 4:
+            bit += 1
+        else:
+            out.append(enc[ch])
+            ch = 0
+            bit = 0
+    return "".join(out)
+
+
 def point_in_polygon(lon: float, lat: float, coords) -> bool:
     """pnpoly ray-cast with the reference's vertex tolerance
     (search_geopolygon.go:86-150): coords = [(lon, lat), ...]."""
