@@ -20,6 +20,73 @@ STYLES = {
 }
 
 
+class TermLocation:
+    """search/highlight/term_locations.go:24-41 TermLocation: one term
+    occurrence inside a field value, with the array-position path that
+    identifies which array element it sits in."""
+
+    __slots__ = ("term", "array_positions", "pos", "start", "end")
+
+    def __init__(self, term="", array_positions=(), pos=0, start=0, end=0):
+        self.term = term
+        self.array_positions = tuple(array_positions or ())
+        self.pos = pos
+        self.start = start
+        self.end = end
+
+    def overlaps(self, other: "TermLocation") -> bool:
+        # term_locations.go:32-40 — half-open interval overlap, only
+        # within the SAME array element (DeepEqual on array positions)
+        if self.array_positions != other.array_positions:
+            return False
+        return (self.start <= other.start < self.end) or (
+            other.start <= self.start < other.end
+        )
+
+    def _key(self):
+        return (self.term, self.array_positions, self.pos, self.start, self.end)
+
+    def __eq__(self, other):
+        return isinstance(other, TermLocation) and self._key() == other._key()
+
+    def __repr__(self):  # pragma: no cover
+        return f"TermLocation{self._key()!r}"
+
+
+def merge_overlapping(locations: List) -> None:
+    """term_locations.go:74-87 MergeOverlapping, in place: merge
+    locations overlapping the FIRST non-None anchor into it (the anchor
+    deliberately never advances, matching the reference exactly — later
+    disjoint clusters are left unmerged), setting merged slots to None."""
+    anchor = None
+    for i, tl in enumerate(locations):
+        if anchor is None and tl is not None:
+            anchor = tl
+        elif anchor is not None and tl is not None:
+            if anchor.overlaps(tl):
+                anchor.end = tl.end
+                locations[i] = None
+
+
+def order_term_locations(tlm: Dict[str, List[dict]]) -> List[TermLocation]:
+    """term_locations.go:89-107 OrderTermLocations: flatten a
+    term→locations map into TermLocations sorted by (array positions
+    [elementwise, shorter-is-less], start)."""
+    rv = [
+        TermLocation(
+            term=term,
+            array_positions=loc.get("array_positions") or (),
+            pos=int(loc.get("pos", 0)),
+            start=int(loc.get("start", 0)),
+            end=int(loc.get("end", 0)),
+        )
+        for term, locs in tlm.items()
+        for loc in locs
+    ]
+    rv.sort(key=lambda t: (t.array_positions, t.start))
+    return rv
+
+
 def extract_query_terms(q: dict, analyzer_for, default_field: str) -> Dict[str, Set[str]]:
     """Walk a query dict, collecting analyzed terms per field (the
     highlight-relevant subset of the searcher tree's term searchers)."""
@@ -166,9 +233,20 @@ def highlight_text(
     out = []
     for start, end in sorted(chosen):
         in_frag = [(a, b_) for a, b_, _ in spans if a >= start and b_ <= end]
+        # union-merge overlapping/duplicate spans (reference MergeOverlapping
+        # before formatting, highlighter_simple.go) so no text duplicates
+        merged_frag: List[Tuple[int, int]] = []
+        for a, b_ in sorted(in_frag):
+            if merged_frag and a < merged_frag[-1][1]:
+                merged_frag[-1] = (
+                    merged_frag[-1][0],
+                    max(merged_frag[-1][1], b_),
+                )
+            else:
+                merged_frag.append((a, b_))
         parts = []
         cur = start
-        for a, b_ in sorted(in_frag):
+        for a, b_ in merged_frag:
             parts.append(text[cur:a])
             parts.append(pre + text[a:b_] + post)
             cur = b_
