@@ -214,6 +214,10 @@ class MatchPhraseQuery(Query):
     boost: float = 1.0
     # match_phrase.go:43-48: per-slot fuzzy expansion (prefix fixed at 0)
     fuzziness: object = 0
+    # extension beyond the reference query surface: positional slop fed
+    # to findPhrasePaths semantics (the reference exposes the machinery
+    # in search_phrase.go:439 but pins production slop to 0)
+    slop: int = 0
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
@@ -230,7 +234,8 @@ class MatchPhraseQuery(Query):
             token_stream_to_phrase(tokens),
             self.fuzziness,
         )
-        return PhraseSearcher(reader, phrase, field, self.boost, options)
+        return PhraseSearcher(reader, phrase, field, self.boost, options,
+                              slop=self.slop)
 
 
 @dataclass
@@ -239,13 +244,15 @@ class MultiPhraseQuery(Query):
     field: str = ""
     boost: float = 1.0
     fuzziness: object = 0
+    slop: int = 0
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
         phrase = _expand_phrase_slots(
             reader, mapping, field, self.terms, self.fuzziness
         )
-        return PhraseSearcher(reader, phrase, field, self.boost, options)
+        return PhraseSearcher(reader, phrase, field, self.boost, options,
+                              slop=self.slop)
 
 
 def _key_synonym_searcher(
@@ -875,6 +882,7 @@ def parse_query(d: Dict) -> Query:
             analyzer=d.get("analyzer", ""),
             boost=boost,
             fuzziness=d.get("fuzziness", 0),
+            slop=d.get("slop", 0),
         )
     if "fuzziness" in d and "term" in d:
         return FuzzyQuery(
@@ -901,6 +909,7 @@ def parse_query(d: Dict) -> Query:
             field=d.get("field", ""),
             boost=boost,
             fuzziness=d.get("fuzziness", 0),
+            slop=d.get("slop", 0),
         )
     if "conjuncts" in d:
         return ConjunctionQuery(

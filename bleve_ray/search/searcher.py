@@ -666,9 +666,14 @@ class PhraseSearcher(Searcher):
     position-adjacency verification (findPhrasePaths, slop=0) honoring
     stop-word gaps (empty slots advance the expected position)."""
 
-    def __init__(self, reader, phrase: List[List[str]], field: str, boost: float, options):
+    def __init__(self, reader, phrase: List[List[str]], field: str, boost: float, options,
+                 slop: int = 0):
         self.reader = reader
         self.field = field
+        # slop > 0 routes matching through findPhrasePaths semantics
+        # (shared cumulative budget, see phrase_paths.py); 0 stays on
+        # the vectorized slot-key intersection
+        self.slop = int(slop or 0)
         # slot offsets of non-empty slots; empty slots ([]) are gaps.
         # Slot entries are terms or (term, boost_multiplier) pairs --
         # fuzzy/synonym phrase expansion weights candidates like the
@@ -790,10 +795,33 @@ class PhraseSearcher(Searcher):
         idx = np.minimum(np.searchsorted(b, a), len(b) - 1)
         return a[b[idx] == a]
 
+    def _search_sloppy(self, hits: SearchHits) -> SearchHits:
+        """Per-candidate findPhrasePaths verification for slop > 0.
+
+        The candidate set is already the conjunction of all slots (the
+        reference shape: NewPhraseSearcher wraps a conjunction and
+        verifies each must-match, search_phrase.go:271-332), so the
+        Python-level path check runs only on docs containing every
+        slot term somewhere."""
+        from .phrase_paths import find_phrase_paths
+
+        phrase: List[List[str]] = [[] for _ in range(self.offsets[-1] + 1)]
+        for terms, off in zip(self.slots, self.offsets):
+            phrase[off] = terms
+        keep = np.zeros(len(hits.docnums), dtype=bool)
+        for i, dn in enumerate(hits.docnums):
+            locs = self.must.locations(int(dn))
+            tlm = (locs or {}).get(self.field) or {}
+            if tlm and find_phrase_paths(phrase, tlm, self.slop):
+                keep[i] = True
+        return SearchHits(hits.docnums[keep], hits.scores[keep])
+
     def search(self) -> SearchHits:
         hits = self.must.search()
         if len(hits.docnums) == 0 or not self.slots:
             return hits
+        if self.slop > 0:
+            return self._search_sloppy(hits)
         base = self.offsets[0]
         ok = self._slot_keys(self.slots[0], hits.docnums, 0)
         for s in range(1, len(self.slots)):
