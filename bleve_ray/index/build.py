@@ -419,11 +419,31 @@ def _geo_tokens(col: pa.ChunkedArray):
     arr = col.combine_chunks()
     n_rows = len(arr)
     if pa.types.is_struct(arr.type):
+        # field-name resolution mirrors geo/parse.go ExtractGeoPoint:
+        # exact lon/lng/lat first, then case-insensitive prefix match
+        names = [f.name for f in arr.type]
+
+        def _pick(cands, prefixes):
+            for c in cands:
+                if c in names:
+                    return c
+            for nm in names:
+                if any(nm.lower().startswith(p) for p in prefixes):
+                    return nm
+            return None
+
+        lon_f = _pick(("lon", "lng"), ("lon", "lng"))
+        lat_f = _pick(("lat",), ("lat",))
+        if lon_f is None or lat_f is None:
+            return trie_terms_for_values(
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), n_rows, GEO_PRECISION_STEP,
+            )
         lon = np.asarray(
-            pc.cast(arr.field("lon"), pa.float64()).fill_null(np.nan)
+            pc.cast(arr.field(lon_f), pa.float64()).fill_null(np.nan)
         )
         lat = np.asarray(
-            pc.cast(arr.field("lat"), pa.float64()).fill_null(np.nan)
+            pc.cast(arr.field(lat_f), pa.float64()).fill_null(np.nan)
         )
         valid = np.asarray(arr.is_valid()) & ~np.isnan(lon) & ~np.isnan(lat)
     elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):

@@ -255,6 +255,79 @@ def morton_ranges_for_rect(
     return res
 
 
+_GEOHASH_MAX_LENGTH = 12
+
+
+def _numeric(v):
+    """geo/parse.go util.ExtractNumericValFloat64: ints/floats yes,
+    bool/None/str no."""
+    import numbers
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, numbers.Real):  # covers numpy ints/floats too
+        return float(v)
+    return None
+
+
+def extract_geo_point(thing):
+    """geo/parse.go:50-150 ExtractGeoPoint -> (lon, lat, ok).
+
+    Supported value shapes, matching the reference's rules:
+    - 2-element sequence [lon, lat] (GeoJSON order); any other length
+      fails;
+    - string "lat,lon" (comma-separated, lat FIRST) or a geohash of at
+      most 12 chars;
+    - mapping with exact keys lat + lon (or lng); failing that, a
+      case-insensitive prefix match on lon/lng and lat key names (the
+      reference's reflected-struct path);
+    - numeric values must be real numbers: bool and None fail.
+    """
+    if thing is None:
+        return 0.0, 0.0, False
+    if isinstance(thing, str):
+        if "," in thing:
+            parts = thing.split(",")
+            if len(parts) != 2:
+                return 0.0, 0.0, False
+            try:
+                return float(parts[1]), float(parts[0]), True
+            except ValueError:
+                return 0.0, 0.0, False
+        if 0 < len(thing) <= _GEOHASH_MAX_LENGTH:
+            try:
+                lat, lon = decode_geohash(thing)
+            except KeyError:
+                return 0.0, 0.0, False
+            return lon, lat, True
+        return 0.0, 0.0, False
+    if isinstance(thing, dict):
+        lon = _numeric(thing.get("lon", thing.get("lng")))
+        lat = _numeric(thing.get("lat"))
+        if lon is None or lat is None:
+            # reflected-struct fallback: case-insensitive prefix match
+            for k, v in thing.items():
+                lk = str(k).lower()
+                if lon is None and (lk.startswith("lon") or lk.startswith("lng")):
+                    lon = _numeric(v)
+                if lat is None and lk.startswith("lat"):
+                    lat = _numeric(v)
+        if lon is None or lat is None:
+            return 0.0, 0.0, False
+        return lon, lat, True
+    if isinstance(thing, (list, tuple)) or (
+        hasattr(thing, "__len__") and hasattr(thing, "__getitem__")
+    ):
+        if len(thing) != 2:
+            return 0.0, 0.0, False
+        lon = _numeric(thing[0])
+        lat = _numeric(thing[1])
+        if lon is None or lat is None:
+            return 0.0, 0.0, False
+        return lon, lat, True
+    return 0.0, 0.0, False
+
+
 def decode_geohash(gh: str):
     """geo/geohash.go DecodeGeoHash: -> (lat, lon) cell centers."""
     enc = "0123456789bcdefghjkmnpqrstuvwxyz"

@@ -1086,28 +1086,15 @@ def _geo_values(reader, field, docnums):
     or [lon, lat] list values)."""
     import numpy as np
 
+    from ..index.geo import extract_geo_point
+
     vals = reader.docvalues_for(docnums, [field])[field]
     lon = np.full(len(vals), np.nan)
     lat = np.full(len(vals), np.nan)
     for i, v in enumerate(vals):
-        if v is None:
-            continue
-        if isinstance(v, dict):
-            lon[i], lat[i] = float(v["lon"]), float(v["lat"])
-        elif isinstance(v, (list, tuple)) and len(v) == 2:
-            lon[i], lat[i] = float(v[0]), float(v[1])
-        elif isinstance(v, str) and v:
-            # "lat,lon" or geohash strings (geo.go extractGeoPoint)
-            try:
-                if "," in v:
-                    a, b = v.split(",", 1)
-                    lat[i], lon[i] = float(a), float(b)
-                else:
-                    from ..index.geo import decode_geohash
-
-                    lat[i], lon[i] = decode_geohash(v)
-            except (ValueError, KeyError):
-                pass
+        lo, la, ok = extract_geo_point(v)
+        if ok:
+            lon[i], lat[i] = lo, la
     return lon, lat
 
 
