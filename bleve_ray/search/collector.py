@@ -347,7 +347,19 @@ def _knn_vector(kr: dict):
     little-endian float32 bytes (document.DecodeVector,
     field_vector_base64.go:115-131)."""
     if kr.get("vector") is not None:
-        return kr["vector"]
+        vec = kr["vector"]
+        if hasattr(vec, "__len__") and len(vec) and not hasattr(vec, "dtype"):
+            # untyped JSON input: validate/coerce like ingestion does
+            # (mapping_vectors.go processVector semantics)
+            from ..index.vectors import process_vector
+
+            dims = len(vec[0]) if hasattr(vec[0], "__len__") and not isinstance(
+                vec[0], (str, bytes)) else len(vec)
+            out, ok = process_vector(vec, dims)
+            if not ok:
+                raise ValueError("knn clause vector is not numeric")
+            return out
+        return vec
     enc = kr.get("vector_base64")
     if not enc:
         raise ValueError("knn clause needs vector or vector_base64")
