@@ -119,14 +119,120 @@ def extract_query_terms(q: dict, analyzer_for, default_field: str) -> Dict[str, 
     return out
 
 
+def _utf8_rune_len(b0: int) -> int:
+    if b0 < 0x80:
+        return 1
+    if b0 >> 5 == 0b110:
+        return 2
+    if b0 >> 4 == 0b1110:
+        return 3
+    if b0 >> 3 == 0b11110:
+        return 4
+    return -1  # continuation/invalid lead byte (RuneError)
+
+
+def _utf8_last_rune_len(buf: bytes, end: int) -> int:
+    """Length of the rune ENDING at byte offset ``end`` (DecodeLastRune)."""
+    for back in range(1, 5):
+        if end - back < 0:
+            return -1
+        b = buf[end - back]
+        if b < 0x80 or b >= 0xC0:  # lead byte
+            return back if _utf8_rune_len(b) == back else -1
+    return -1
+
+
+def fragment_byte_spans(orig: bytes, term_locs, fragment_size: int):
+    """fragmenter/simple simple.go:39-135 Fragment(): one fragment per
+    term location — anchor at the term's byte start, extend forward by
+    ``fragment_size`` runes, pull back toward the beginning without
+    crossing the previous term's end (maxbegin), then center by half the
+    smaller head/tail slack.  ``term_locs`` is [(start_byte, end_byte)]
+    in position order; no locations -> one head fragment."""
+    rv = []
+    maxbegin = 0
+    for idx, (tstart, tend) in enumerate(term_locs):
+        start = end = tstart
+        used = 0
+        bail = False
+        while end < len(orig) and used < fragment_size:
+            size = _utf8_rune_len(orig[end])
+            if size < 0:
+                bail = True
+                break
+            end += size
+            used += 1
+        if bail:
+            continue
+        while start > 0 and used < fragment_size:
+            if start > len(orig):
+                bail = True
+                break
+            size = _utf8_last_rune_len(orig, start)
+            if size < 0:
+                bail = True
+                break
+            if start - size >= maxbegin:
+                start -= size
+                used += 1
+            else:
+                break
+        if bail:
+            continue
+        # center the covered terms without changing the score
+        minend = end
+        for _, iend in term_locs[idx:]:
+            if iend > end:
+                break
+            minend = iend
+        room = len(orig[minend:end].decode("utf-8", "replace"))
+        room_start = (
+            len(orig[maxbegin:start].decode("utf-8", "replace"))
+            if start >= maxbegin else 0
+        )
+        room = min(room, room_start)
+        offset = room // 2
+        while offset > 0:
+            size = _utf8_last_rune_len(orig, start)
+            if size < 0:
+                bail = True
+                break
+            start -= size
+            size = _utf8_last_rune_len(orig, end)
+            if size < 0:
+                bail = True
+                break
+            end -= size
+            offset -= 1
+        if bail:
+            continue
+        rv.append((start, end))
+        maxbegin = tend
+    if not term_locs:
+        end = used = 0
+        while end < len(orig) and used < fragment_size:
+            size = _utf8_rune_len(orig[end])
+            if size < 0:
+                break
+            end += size
+            used += 1
+        rv.append((0, end))
+    return rv
+
+
 def simple_fragmenter(text: str, spans, fragment_size: int):
-    """fragmenter/simple: fixed-size windows anchored near each match."""
-    frags = []
-    for s, _, _ in spans:
-        start = max(0, s - fragment_size // 4)
-        end = min(len(text), start + fragment_size)
-        frags.append((start, end))
-    return frags
+    """fragmenter/simple over char-offset spans: maps to byte offsets,
+    runs the reference's exact Fragment() algorithm, maps back."""
+    byte_of = [0]
+    for c in text:
+        byte_of.append(byte_of[-1] + len(c.encode("utf-8")))
+    char_of = {b: i for i, b in enumerate(byte_of)}
+    orig = text.encode("utf-8")
+    locs = [(byte_of[s], byte_of[e]) for s, e, _ in spans]
+    return [
+        (char_of[bs], char_of[be])
+        for bs, be in fragment_byte_spans(orig, locs, fragment_size)
+    ]
 
 
 def score_fragment(spans, start: int, end: int) -> float:
