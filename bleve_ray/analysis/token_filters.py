@@ -21,7 +21,7 @@ from typing import Iterable, List, Sequence, Set
 
 import regex as uregex
 
-from .tokenizers import Token
+from .tokenizers import ALPHANUMERIC, Token
 
 _DOTTED_I = "İ"
 
@@ -152,25 +152,50 @@ def make_edge_ngram_filter(min_n: int, max_n: int, back: bool = False):
     return edge_ngram_filter
 
 
-def make_shingle_filter(min_n: int, max_n: int, sep: str = " "):
-    """Token n-grams (reference analysis/token/shingle), contiguous windows."""
+def make_shingle_filter(min_n: int, max_n: int, sep: str = " ",
+                        output_original: bool = False, filler: str = "_"):
+    """Token n-grams (reference analysis/token/shingle shingle.go:45-135):
+    streaming ring buffer — as each token arrives, emit every shingle of
+    size min..max ENDING at it; position gaps insert filler tokens that
+    shingle like ordinary tokens (the stop-word hole behavior);
+    output_original interleaves the input tokens.  Shingle position /
+    start / end come from the first window member that carries one
+    (fillers have position 0, start/end -1)."""
+
+    def _emit(ring: List[Token], out: List[Token]) -> None:
+        for n in range(min_n, max_n + 1):
+            if len(ring) < n:
+                continue
+            window = ring[-n:]
+            pos, start, end = 0, -1, 0
+            parts = []
+            for w in window:
+                if pos == 0 and w.position != 0:
+                    pos = w.position
+                if start == -1 and w.start != -1:
+                    start = w.start
+                if w.end != -1:
+                    end = w.end
+                parts.append(w.term)
+            out.append(Token(sep.join(parts), pos, start, end, "Shingle"))
 
     def shingle_filter(tokens: List[Token]) -> List[Token]:
         out: List[Token] = []
-        pos = 1
-        for i in range(len(tokens)):
-            for n in range(min_n, max_n + 1):
-                if i + n <= len(tokens):
-                    window = tokens[i : i + n]
-                    out.append(
-                        Token(
-                            sep.join(w.term for w in window),
-                            window[0].position,
-                            window[0].start,
-                            window[-1].end,
-                            "Shingle",
-                        )
-                    )
+        ring: List[Token] = []
+        current_position = 0
+        for token in tokens:
+            if output_original:
+                out.append(token)
+            offset = token.position - current_position
+            while offset > 1:
+                ring.append(Token(filler, 0, -1, -1, ALPHANUMERIC))
+                del ring[:-max_n]
+                _emit(ring, out)
+                offset -= 1
+            current_position = token.position
+            ring.append(token)
+            del ring[:-max_n]
+            _emit(ring, out)
         return out
 
     return shingle_filter
