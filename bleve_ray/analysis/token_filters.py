@@ -126,12 +126,17 @@ def make_ngram_filter(min_n: int, max_n: int):
     """reference analysis/token/ngram: all n-grams of each token."""
 
     def ngram_filter(tokens: List[Token]) -> List[Token]:
+        # emission order matches ngram.go: by start rune, then size
         out: List[Token] = []
         for t in tokens:
             term = t.term
-            for n in range(min_n, max_n + 1):
-                for i in range(0, len(term) - n + 1):
-                    out.append(Token(term[i : i + n], t.position, t.start, t.end, t.type))
+            for i in range(len(term)):
+                for n in range(min_n, max_n + 1):
+                    if i + n <= len(term):
+                        out.append(
+                            Token(term[i:i + n], t.position, t.start,
+                                  t.end, t.type)
+                        )
         return out
 
     return ngram_filter
@@ -236,20 +241,28 @@ def make_elision_filter(articles: Set[str] = frozenset(
     return elision_filter
 
 
-def make_hierarchy_filter(separator: str = "/", max_levels: int = 10):
-    """Path-hierarchy tokens (reference analysis/token/hierarchy):
-    'a/b/c' -> 'a', 'a/b', 'a/b/c' (all at the source position)."""
+def make_hierarchy_filter(separator: str = "/", max_levels: int = 10,
+                          split_input: bool = True):
+    """Path-hierarchy tokens (reference analysis/token/hierarchy
+    hierarchy.go:28-67): ALL input tokens accumulate into ONE hierarchy —
+    'a/b/c' (or pre-split 'a','b','c') -> 'a', 'a/b', 'a/b/c'; emission
+    stops at max_levels; split_input=False treats each token as one whole
+    level.  Output tokens are Shingle-typed at position 1 with start 0 /
+    end = built byte length, like the reference."""
 
     def hierarchy_filter(tokens: List[Token]) -> List[Token]:
         out: List[Token] = []
+        so_far: List[str] = []
         for t in tokens:
-            parts = t.term.split(separator)[:max_levels]
-            acc = []
+            parts = t.term.split(separator) if split_input else [t.term]
             for part in parts:
-                acc.append(part)
+                so_far.append(part)
+                term = separator.join(so_far)
                 out.append(
-                    Token(separator.join(acc), t.position, t.start, t.end, t.type)
+                    Token(term, 1, 0, len(term.encode("utf-8")), "Shingle")
                 )
+                if len(so_far) >= max_levels:
+                    return out
         return out
 
     return hierarchy_filter

@@ -38,7 +38,8 @@ def test_length():
 
 def test_ngram():
     f = make_ngram_filter(2, 3)
-    assert terms(f(toks("abcd"))) == ["ab", "bc", "cd", "abc", "bcd"]
+    # ngram.go order: by start rune, then size
+    assert terms(f(toks("abcd"))) == ["ab", "abc", "bc", "bcd", "cd"]
 
 
 def test_edge_ngram():
