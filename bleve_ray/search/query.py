@@ -1056,8 +1056,16 @@ class FilteringSearcher(Searcher):
     only hits passing a docnum-level predicate."""
 
     def __init__(self, inner: Searcher, predicate):
+        import inspect
+
         self.inner = inner
         self.predicate = predicate
+        try:
+            self._scored = (
+                len(inspect.signature(predicate).parameters) >= 2
+            )
+        except (TypeError, ValueError):
+            self._scored = False
 
     def weight(self) -> float:
         return self.inner.weight()
@@ -1069,7 +1077,10 @@ class FilteringSearcher(Searcher):
         hits = self.inner.search()
         if len(hits.docnums) == 0:
             return hits
-        keep = self.predicate(hits.docnums)
+        keep = (
+            self.predicate(hits.docnums, hits.scores)
+            if self._scored else self.predicate(hits.docnums)
+        )
         from .searcher import SearchHits
 
         return SearchHits(hits.docnums[keep], hits.scores[keep])
@@ -1272,11 +1283,28 @@ class IPRangeQuery(Query):
         return MultiTermSearcher(reader, terms, field, self.boost, options)
 
 
+def _expand_udf_fields(reader, fields) -> List[str]:
+    """Field list for a custom score/filter callback; "*" expands to
+    every retrievable (stored + docvalue) field, like SearchRequest
+    fields (search.go:53).  These fields feed ONLY the callback — they
+    never leak into the response's hit.fields
+    (TestCustom*QueryFieldsDoNotLeakIntoResponse)."""
+    fields = list(fields or ())
+    if "*" not in fields:
+        return fields
+    opts = reader.options
+    return sorted(
+        set(opts.get("store_fields", []))
+        | set(opts.get("docvalue_fields", []))
+    )
+
+
 @dataclass
 class CustomScoreQuery(Query):
     """custom_score.go: wrap a child query and re-score each hit via an
     embedder callback ``score_func(doc_id, score, fields) -> float``;
-    ``fields`` holds the requested docvalues for the hit."""
+    ``fields`` holds the requested docvalues for the hit ("*" = all
+    retrievable fields)."""
 
     query: "Query"
     score_func: object = None
@@ -1288,6 +1316,7 @@ class CustomScoreQuery(Query):
 
         inner = self.query.searcher(reader, mapping, options)
         outer = self
+        want = _expand_udf_fields(reader, self.fields)
 
         class _Rescoring(Searcher):
             def weight(self):
@@ -1296,22 +1325,48 @@ class CustomScoreQuery(Query):
             def set_query_norm(self, qnorm):
                 inner.set_query_norm(qnorm)
 
+            def count(self):
+                return inner.count()
+
+            def locations(self, docnum):
+                return inner.locations(docnum)
+
+            def explain(self, docnum, doc_id=""):
+                # reference custom_score.go: the wrap explanation carries
+                # the custom value with NO children (inner score dropped)
+                from .scorer import Explanation
+
+                base = inner.explain(docnum, doc_id)
+                score = float(base["value"]) if base else 0.0
+                if outer.score_func is not None:
+                    f = self._doc_fields(np.array([docnum]))[0]
+                    score = outer.score_func(doc_id, score, f)
+                return Explanation(
+                    score * outer.boost, "custom_score function result"
+                )
+
+            def _doc_fields(self, docnums):
+                dv = (
+                    reader.docvalues_for(docnums, want) if want else {}
+                )
+                return [
+                    {k: dv[k][i] for k in dv if dv[k][i] is not None}
+                    for i in range(len(docnums))
+                ]
+
             def search(self):
                 from .searcher import SearchHits
 
                 hits = inner.search()
                 if len(hits.docnums) == 0 or outer.score_func is None:
                     return hits
-                dv = (
-                    reader.docvalues_for(hits.docnums, list(outer.fields))
-                    if outer.fields
-                    else {}
-                )
+                fvals = self._doc_fields(hits.docnums)
                 ids = reader.doc_ids_for(hits.docnums)
                 new = np.empty(len(hits.docnums), dtype=np.float64)
                 for i in range(len(hits.docnums)):
-                    f = {k: dv[k][i] for k in dv}
-                    new[i] = outer.score_func(ids[i], float(hits.scores[i]), f)
+                    new[i] = outer.score_func(
+                        ids[i], float(hits.scores[i]), fvals[i]
+                    )
                 return SearchHits(hits.docnums, new * outer.boost)
 
         return _Rescoring()
@@ -1332,19 +1387,16 @@ class CustomFilterQuery(Query):
 
         inner = self.query.searcher(reader, mapping, options)
         outer = self
+        want = _expand_udf_fields(reader, self.fields)
 
-        def predicate(docnums):
-            hits_scores = None  # scores unavailable at this level
-            dv = (
-                reader.docvalues_for(docnums, list(outer.fields))
-                if outer.fields
-                else {}
-            )
+        def predicate(docnums, scores=None):
+            dv = reader.docvalues_for(docnums, want) if want else {}
             ids = reader.doc_ids_for(docnums)
             keep = np.zeros(len(docnums), dtype=bool)
             for i in range(len(docnums)):
-                f = {k: dv[k][i] for k in dv}
-                keep[i] = bool(outer.filter_func(ids[i], 0.0, f))
+                f = {k: dv[k][i] for k in dv if dv[k][i] is not None}
+                sc = float(scores[i]) if scores is not None else 0.0
+                keep[i] = bool(outer.filter_func(ids[i], sc, f))
             return keep
 
         return FilteringSearcher(inner, predicate)
