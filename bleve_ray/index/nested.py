@@ -26,7 +26,7 @@ fields, ``max`` = deepest nested ancestor of any field.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from .build import FieldConfig, IndexOptions
@@ -140,29 +140,43 @@ def nested_depth(
 
 
 def _walk_fields(
-    dm: DocumentMapping, prefix: str, out: Dict[str, FieldConfig]
+    dm: DocumentMapping, prefix: str, out: Dict[str, FieldConfig],
+    inherited_analyzer: str = "",
 ) -> None:
+    """Leaf FieldConfigs with analyzer "" inherit the CLOSEST enclosing
+    mapping's default_analyzer, falling back to the index default
+    (reference mapping/index.go defaultAnalyzerName resolution,
+    TestAnalyzerInheritance)."""
     if not dm.enabled:
         return
+    effective = dm.default_analyzer or inherited_analyzer
     for name, cfg in dm.fields.items():
         path = f"{prefix}.{name}" if prefix else name
+        if not getattr(cfg, "analyzer", None) and effective:
+            cfg = dc_replace(cfg, analyzer=effective)
         out[path] = cfg
     for prop, sub in dm.properties.items():
-        _walk_fields(sub, f"{prefix}.{prop}" if prefix else prop, out)
+        _walk_fields(sub, f"{prefix}.{prop}" if prefix else prop, out,
+                     effective)
 
 
 def options_from_mapping(
     root: DocumentMapping,
     type_mappings: Optional[Dict[str, DocumentMapping]] = None,
+    default_analyzer: str = "",
     **option_kwargs,
 ) -> IndexOptions:
     """Flatten a DocumentMapping tree into IndexOptions: dotted field
     paths + FieldConfigs, nested_paths, and each nested path's ROOT
     parquet column auto-registered as a docvalue so the query-time
-    same-element verifier can read the structure back."""
+    same-element verifier can read the structure back.
+    ``default_analyzer`` is the INDEX-level default: leaves with no
+    analyzer inherit the closest mapping default_analyzer up the tree,
+    then this (TestAnalyzerInheritance chains; dynamic discovery of
+    unmapped columns is out of scope — parquet schemas are explicit)."""
     validate_root_mapping(root, type_mappings)
     fields: Dict[str, FieldConfig] = {}
-    _walk_fields(root, "", fields)
+    _walk_fields(root, "", fields, default_analyzer)
     if not fields:
         raise ValueError("mapping defines no fields")
     nested = collect_nested_paths(root)
