@@ -186,11 +186,12 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                     )
                 missing_first = s["missing"] == "first"
             if by == "id":
-                entries.append(("_id", desc, None, False))
+                entries.append(("_id", desc, None, False, "auto"))
             elif by == "score":
-                entries.append(("_score", desc, None, False))
+                entries.append(("_score", desc, None, False, "auto"))
             elif by == "field":
-                entries.append((s["field"], desc, None, missing_first))
+                entries.append((s["field"], desc, None, missing_first,
+                                s.get("type", "auto")))
             elif by == "geo_distance":
                 # SortGeoDistance (sort.go:700-760): haversine from the
                 # query location to each hit's geo docvalue, in `unit`
@@ -209,24 +210,26 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                 unit = s.get("unit")
                 if unit:
                     dist = dist / parse_distance_km("1" + unit)
-                entries.append(("_computed", desc, dist, missing_first))
+                entries.append(("_computed", desc, dist, missing_first,
+                                "number"))
             else:
                 raise ValueError(f"search sort must specify by: {s!r}")
         else:
-            entries.append((s.lstrip("-"), s.startswith("-"), None, False))
+            entries.append((s.lstrip("-"), s.startswith("-"), None, False,
+                            "auto"))
     field_keys = [
         name
-        for name, _, pre, _ in entries
+        for name, _, pre, _, _ in entries
         if pre is None and name not in ("_score", "_id")
     ]
     dv = reader.docvalues_for(hits.docnums, field_keys) if field_keys else {}
     ids = None
-    if any(name == "_id" for name, _, _, _ in entries):
+    if any(name == "_id" for name, _, _, _, _ in entries):
         ids = reader.doc_ids_for(hits.docnums)
 
     def key_for(i: int):
         parts = []
-        for name, desc, pre, missing_first in entries:
+        for name, desc, pre, missing_first, _stype in entries:
             if name == "_score":
                 v = hits.scores[i]
                 parts.append(-v if desc else v)
@@ -247,13 +250,27 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                     parts.append((rank, v if not missing else None))
         return tuple(parts)
 
+    def _coerce_cursor(v, stype, col):
+        """Cursor values arrive as strings (the reference's SearchAfter
+        is []string); coerce to the sort key's comparable type so the
+        tuple comparison never mixes str with float
+        (TestSearchRequestValidatePagination)."""
+        sample = next((x for x in (col or ()) if x is not None), None)
+        if stype == "number" or isinstance(sample, (int, float)):
+            return float(v)
+        if stype == "date" and isinstance(sample, (int, float)):
+            from ..analysis.datetime_parsers import resolve_datetime_parser
+
+            return float(resolve_datetime_parser("dateTimeOptional")(str(v)))
+        return v
+
     def cursor_key(values):
         if len(values) != len(entries):
             raise ValueError(
                 "search after must have same size as sort order"
             )
         parts = []
-        for (name, desc, pre, missing_first), v in zip(entries, values):
+        for (name, desc, pre, missing_first, stype), v in zip(entries, values):
             if name == "_score":
                 x = float(v)
                 parts.append(-x if desc else x)
@@ -263,6 +280,8 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
             else:
                 if name == "_computed" or pre is not None:
                     v = float(v) if v is not None else None
+                elif v is not None:
+                    v = _coerce_cursor(v, stype, dv.get(name))
                 missing = v is None
                 rank = not missing if missing_first else missing
                 if desc:
@@ -734,6 +753,50 @@ class Index:
             raise ValueError(
                 "cannot use search after or search before with score fusion"
             )
+        self._validate_pagination_values(request)
+
+    def _validate_pagination_values(self, request: dict) -> None:
+        """validatePagination (search.go TestSearchRequestValidatePagination):
+        each search_after / search_before value must parse under its sort
+        key's type — number -> float, date -> RFC3339-ish datetime,
+        geo_distance -> float — so cursor typos fail loudly instead of
+        corrupting the cursor comparison."""
+        sort = request.get("sort")
+        for key in ("search_after", "search_before"):
+            vals = request.get(key)
+            if vals is None or not sort:
+                continue
+            label = key.replace("_", " ")
+            for so, v in zip(sort, vals):
+                if not isinstance(so, dict):
+                    continue
+                typ = so.get("type", "auto")
+                if so.get("by") == "geo_distance":
+                    typ = "number"
+                field = so.get("field", "")
+                if typ == "number":
+                    try:
+                        float(v)
+                    except (TypeError, ValueError):
+                        raise ValueError(
+                            f"invalid {label} value for sort field "
+                            f"'{field}': '{v}'. not parseable as a number"
+                        )
+                elif typ == "date":
+                    from ..analysis.datetime_parsers import (
+                        resolve_datetime_parser,
+                    )
+
+                    try:
+                        parsed = resolve_datetime_parser(
+                            "dateTimeOptional")(str(v))
+                    except Exception:
+                        parsed = None
+                    if parsed is None:
+                        raise ValueError(
+                            f"invalid {label} value for sort field "
+                            f"'{field}': '{v}'. not parseable as a datetime"
+                        )
 
     def _expand_fields(self, want_fields):
         """The special field "*" returns every retrievable field
