@@ -79,6 +79,67 @@ class SearchResult:
     # MultiSearch): {"total", "successful", "failed", "errors":{name:msg}}
     status: Optional[Dict] = None
 
+    def merge(self, other: "SearchResult") -> None:
+        """search.go SearchResult.Merge (TestSearchResultMerge,
+        TestSearchResultFacetsMerge): hits append, totals and status sum,
+        max_score takes the max, facets merge by name with per-term /
+        per-bucket counts summed (Fixup is the caller's separate step,
+        as in the reference)."""
+        self.hits = list(self.hits) + list(other.hits)
+        self.total_hits += other.total_hits
+        self.max_score = max(self.max_score, other.max_score)
+        if other.status is not None:
+            if self.status is None:
+                self.status = {"total": 0, "successful": 0, "failed": 0,
+                               "errors": {}}
+            for k in ("total", "successful", "failed"):
+                self.status[k] = (
+                    self.status.get(k, 0) + other.status.get(k, 0)
+                )
+            if other.status.get("errors"):
+                self.status.setdefault("errors", {}).update(
+                    other.status["errors"]
+                )
+        if other.facets:
+            if not self.facets:
+                self.facets = {}
+            for name, fr in other.facets.items():
+                mine = self.facets.get(name)
+                if mine is None:
+                    self.facets[name] = fr
+                    continue
+                for k in ("total", "missing", "other"):
+                    mine[k] = mine.get(k, 0) + fr.get(k, 0)
+                if "terms" in fr or "terms" in mine:
+                    counts = {
+                        t["term"]: t["count"] for t in mine.get("terms", [])
+                    }
+                    for t in fr.get("terms", []):
+                        counts[t["term"]] = (
+                            counts.get(t["term"], 0) + t["count"]
+                        )
+                    mine["terms"] = [
+                        {"term": t, "count": c}
+                        for t, c in sorted(counts.items(),
+                                           key=lambda kv: (-kv[1], kv[0]))
+                    ]
+                else:
+                    key = ("numeric_ranges"
+                           if "numeric_ranges" in (fr | mine)
+                           else "date_ranges")
+                    buckets = {b["name"]: dict(b)
+                               for b in mine.get(key, [])}
+                    for b in fr.get(key, []):
+                        e = buckets.get(b["name"])
+                        if e is None:
+                            buckets[b["name"]] = dict(b)
+                        else:
+                            e["count"] += b["count"]
+                    mine[key] = sorted(
+                        buckets.values(),
+                        key=lambda b: (-b["count"], b["name"]),
+                    )
+
     def to_dict(self) -> dict:
         d = {
             "total_hits": self.total_hits,
