@@ -478,6 +478,7 @@ class Index:
     """Open a built index for searching (index_impl.go Search equivalent)."""
 
     def __init__(self, index_dir: str, mapping: Optional[IndexMapping] = None):
+        self._closed = False
         self.reader = IndexReader(index_dir)
         opts = self.reader.options
         self.mapping = mapping or IndexMapping(
@@ -758,7 +759,10 @@ class Index:
         return out
 
     def close(self) -> None:
-        """index.go Close: release cached segment readers."""
+        """index.go Close: release cached segment readers; subsequent
+        operations raise like the reference's ErrorIndexClosed
+        (TestClosedIndex)."""
+        self._closed = True
         self.reader._seg_readers.clear()
         self.reader._posting_cache.clear()
 
@@ -1301,6 +1305,8 @@ class Index:
                     {"field": f, "numeric_ranges": [...]}},
          "highlight": {"fields": [...], "style": "html"|"ansi"},
          "fields": ["stored", ...]}  ("*" = every retrievable field)"""
+        if getattr(self, "_closed", False):
+            raise RuntimeError("index is closed")
         self._validate_request(request)
         # rrf/rsf rescoring applies to FTS-only requests too
         # (rescorer.go wraps Search whenever req.Score selects fusion,

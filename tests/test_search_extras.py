@@ -558,8 +558,14 @@ def test_index_facade_single_doc_ops(ray_session, tmp_path):
     assert idx.advanced() is idx.reader
     assert idx.get_mapping() is idx.mapping
     idx.close()
-    # still usable after close (readers reopen lazily)
-    assert idx.search({"query": {"term": "hello", "field": "text"}}).total_hits == 20
+    # closed index rejects operations (index.go ErrorIndexClosed,
+    # TestClosedIndex); reopening works
+    with pytest.raises(RuntimeError):
+        idx.search({"query": {"term": "hello", "field": "text"}})
+    reopened = Index.open(idx.reader.index_dir)
+    assert reopened.search(
+        {"query": {"term": "hello", "field": "text"}}
+    ).total_hits == 20
 
 
 def test_regexp_alternation_prefix_pruning(idx):
