@@ -1307,6 +1307,12 @@ class Index:
          "fields": ["stored", ...]}  ("*" = every retrievable field)"""
         if getattr(self, "_closed", False):
             raise RuntimeError("index is closed")
+        if request.get("timeout_ms") is not None and (
+            float(request["timeout_ms"]) <= 0
+        ):
+            # an already-expired deadline errors up front
+            # (TestSearchTimeout cancelled-context case)
+            raise TimeoutError("context deadline exceeded")
         self._validate_request(request)
         # rrf/rsf rescoring applies to FTS-only requests too
         # (rescorer.go wraps Search whenever req.Score selects fusion,

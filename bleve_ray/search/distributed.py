@@ -298,10 +298,27 @@ class IndexAlias:
         merge their child statuses (SearchStatus.Merge)."""
         if not self.indexes:
             raise RuntimeError("cannot search empty alias")
+        import time as _time
+
+        # "timeout_ms" is the context-deadline role (index_alias_impl.go
+        # MultiSearch with ctx; TestMultiSearchTimeoutPartial): members
+        # past the deadline are recorded as deadline errors and the
+        # finished members' hits are returned as a partial result.
+        timeout_ms = request.get("timeout_ms")
+        deadline = (
+            _time.monotonic() + float(timeout_ms) / 1e3
+            if timeout_ms else None
+        )
         results = []
         total = successful = 0
         errors: Dict[str, str] = {}
         for i, idx in enumerate(self.indexes):
+            if deadline is not None and _time.monotonic() > deadline:
+                total += 1
+                errors[self._member_name(idx, i)] = (
+                    "context deadline exceeded"
+                )
+                continue
             try:
                 r = idx.search(request)
             except Exception as e:  # member down/failed: partial result
