@@ -22,6 +22,12 @@ import pyarrow.compute as pc
 
 from .analyzers import Analyzer
 
+# array-element ordinal packed into the high bits of a token position
+# (element 0 encodes as 0, so scalar fields are unchanged); decoded by
+# readers into Location.ArrayPositions
+ARRAY_POS_SHIFT = 20
+ARRAY_POS_MASK = (1 << ARRAY_POS_SHIFT) - 1
+
 # frozenset -> pa.Array value_set for pc.is_in (built once per stop list,
 # not once per batch)
 _STOP_PA_CACHE: dict = {}
@@ -224,6 +230,21 @@ def analyze_batch(
         terms, doc_idx, positions, _ = analyze_batch(
             pc.list_flatten(arr), analyzer
         )
+        # element ordinal in the HIGH position bits (ARRAY_POS_SHIFT):
+        # positions restart per element like the reference, and the
+        # ordinal scopes phrase adjacency to ONE element (the reference's
+        # Location.ArrayPositions check in findPhrasePaths — "bad call",
+        # "defenseless receiver" must not phrase-match "bad receiver",
+        # test/tests/phrase).  Readers decode pos & ARRAY_POS_MASK and
+        # array_positions = pos >> ARRAY_POS_SHIFT.
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        elem_ord = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        elem_ord = np.minimum(elem_ord, (1 << 11) - 1)  # int32 headroom
+        positions = positions + (
+            elem_ord[doc_idx] << ARRAY_POS_SHIFT
+        ).astype(positions.dtype)
         doc_idx = parent[doc_idx]
         field_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         return terms, doc_idx, positions, field_len

@@ -101,8 +101,9 @@ class IndexOptions:
     # stored source fields (store:true) -- needed for highlighting
     store_fields: List[str] = dc_field(default_factory=list)
     # composite _all field (document/field_composite.go:33-41): merged token
-    # frequencies of all indexed text fields; positions dropped (phrase on
-    # _all unsupported, like querying a composite without term vectors)
+    # frequencies of all indexed text fields, keeping each source field's
+    # own positions (term-vector composite) so phrase queries against
+    # _all match within any single contributing field
     enable_all_field: bool = False
     # shuffle implementation for the groupby(shard,bucket) exchange:
     #   "storage": stage-1 tasks write per-group Arrow-IPC chunk files;
@@ -116,6 +117,10 @@ class IndexOptions:
     # index/scorch/README.md:39-43): id lookups become posting lookups
     # instead of a driver-side id map scan
     index_id_field: bool = False
+    # mapping-level default analyzer: resolves query-time analysis for
+    # fields without an explicit entry, notably the "_all" composite
+    # (mapping/index.go DefaultAnalyzer)
+    default_analyzer: str = "standard"
     analyze_rows: int = 1024  # rows per analyze sub-batch
     # optional root for the TRANSIENT chunk-exchange files (the storage
     # shuffle's scratch space; GC'd after segments build).  Pointing it at
@@ -169,6 +174,7 @@ class IndexOptions:
             "store_fields": self.store_fields,
             "enable_all_field": self.enable_all_field,
             "index_id_field": self.index_id_field,
+            "default_analyzer": self.default_analyzer,
             "shard_hash": self.shard_hash,
             "nested_paths": self.nested_paths,
         }
@@ -195,6 +201,7 @@ class IndexOptions:
             store_fields=list(d.get("store_fields", [])),
             enable_all_field=d.get("enable_all_field", False),
             index_id_field=d.get("index_id_field", False),
+            default_analyzer=d.get("default_analyzer", "standard"),
             # manifests that predate the poly64 router were sha1-routed
             shard_hash=d.get("shard_hash", "sha1"),
             nested_paths=list(d.get("nested_paths", [])),
@@ -354,11 +361,15 @@ def _numeric_tokens(
     if field_type == "datetime" or _pa.types.is_timestamp(typ):
         unit = typ.unit if _pa.types.is_timestamp(typ) else "us"
         mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
-        casted = pc.cast(col, _pa.int64()).combine_chunks()
+        casted = pc.cast(col, _pa.int64())
+        if isinstance(casted, _pa.ChunkedArray):
+            casted = casted.combine_chunks()
         valid = np.asarray(casted.is_valid())
         iv = np.asarray(casted.fill_null(0), dtype=np.int64) * np.int64(mult)
     else:
-        casted = pc.cast(col, _pa.float64()).combine_chunks()
+        casted = pc.cast(col, _pa.float64())
+        if isinstance(casted, _pa.ChunkedArray):
+            casted = casted.combine_chunks()
         valid = np.asarray(casted.is_valid())
         f = np.asarray(casted.fill_null(0.0), dtype=np.float64)
         # Float64ToInt64 sortable mapping (numeric/float.go), vectorized
@@ -678,6 +689,7 @@ class ReadAnalyzeInvert:
             for t in _prim_vals
         ]
         all_terms, all_doc_idx, all_field_len = [], [], None
+        all_positions = []
         for fname, fcfg in opts.fields.items():
             fcol = resolve_field_column(tbl, fname)
             if fcol is None or len(fcol) == 0:
@@ -709,11 +721,18 @@ class ReadAnalyzeInvert:
                 )
             if (
                 opts.enable_all_field
-                and fcfg.field_type == "text"
                 and not _under_nested(fname, opts.nested_paths)
             ):
+                # EVERY include-in-all field feeds the composite — text
+                # tokens AND numeric/datetime/boolean/geo trie terms,
+                # like the reference's _all (document.go composite over
+                # all IncludeInAll fields).  Their lengths count toward
+                # the composite field length, which is what makes the
+                # reference's _all norms differ between docs with and
+                # without numeric attributes (test/tests/sort scores).
                 all_terms.append(terms)
                 all_doc_idx.append(doc_idx)
+                all_positions.append(positions)
                 all_field_len = (
                     field_len
                     if all_field_len is None
@@ -793,7 +812,10 @@ class ReadAnalyzeInvert:
                  for t in all_terms]
             )
             doc_idx = np.concatenate(all_doc_idx)
-            positions = np.zeros(len(doc_idx), dtype=np.int32)
+            # composite keeps each contributing field's OWN positions
+            # (document/field_composite.go with term vectors): phrase
+            # queries against _all match within any single source field
+            positions = np.concatenate(all_positions).astype(np.int32)
             meta_rows["docnum"].extend(docnums.tolist())
             meta_rows["doc_id"].extend(doc_ids.to_pylist())
             meta_rows["field"].extend(["_all"] * len(tbl))
@@ -808,7 +830,7 @@ class ReadAnalyzeInvert:
                     positions[sel],
                     docnums,
                     all_field_len,
-                    keep_positions=False,
+                    keep_positions=True,
                 )
                 if len(chunk) == 0:
                     continue

@@ -28,6 +28,10 @@ class IndexMapping:
 
     default_field: str = "content"
     analyzers: Dict[str, str] = dc_field(default_factory=dict)
+    # fallback for fields without an explicit analyzer entry (the "_all"
+    # composite analyzes queries with the mapping default, like the
+    # reference's analyzerNameForPath)
+    default_analyzer: str = "standard"
     scoring_model: str = "bm25"
     # query-time synonym expansion (SynonymDefinition, index.go:358-390)
     synonyms: Optional[object] = None
@@ -40,7 +44,7 @@ class IndexMapping:
     default_synonym_source: str = ""
 
     def analyzer_for(self, field: str) -> str:
-        return self.analyzers.get(field, "standard")
+        return self.analyzers.get(field, self.default_analyzer)
 
     def synonym_source_for(self, field: str) -> str:
         return (
@@ -247,12 +251,14 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                     )
                 missing_first = s["missing"] == "first"
             if by == "id":
-                entries.append(("_id", desc, None, False, "auto"))
+                entries.append(("_id", desc, None, False, "auto", "default"))
             elif by == "score":
-                entries.append(("_score", desc, None, False, "auto"))
+                entries.append(("_score", desc, None, False, "auto",
+                                "default"))
             elif by == "field":
                 entries.append((s["field"], desc, None, missing_first,
-                                s.get("type", "auto")))
+                                s.get("type", "auto"),
+                                s.get("mode", "default")))
             elif by == "geo_distance":
                 # SortGeoDistance (sort.go:700-760): haversine from the
                 # query location to each hit's geo docvalue, in `unit`
@@ -272,25 +278,39 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                 if unit:
                     dist = dist / parse_distance_km("1" + unit)
                 entries.append(("_computed", desc, dist, missing_first,
-                                "number"))
+                                "number", "default"))
             else:
                 raise ValueError(f"search sort must specify by: {s!r}")
         else:
             entries.append((s.lstrip("-"), s.startswith("-"), None, False,
-                            "auto"))
+                            "auto", "default"))
     field_keys = [
         name
-        for name, _, pre, _, _ in entries
+        for name, _, pre, _, _, _ in entries
         if pre is None and name not in ("_score", "_id")
     ]
     dv = reader.docvalues_for(hits.docnums, field_keys) if field_keys else {}
     ids = None
-    if any(name == "_id" for name, _, _, _, _ in entries):
+    if any(name == "_id" for name, _, _, _, _, _ in entries):
         ids = reader.doc_ids_for(hits.docnums)
+
+    def _mv(v, mode):
+        """Multi-valued docvalue -> one comparable (SortField Mode,
+        sort.go SortFieldMode min/max; default = first value)."""
+        if isinstance(v, (list, tuple)) and not isinstance(v, str):
+            vals = [x for x in v if x is not None]
+            if not vals:
+                return None
+            if mode == "min":
+                return min(vals)
+            if mode == "max":
+                return max(vals)
+            return vals[0]
+        return v
 
     def key_for(i: int):
         parts = []
-        for name, desc, pre, missing_first, _stype in entries:
+        for name, desc, pre, missing_first, _stype, mode in entries:
             if name == "_score":
                 v = hits.scores[i]
                 parts.append(-v if desc else v)
@@ -302,7 +322,7 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                     v = float(pre[i])
                     missing = v != v  # NaN = no geo point stored
                 else:
-                    v = dv[name][i]
+                    v = _mv(dv[name][i], mode)
                     missing = v is None
                 rank = not missing if missing_first else missing
                 if desc:
@@ -331,7 +351,8 @@ def _build_sort_machinery(reader, hits: SearchHits, sort: List):
                 "search after must have same size as sort order"
             )
         parts = []
-        for (name, desc, pre, missing_first, stype), v in zip(entries, values):
+        for (name, desc, pre, missing_first, stype, _mode), v in zip(
+                entries, values):
             if name == "_score":
                 x = float(v)
                 parts.append(-x if desc else x)
@@ -482,10 +503,17 @@ class Index:
         self.reader = IndexReader(index_dir)
         opts = self.reader.options
         self.mapping = mapping or IndexMapping(
-            default_field=next(iter(opts["fields"])),
+            # with the _all composite enabled the default search field is
+            # "_all", like the reference (mapping/index.go
+            # defaultField); otherwise the first mapped field
+            default_field=(
+                "_all" if opts.get("enable_all_field")
+                else next(iter(opts["fields"]))
+            ),
             analyzers={
                 f: c["analyzer"] for f, c in opts["fields"].items()
             },
+            default_analyzer=opts.get("default_analyzer", "standard"),
             scoring_model=opts.get("scoring_model", "bm25"),
         )
         if mapping is None:
@@ -954,6 +982,13 @@ class Index:
             cursor: Dict[int, int] = {}
             for loc in locs:
                 p = loc.get("pos")
+                ap = loc.get("array_positions")
+                if ap:  # index-side element ordinal (position high bits)
+                    ei = ap[0]
+                    se = elem_spans[ei].get(p) if ei < len(elem_spans) else None
+                    if se is not None and se[0] == term:
+                        loc["start"], loc["end"] = se[1], se[2]
+                    continue
                 for ei in range(cursor.get(p, 0), len(elem_spans)):
                     se = elem_spans[ei].get(p)
                     if se is not None and se[0] == term:
@@ -1256,16 +1291,16 @@ class Index:
             )
         want_fields = self._expand_fields(request.get("fields"))
         hl = request.get("highlight")
-        if (want_fields or hl) and result.hits:
+        if (want_fields or hl is not None) and result.hits:
             dn = np.array([h.docnum for h in result.hits], dtype=np.int64)
             fetch = set(want_fields)
-            if hl:
+            if hl is not None:
                 fetch.update(hl.get("fields", []))
             dv = self.reader.docvalues_for(dn, sorted(fetch))
             for j, h in enumerate(result.hits):
                 if want_fields:
                     h.fields = {f: dv[f][j] for f in want_fields}
-                if hl:
+                if hl is not None:
                     from ..analysis.analyzers import analyzer_named
                     from .highlight import (
                         extract_query_terms,
@@ -1280,7 +1315,28 @@ class Index:
                         self.mapping.default_field,
                     )
                     h.fragments = {}
-                    for f in hl.get("fields", []):
+                    hl_fields = hl.get("fields")
+                    if not hl_fields:
+                        # no fields given: highlight the fields the
+                        # query matched (the reference defaults to the
+                        # hit's matched fields); "_all" expands to the
+                        # stored text fields carrying its terms
+                        hl_fields = sorted(
+                            f for f in terms_by_field if f != "_all")
+                        if "_all" in terms_by_field:
+                            allf = [
+                                sf for sf in
+                                self.reader.options.get("store_fields", [])
+                                if sf not in hl_fields
+                            ]
+                            for sf in allf:
+                                terms_by_field.setdefault(sf, set()).update(
+                                    terms_by_field["_all"])
+                            hl_fields.extend(allf)
+                        dv2 = self.reader.docvalues_for(
+                            dn, [f for f in hl_fields if f not in dv])
+                        dv.update(dv2)
+                    for f in hl_fields:
                         text = dv.get(f, [None] * len(result.hits))[j]
                         if text:
                             h.fragments[f] = highlight_value(
@@ -1439,16 +1495,16 @@ class Index:
             )
         want_fields = self._expand_fields(request.get("fields"))
         hl = request.get("highlight")
-        if (want_fields or hl) and result.hits:
+        if (want_fields or hl is not None) and result.hits:
             docnums = np.array([h.docnum for h in result.hits], dtype=np.int64)
             fetch = set(want_fields)
-            if hl:
+            if hl is not None:
                 fetch.update(hl.get("fields", []))
             dv = self.reader.docvalues_for(docnums, sorted(fetch))
             for j, h in enumerate(result.hits):
                 if want_fields:
                     h.fields = {f: dv[f][j] for f in want_fields}
-                if hl:
+                if hl is not None:
                     from ..analysis.analyzers import analyzer_named
                     from .highlight import (
                         extract_query_terms,
@@ -1463,7 +1519,28 @@ class Index:
                         self.mapping.default_field,
                     )
                     h.fragments = {}
-                    for f in hl.get("fields", []):
+                    hl_fields = hl.get("fields")
+                    if not hl_fields:
+                        # no fields given: highlight the fields the
+                        # query matched (the reference defaults to the
+                        # hit's matched fields); "_all" expands to the
+                        # stored text fields carrying its terms
+                        hl_fields = sorted(
+                            f for f in terms_by_field if f != "_all")
+                        if "_all" in terms_by_field:
+                            allf = [
+                                sf for sf in
+                                self.reader.options.get("store_fields", [])
+                                if sf not in hl_fields
+                            ]
+                            for sf in allf:
+                                terms_by_field.setdefault(sf, set()).update(
+                                    terms_by_field["_all"])
+                            hl_fields.extend(allf)
+                        dv2 = self.reader.docvalues_for(
+                            docnums, [f for f in hl_fields if f not in dv])
+                        dv.update(dv2)
+                    for f in hl_fields:
                         text = dv.get(f, [None] * len(result.hits))[j]
                         if text:
                             h.fragments[f] = highlight_value(

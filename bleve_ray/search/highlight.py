@@ -20,6 +20,14 @@ STYLES = {
 }
 
 
+def _go_html_escape(s: str) -> str:
+    """Go html.EscapeString: the five entities it emits (format/html
+    html.go:59-70 escapes every non-markup segment)."""
+    return (s.replace("&", "&amp;").replace("'", "&#39;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&#34;"))
+
+
 class TermLocation:
     """search/highlight/term_locations.go:24-41 TermLocation: one term
     occurrence inside a field value, with the array-position path that
@@ -306,8 +314,9 @@ def highlight_text(
         lt = tok.term.lower()
         if lt in terms:
             spans.append((tok.start, tok.end, lt))
+    esc = _go_html_escape if style == "html" else (lambda x: x)
     if not spans:
-        frag = text[:fragment_size]
+        frag = esc(text[:fragment_size])
         return [frag]
     # NOTE: tokenizer spans are byte offsets; for ascii they equal char
     # offsets.  For non-ascii text recompute via encode-prefix mapping.
@@ -353,10 +362,10 @@ def highlight_text(
         parts = []
         cur = start
         for a, b_ in merged_frag:
-            parts.append(text[cur:a])
-            parts.append(pre + text[a:b_] + post)
+            parts.append(esc(text[cur:a]))
+            parts.append(pre + esc(text[a:b_]) + post)
             cur = b_
-        parts.append(text[cur:end])
+        parts.append(esc(text[cur:end]))
         prefix = "…" if start > 0 else ""
         suffix = "…" if end < len(text) else ""
         out.append(prefix + "".join(parts) + suffix)

@@ -1421,12 +1421,17 @@ class GeoPolygonQuery(Query):
         field = self.field or mapping.default_field
 
         def _ring(pts):
+            # accepts {"lat","lon"} dicts, [lon, lat] pairs, "lat,lon"
+            # strings and geohashes (geo.go extractGeoPoint forms used by
+            # test/tests/geo polygon searches 7-9)
+            from ..index.geo import extract_geo_point
+
             out = []
             for p in pts:
-                if isinstance(p, dict):
-                    out.append((float(p["lon"]), float(p["lat"])))
-                else:
-                    out.append((float(p[0]), float(p[1])))
+                lon, lat, ok = extract_geo_point(p)
+                if not ok:
+                    raise ValueError(f"invalid polygon point: {p!r}")
+                out.append((lon, lat))
             return out
 
         coords = _ring(self.points)
@@ -1545,9 +1550,27 @@ class GeoShapeQuery(Query):
 
     def searcher(self, reader, mapping, options):
         field = self.field or mapping.default_field
-        fcfg = (reader.options.get("fields") or {}).get(field) or {}
+        all_fields = reader.options.get("fields") or {}
+        fcfg = all_fields.get(field) or {}
         if fcfg.get("field_type") == "geoshape":
             return self._shape_field_searcher(reader, field, options)
+        if not self.field:
+            # no explicit field: the reference routes through the default
+            # "_all" composite, whose shape cell tokens come only from
+            # geoshape-typed fields (test/tests/geoshapes searches carry
+            # no field) — search those fields directly
+            gs = [f for f, c in all_fields.items()
+                  if c.get("field_type") == "geoshape"]
+            if len(gs) == 1:
+                return self._shape_field_searcher(reader, gs[0], options)
+            if gs:
+                from .searcher import DisjunctionSearcher
+
+                return DisjunctionSearcher(
+                    [self._shape_field_searcher(reader, f, options)
+                     for f in gs],
+                    min_match=1,
+                )
         q = dataclasses.replace(self, field=field)._to_query(self.shape)
         return q.searcher(reader, mapping, options)
 

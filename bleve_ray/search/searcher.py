@@ -199,13 +199,19 @@ class TermSearcher(Searcher):
             return None
         start = int(p.tfs[:i].sum())
         poss = p.positions_flat[start : start + int(p.tfs[i])]
-        return {
-            self.field: {
-                self.term: [
-                    {"pos": int(x), "start": 0, "end": 0} for x in poss
-                ]
-            }
-        }
+        from ..analysis.freq import ARRAY_POS_MASK, ARRAY_POS_SHIFT
+
+        locs = []
+        for x in poss:
+            x = int(x)
+            elem = x >> ARRAY_POS_SHIFT
+            loc = {"pos": x & ARRAY_POS_MASK, "start": 0, "end": 0}
+            if elem:
+                # array-element ordinal packed into the high position
+                # bits at build time (freq.analyze_batch list branch)
+                loc["array_positions"] = [elem]
+            locs.append(loc)
+        return {self.field: {self.term: locs}}
 
     def search(self) -> SearchHits:
         if self.posting is None:
