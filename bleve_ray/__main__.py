@@ -77,6 +77,11 @@ def main(argv=None):
                         "NESTED sub-documents (repeatable); conjunctions "
                         "over its fields scope to the same element and "
                         "the path's root column is stored as a docvalue")
+    b.add_argument("--bleve-mapping", default=None,
+                   help="path to a bleve JSON index mapping; inputs must "
+                        "then be JSON document files (one doc per file, "
+                        "doc id = file name sans extension) -- the "
+                        "migration path for existing bleve users")
 
     for name in ("count", "fields", "check", "stats"):
         p = sub.add_parser(name)
@@ -361,6 +366,35 @@ def main(argv=None):
                      logging_level="error", log_to_driver=False)
         from .index import FieldConfig, IndexOptions, build_index
 
+        if args.bleve_mapping:
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            from .index.json_mapping import options_from_bleve_mapping
+
+            mapping = json.load(open(args.bleve_mapping))
+            docs = []
+            for pat in args.inputs:
+                for f in sorted(_glob.glob(pat)) or [pat]:
+                    doc_id = _os.path.splitext(_os.path.basename(f))[0]
+                    docs.append((doc_id, json.load(open(f))))
+            tbl, opts = options_from_bleve_mapping(
+                mapping, docs,
+                num_shards=args.shards,
+                nested_paths=list(args.nested or []),
+            )
+            _os.makedirs(args.index_dir, exist_ok=True)
+            src = _os.path.join(args.index_dir, "_bleve_docs.parquet")
+            _pq.write_table(tbl, src)
+            _register_nested_roots(opts)
+            man = build_index([src], args.index_dir, opts)
+            print(json.dumps({"doc_count": man.stats["doc_count"],
+                              "segments": len(man.segments),
+                              "epoch": man.epoch}))
+            ray.shutdown()
+            return
         args.inputs = _ensure_parquet_inputs(args.inputs, args.index_dir)
         fields = {}
         for f in args.field or []:
