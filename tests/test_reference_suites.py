@@ -108,5 +108,12 @@ def test_reference_suite_search(suite_index, case):
         if "locations" in want_hit:
             for fld, terms in want_hit["locations"].items():
                 assert got_hit.locations and fld in got_hit.locations
-                for term in terms:
-                    assert term in got_hit.locations[fld]
+                for term, want_locs in terms.items():
+                    got_locs = got_hit.locations[fld][term]
+                    norm = lambda L: sorted(
+                        (l.get("pos"), l.get("start"), l.get("end"),
+                         tuple(l.get("array_positions") or ()))
+                        for l in L
+                    )
+                    assert norm(got_locs) == norm(want_locs), (
+                        term, got_locs, want_locs)
