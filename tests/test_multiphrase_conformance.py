@@ -202,3 +202,38 @@ def test_conjunction_of_boosted_term_and_mustonly_boolean(two_doc_index):
     ]})
     assert set(got) == {"1"}
     assert got["1"] == pytest.approx(2.0097428702814377, abs=1e-3)
+
+
+# --- TestTermRangeSearch (search_term_range_test.go:40-200) --------------
+
+TERM_RANGE_CASES = [
+    # (min, max, inclusive_min, inclusive_max, want ids)
+    ("marty", "marty", True, True, ["1"]),
+    ("marty", "ravi", True, True, ["1", "4"]),
+    ("marty", "ravi", True, False, ["1"]),
+    ("martz", "ravi", True, False, []),
+    ("marty", "ravi", False, True, ["4"]),
+    ("marty", "rav", False, True, []),
+    ("marty", None, True, True, ["1", "2", "4"]),
+    (None, "ravi", True, True, ["1", "3", "4", "5"]),
+    (None, None, True, True, ["1", "2", "3", "4", "5"]),
+    (None, None, False, True, ["1", "2", "3", "4", "5"]),
+    (None, None, True, False, ["1", "2", "3", "4", "5"]),
+]
+
+
+@pytest.mark.parametrize(
+    "mn,mx,imin,imax,want", TERM_RANGE_CASES,
+    ids=[f"tr{i}" for i in range(len(TERM_RANGE_CASES))],
+)
+def test_term_range_search(two_doc_index, mn, mx, imin, imax, want):
+    q = {"field": "name", "inclusive_min": imin, "inclusive_max": imax}
+    if mn is not None:
+        q["min"] = mn
+    if mx is not None:
+        q["max"] = mx
+    if mn is None and mx is None:
+        # min and max both nil -> full dictionary scan via wildcard range
+        q["min"] = ""
+    r = two_doc_index.search({"query": q, "size": 10})
+    assert sorted(h.id for h in r.hits) == want
