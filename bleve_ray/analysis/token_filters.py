@@ -509,3 +509,29 @@ def plural_stemmer_filter(tokens):
         if t.type != "KeyWord":  # respects the keyword marker
             t.term = english_plural_stem(t.term)
     return tokens
+
+
+# ---------------------------------------------------------------------------
+# Token map loading (reference analysis/tokenmap.go): word lists -- stop
+# words, keyword markers, compound dictionaries -- load from text where
+# each line holds whitespace-separated tokens and `#` or `|` starts a
+# comment (full-line or trailing).
+# ---------------------------------------------------------------------------
+
+
+def load_token_map(text: str) -> frozenset:
+    """Parse a token-map text (tokenmap.go LoadBytes/LoadLine)."""
+    tokens = set()
+    for line in text.splitlines():
+        for marker in ("#", "|"):
+            cut = line.find(marker)
+            if cut >= 0:
+                line = line[:cut]
+        tokens.update(line.split())
+    return frozenset(tokens)
+
+
+def load_token_map_file(path) -> frozenset:
+    """tokenmap.go LoadFile: read a word file into a token map."""
+    with open(path, "r", encoding="utf-8") as f:
+        return load_token_map(f.read())

@@ -126,8 +126,14 @@ def haversin_km(lon1, lat1, lon2, lat2) -> np.ndarray:
     h = (h1 + np.cos(x1) * np.cos(x2) * h2) / 2
     avg_lat = (x1 + x2) / 2
     idx = np.mod(np.abs(avg_lat) * _RADIUS_INDEXER + 0.5, _RADIUS_TABS)
-    diameter = _EARTH_DIAM[idx.astype(np.int64)]
-    return diameter * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+    # NaN coordinates: a 0 diameter propagates NaN through the product
+    # (sloppy.go:53-58 earthDiameter returns 0 on a NaN index)
+    nan = np.isnan(idx)
+    diameter = np.where(
+        nan, 0.0, _EARTH_DIAM[np.where(nan, 0, idx).astype(np.int64)]
+    )
+    with np.errstate(invalid="ignore"):
+        return diameter * np.arcsin(np.minimum(1.0, np.sqrt(h)))
 
 
 _DIST_UNIT_KM = {
