@@ -329,13 +329,15 @@ class IndexReader:
         lazy full docmeta id map is the fallback for older indexes."""
         if self.options.get("index_id_field"):
             parts = []
-            for d in doc_ids:
+            # duplicate requested ids collapse (search_docid.go:41
+            # dedups via the kept-ids map: "duplicate inputs" vector)
+            for d in dict.fromkeys(doc_ids):
                 p = self.posting("_id", d)
                 if p is not None:
                     parts.append(p.docnums)
             if not parts:
                 return np.empty(0, dtype=np.int64)
-            return np.sort(np.concatenate(parts))
+            return np.unique(np.concatenate(parts))
         if not hasattr(self, "_id_map"):
             m = {}
             for e in self.manifest.docmeta:
@@ -344,7 +346,7 @@ class IndexReader:
                     m[did] = dn
             self._id_map = m
         out = sorted(
-            self._id_map[d] for d in doc_ids if d in self._id_map
+            {self._id_map[d] for d in doc_ids if d in self._id_map}
         )
         return np.array(out, dtype=np.int64)
 
