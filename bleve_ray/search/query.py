@@ -1446,7 +1446,15 @@ class GeoPolygonQuery(Query):
         )
 
         def poly_ok(docnums):
+            from ..index.geo import morton_hash, morton_unhash
+
             lon, lat = _geo_values(reader, field, docnums)
+            # the reference filter tests the morton-UNHASHED indexed term
+            # (search_geopolygon.go:96-104 MortonUnhashLon/Lat), so points
+            # lying exactly on a polygon edge resolve by the codec's
+            # quantization, not the stored float (TestSimpleGeoPolygons
+            # doc "s" on the lon=2 edge)
+            lon, lat = morton_unhash(morton_hash(lon, lat))
             keep = np.zeros(len(docnums), dtype=bool)
             for i in range(len(docnums)):
                 ok = point_in_polygon(lon[i], lat[i], coords)
