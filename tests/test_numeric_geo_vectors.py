@@ -151,3 +151,55 @@ def test_token_map_comment_styles():
             "multiple", "words", "with", "different", "whitespace",
         ]
     )
+
+
+# --- geo/geo_test.go: morton codec + scaling + rect-from-distance ------------
+
+GEO_TOL = 1e-6  # geo.go:36 geoTolerance
+
+
+@pytest.mark.parametrize(
+    "lon,lat",
+    [
+        (-180.0, -90.0),
+        (-5, 27.3),
+        (0, 0),
+        (1.0, 1.0),
+        (24.7, -80.4),
+        (180.0, 90.0),
+    ],
+)
+def test_morton_hash_unhash(lon, lat):
+    from bleve_ray.index.geo import morton_hash, morton_unhash
+
+    h = morton_hash(lon, lat)
+    got_lon, got_lat = morton_unhash(np.asarray([h], dtype=np.uint64))
+    assert abs(float(got_lon[0]) - lon) <= GEO_TOL
+    assert abs(float(got_lat[0]) - lat) <= GEO_TOL
+
+
+@pytest.mark.parametrize("lon", [-180.0, 0.0, 1.0, 180.0])
+def test_scale_unscale_lon(lon):
+    from bleve_ray.index.geo import _LON_SCALE, _MIN_LON, scale_lon
+
+    s = scale_lon(lon)
+    back = float(s) / _LON_SCALE + _MIN_LON
+    assert abs(back - lon) <= GEO_TOL
+
+
+@pytest.mark.parametrize("lat", [-90.0, 0.0, 1.0, 90.0])
+def test_scale_unscale_lat(lat):
+    from bleve_ray.index.geo import _LAT_SCALE, _MIN_LAT, scale_lat
+
+    s = scale_lat(lat)
+    back = float(s) / _LAT_SCALE + _MIN_LAT
+    assert abs(back - lat) <= GEO_TOL
+
+
+def test_rect_from_point_distance():
+    from bleve_ray.index.geo import rect_from_point_distance
+
+    # at the equator 1 degree of latitude is about 110567 meters
+    _, min_lat, _, max_lat = rect_from_point_distance(0, 0, 110.567)
+    assert abs(max_lat - 1) <= 1e-2
+    assert abs(min_lat + 1) <= 1e-2
