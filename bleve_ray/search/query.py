@@ -603,14 +603,41 @@ def _regex_literal_prefixes(pattern: str):
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest leading run of literal characters in a regex (conservative:
     stops at any metacharacter; a literal followed by a quantifier is
-    excluded)."""
+    excluded).  Single-character classes ``[c]`` / ``[c-c]`` simplify to
+    the literal c like the reference's parsed-syntax walk
+    (index/scorch/regexp.go literalPrefix vectors ``[h][e][l][l][o]``)."""
     out = []
     i = 0
-    while i < len(pattern):
+    n = len(pattern)
+    while i < n:
         c = pattern[i]
+        if c == "[":
+            # [c] or [c-c] with a literal c collapses to c
+            lit, end = None, None
+            if (
+                i + 2 < n
+                and pattern[i + 2] == "]"
+                and pattern[i + 1] not in _REGEX_SPECIAL
+            ):
+                lit, end = pattern[i + 1], i + 3
+            elif (
+                i + 4 < n
+                and pattern[i + 4] == "]"
+                and pattern[i + 2] == "-"
+                and pattern[i + 1] == pattern[i + 3]
+                and pattern[i + 1] not in _REGEX_SPECIAL
+            ):
+                lit, end = pattern[i + 1], i + 5
+            if lit is None:
+                break
+            if end < n and pattern[end] in "*+?{":
+                break  # quantifier applies to the class
+            out.append(lit)
+            i = end
+            continue
         if c in _REGEX_SPECIAL:
             break
-        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+        if i + 1 < n and pattern[i + 1] in "*+?{":
             break  # quantifier applies to this char
         out.append(c)
         i += 1
