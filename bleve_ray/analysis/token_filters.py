@@ -295,18 +295,32 @@ def make_compound_filter(
             out.append(t)
             term = t.term.lower()
             n = len(term)
-            found: List[str] = []
+            # rune index -> byte offset within the ORIGINAL term, so each
+            # subword carries its own Start/End (dict_test.go expects
+            # soft@15-19 / ball@19-23 inside softball@15-23)
+            boff = [0]
+            for ch in t.term:
+                boff.append(boff[-1] + len(ch.encode("utf-8")))
+            found: List[tuple] = []
             for i in range(n):
                 longest = None
                 for j in range(i + min_subword, min(i + max_subword, n) + 1):
                     if term[i:j] in dictionary:
-                        longest = term[i:j]
+                        longest = (term[i:j], i, j)
                         if not only_longest:
-                            found.append(term[i:j])
+                            found.append((term[i:j], i, j))
                 if only_longest and longest:
                     found.append(longest)
-            for sub in found:
-                out.append(Token(sub, t.position, t.start, t.end, t.type))
+            for sub, i, j in found:
+                out.append(
+                    Token(
+                        sub,
+                        t.position,
+                        t.start + boff[i],
+                        t.start + boff[min(j, len(boff) - 1)],
+                        t.type,
+                    )
+                )
         return out
 
     return compound_filter
