@@ -48,10 +48,17 @@ def make_stop_filter(stop_words: Set[str]):
 
 
 def make_length_filter(min_len: int, max_len: int):
-    """reference analysis/token/length: drop tokens outside [min,max] runes."""
+    """reference analysis/token/length: drop tokens outside [min,max]
+    runes; a bound of -1 (or any negative) disables that side
+    (length_test.go TestLengthFilterNoMax/NoMin)."""
 
     def length_filter(tokens: List[Token]) -> List[Token]:
-        return [t for t in tokens if min_len <= len(t.term) <= max_len]
+        return [
+            t
+            for t in tokens
+            if (min_len < 0 or len(t.term) >= min_len)
+            and (max_len < 0 or len(t.term) <= max_len)
+        ]
 
     return length_filter
 
