@@ -770,6 +770,123 @@ def make_french_snowball_filter():
 
 
 # ---------------------------------------------------------------------------
+# Snowball German (snowballstem.org/algorithms/german/stemmer.html),
+# the reference's standalone ``stemmer_de_snowball``
+# (analysis/lang/de/stemmer_de_snowball.go; the de analyzer itself uses
+# the light stemmer).
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = set("bdfghklmnrt")
+_DE_ST_ENDING = set("bdfghklmnt")
+
+
+def german_snowball_stem(word: str) -> str:
+    w = word.replace("ß", "ss")
+    # mark u/y between vowels as consonants
+    chars = list(w)
+    n = len(chars)
+    for i in range(1, n - 1):
+        if (
+            chars[i] in ("u", "y")
+            and chars[i - 1] in _DE_VOWELS
+            and chars[i + 1] in _DE_VOWELS
+        ):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    r1, r2 = _std_r1r2(w.lower(), _DE_VOWELS)
+    r1 = max(r1, 3)  # region before R1 must hold >= 3 letters
+
+    def in_r1(start):
+        return start >= r1
+
+    def in_r2(start):
+        return start >= r2
+
+    # step 1
+    suf = _longest_suffix_any(w, ["em", "ern", "er", "e", "en", "es", "s"])
+    if suf:
+        start = len(w) - len(suf)
+        if suf in ("em", "ern", "er"):
+            if in_r1(start):
+                w = w[:start]
+        elif suf in ("e", "en", "es"):
+            if in_r1(start):
+                w = w[:start]
+                if w.endswith("niss"):
+                    w = w[:-1]
+        elif suf == "s":
+            if (
+                in_r1(start)
+                and start >= 1
+                and w[start - 1] in _DE_S_ENDING
+            ):
+                w = w[:start]
+
+    # step 2
+    suf = _longest_suffix_any(w, ["est", "en", "er", "st"])
+    if suf:
+        start = len(w) - len(suf)
+        if suf in ("en", "er", "est"):
+            if in_r1(start):
+                w = w[:start]
+        elif suf == "st":
+            if (
+                in_r1(start)
+                and start >= 4  # st-ending preceded by >= 3 letters
+                and w[start - 1] in _DE_ST_ENDING
+            ):
+                w = w[:start]
+
+    # step 3 (d-suffixes)
+    suf = _longest_suffix_any(
+        w, ["end", "ung", "ig", "ik", "isch", "lich", "heit", "keit"]
+    )
+    if suf:
+        start = len(w) - len(suf)
+        if suf in ("end", "ung"):
+            if in_r2(start):
+                w = w[:start]
+                if (
+                    w.endswith("ig")
+                    and len(w) - 2 >= r2
+                    and (len(w) < 3 or w[-3] != "e")
+                ):
+                    w = w[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if in_r2(start) and (start < 1 or w[start - 1] != "e"):
+                w = w[:start]
+        elif suf in ("lich", "heit"):
+            if in_r2(start):
+                w = w[:start]
+                sub = _longest_suffix_any(w, ["er", "en"])
+                if sub and len(w) - 2 >= r1:
+                    w = w[:-2]
+        elif suf == "keit":
+            if in_r2(start):
+                w = w[:start]
+                sub = _longest_suffix_any(w, ["lich", "ig"])
+                if sub and len(w) - len(sub) >= r2:
+                    w = w[: -len(sub)]
+
+    # postlude: lower the markers, strip umlauts
+    return (
+        w.replace("U", "u").replace("Y", "y")
+        .replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
+def make_german_snowball_filter():
+    def de_snowball_filter(tokens):
+        for t in tokens:
+            if t.type != "KeyWord":
+                t.term = german_snowball_stem(t.term)
+        return tokens
+
+    return de_snowball_filter
+
+
+# ---------------------------------------------------------------------------
 # Generic language-dispatching Snowball filter (``stemmer_snowball``).
 # The reference's backing library supports english, spanish, french,
 # hungarian, norwegian, russian and swedish; this engine additionally
@@ -788,6 +905,8 @@ def _snowball_stem_fn(language: str):
         return spanish_snowball_stem
     if lang == "french":
         return french_snowball_stem
+    if lang == "german":
+        return german_snowball_stem
     if lang == "russian":
         from .lang_extra import russian_stem
 

@@ -183,3 +183,29 @@ def test_french_minimal_filter():
     f = make_french_minimal_filter()
     out = f([_tok("chevaux"), _tok("baron")])
     assert [t.term for t in out] == ["cheval", "baron"]
+
+
+# --- stemmer_de_snowball_test.go (analysis/lang/de/stemmer_de_test.go) -------
+
+DE_SNOWBALL_VECTORS = [
+    ("abzuschrecken", "abzuschreck"),
+    ("abzuwarten", "abzuwart"),
+    ("zwirnfabrik", "zwirnfabr"),
+    ("zyniker", "zynik"),
+    # traced through the published algorithm (snowballstem.org/german)
+    ("aufeinander", "aufeinand"),
+    ("dürfen", "durf"),
+]
+
+
+@pytest.mark.parametrize("word,expected", DE_SNOWBALL_VECTORS)
+def test_german_snowball_vectors(word, expected):
+    from bleve_ray.analysis.stemmers_extra import german_snowball_stem
+
+    assert german_snowball_stem(word) == expected
+
+
+def test_snowball_german_dispatch():
+    f = make_snowball_filter("german")
+    out = f([_tok("zyniker"), _tok("geheimnis", type_="KeyWord")])
+    assert [t.term for t in out] == ["zynik", "geheimnis"]
