@@ -770,6 +770,194 @@ def make_french_snowball_filter():
 
 
 # ---------------------------------------------------------------------------
+# Snowball Italian (snowballstem.org/algorithms/italian/stemmer.html),
+# the reference's standalone ``stemmer_it_snowball``
+# (analysis/lang/it/stemmer_it_snowball.go; the it analyzer uses the
+# light stemmer).
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRON = [
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+    "mela", "mele", "meli", "melo", "mene",
+    "tela", "tele", "teli", "telo", "tene",
+    "cela", "cele", "celi", "celo", "cene",
+    "vela", "vele", "veli", "velo", "vene",
+]
+_IT_S1_DELETE_R2 = [
+    "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+    "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+    "iste", "isti", "istà", "istè", "istì", "oso", "osi",
+    "osa", "ose", "mente", "atrice", "atrici", "ante", "anti",
+]
+_IT_S2 = [
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero",
+    "erei", "eremmo", "eremo", "ereste", "eresti", "erete",
+    "erò", "erono", "essero", "ete", "eva", "evamo", "evano",
+    "evate", "evi", "evo", "Yamo", "iamo", "immo", "irà",
+    "irai", "iranno", "ire", "irebbe", "irebbero", "irei", "iremmo",
+    "iremo", "ireste", "iresti", "irete", "irò", "irono",
+    "isca", "iscano", "isce", "isci", "isco", "iscono", "issero",
+    "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano", "ivate",
+    "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar", "ir",
+]
+
+
+def _it_prelude(w: str) -> str:
+    w = w.translate(_IT_ACUTE)
+    chars = list(w)
+    n = len(chars)
+
+    def is_v(i):
+        return 0 <= i < n and chars[i] in _IT_VOWELS
+
+    for i in range(n):
+        c = chars[i]
+        if c in ("u", "i") and is_v(i - 1) and is_v(i + 1):
+            chars[i] = c.upper()
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    return "".join(chars)
+
+
+def _it_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    low = w.lower()
+    if low[0] in _IT_VOWELS and low[1] in _IT_VOWELS:
+        return 3
+    if low[1] not in _IT_VOWELS:
+        for i in range(2, n):
+            if low[i] in _IT_VOWELS:
+                return i + 1
+        return n
+    if low[0] not in _IT_VOWELS and low[1] in _IT_VOWELS:
+        for i in range(2, n):
+            if low[i] not in _IT_VOWELS:
+                return i + 1
+        return n
+    return 3
+
+
+def italian_snowball_stem(word: str) -> str:
+    w = _it_prelude(word)
+    rv = _it_rv(w)
+    r1, r2 = _std_r1r2(w.lower(), _IT_VOWELS)
+
+    # step 0: attached pronoun, preceded by ando/endo (delete) or
+    # ar/er/ir (replace the pronoun by e), the preceding part in RV
+    pron = _ends_in(w, _IT_PRON, rv)
+    if pron:
+        base = w[: -len(pron)]
+        pre_a = _longest_suffix_any(base.lower(), ["ando", "endo"])
+        pre_b = _longest_suffix_any(base.lower(), ["ar", "er", "ir"])
+        if pre_a and len(base) - len(pre_a) >= rv:
+            w = base
+        elif pre_b and len(base) - len(pre_b) >= rv:
+            w = base + "e"
+        rv = _it_rv(w)
+        r1, r2 = _std_r1r2(w.lower(), _IT_VOWELS)
+
+    before = w
+    # step 1: standard suffixes (longest match governs)
+    all_s1 = _IT_S1_DELETE_R2 + [
+        "azione", "azioni", "atore", "atori", "logia", "logie",
+        "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+        "amento", "amenti", "imento", "imenti", "amente", "ità",
+        "ivo", "ivi", "iva", "ive",
+    ]
+    suf = _longest_suffix_any(w.lower(), all_s1)
+    if suf:
+        start = len(w) - len(suf)
+        lw = w.lower()
+        if suf in _IT_S1_DELETE_R2:
+            if start >= r2:
+                w = w[:start]
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if start >= r2:
+                w = w[:start]
+                if w.lower().endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if start >= r2:
+                w = w[:start] + "log"
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if start >= r2:
+                w = w[:start] + "u"
+        elif suf in ("enza", "enze"):
+            if start >= r2:
+                w = w[:start] + "ente"
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if start >= rv:
+                w = w[:start]
+        elif suf == "amente":
+            if start >= r1:
+                w = w[:start]
+                lw = w.lower()
+                if lw.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.lower().endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif (
+                    lw.endswith(("os", "ic"))
+                    or lw.endswith("abil")
+                ):
+                    cut = 4 if lw.endswith("abil") else 2
+                    if len(w) - cut >= r2:
+                        w = w[:-cut]
+        elif suf == "ità":
+            if start >= r2:
+                w = w[:start]
+                lw = w.lower()
+                if lw.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif lw.endswith(("ic", "iv")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if start >= r2:
+                w = w[:start]
+                if w.lower().endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.lower().endswith("ic") and len(w) - 2 >= r2:
+                        w = w[:-2]
+
+    # step 2: verb suffixes, only when step 1 removed nothing
+    if w == before:
+        suf = _ends_in(w, _IT_S2, rv)
+        if suf:
+            w = w[: -len(suf)]
+
+    # step 3a: final vowel (and a preceding i) in RV
+    if w and w[-1].lower() in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w and w[-1].lower() == "i" and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: ch/gh -> c/g in RV
+    lw = w.lower()
+    if (lw.endswith("ch") or lw.endswith("gh")) and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+def make_italian_snowball_filter():
+    def it_snowball_filter(tokens):
+        for t in tokens:
+            if t.type != "KeyWord":
+                t.term = italian_snowball_stem(t.term)
+        return tokens
+
+    return it_snowball_filter
+
+
+# ---------------------------------------------------------------------------
 # Snowball German (snowballstem.org/algorithms/german/stemmer.html),
 # the reference's standalone ``stemmer_de_snowball``
 # (analysis/lang/de/stemmer_de_snowball.go; the de analyzer itself uses
@@ -907,6 +1095,8 @@ def _snowball_stem_fn(language: str):
         return french_snowball_stem
     if lang == "german":
         return german_snowball_stem
+    if lang == "italian":
+        return italian_snowball_stem
     if lang == "russian":
         from .lang_extra import russian_stem
 

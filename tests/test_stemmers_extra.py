@@ -209,3 +209,29 @@ def test_snowball_german_dispatch():
     f = make_snowball_filter("german")
     out = f([_tok("zyniker"), _tok("geheimnis", type_="KeyWord")])
     assert [t.term for t in out] == ["zynik", "geheimnis"]
+
+
+# --- stemmer_it_snowball_test.go ----------------------------------------------
+
+IT_SNOWBALL_VECTORS = [
+    ("aizzata", "aizz"),
+    ("aizzargli", "aizz"),  # attached pronoun: ar+gli -> e, then step 2
+    ("aizzasse", "aizz"),
+    # traced through the published algorithm (snowballstem.org/italian)
+    ("abbandonata", "abbandon"),
+    ("pronto", "pront"),
+    ("propaganda", "propagand"),
+]
+
+
+@pytest.mark.parametrize("word,expected", IT_SNOWBALL_VECTORS)
+def test_italian_snowball_vectors(word, expected):
+    from bleve_ray.analysis.stemmers_extra import italian_snowball_stem
+
+    assert italian_snowball_stem(word) == expected
+
+
+def test_snowball_italian_dispatch():
+    f = make_snowball_filter("italian")
+    out = f([_tok("aizzata")])
+    assert out[0].term == "aizz"
