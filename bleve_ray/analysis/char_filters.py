@@ -25,11 +25,19 @@ def zero_width_non_joiner_filter(text: str) -> str:
     return text.replace(_ZWNJ, " ")
 
 
-# small explicit table for folds NFKD cannot produce (ligatures/slashed)
+# small explicit table for folds NFKD cannot produce (ligatures/slashed;
+# asciifolding_test.go AO/AE-smallcap/swung-dash vectors)
 _EXTRA_FOLDS = {
     "ß": "ss", "Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe",
     "Ø": "O", "ø": "o", "Đ": "D", "đ": "d", "Ł": "L", "ł": "l",
     "Þ": "TH", "þ": "th", "Ð": "D", "ð": "d",
+    "Ꜵ": "AO", "ꜵ": "ao", "Ꜷ": "AU", "ꜷ": "au",
+    "Ꜹ": "AV", "ꜹ": "av", "Ꜻ": "AV", "ꜻ": "av",
+    "Ꜽ": "AY", "ꜽ": "ay", "Ꝏ": "OO", "ꝏ": "oo",
+    "ᴁ": "AE", "ᴂ": "ae", "ᴔ": "oe",
+    "⁓": "~",  # U+2053 SWUNG DASH (folded like the fullwidth tilde)
+    "Ǝ": "E", "ǝ": "e", "Ħ": "H", "ħ": "h",
+    "Ŧ": "T", "ŧ": "t", "Ɨ": "I", "ɨ": "i",
 }
 
 
