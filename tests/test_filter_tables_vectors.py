@@ -140,3 +140,27 @@ def test_stop_filter_position_gaps():
     assert [(t.term, t.position) for t in out] == [
         ("walk", 2), ("park", 5),
     ]
+
+
+# --- possessive_filter_en_test.go full table ---------------------------------
+
+
+@pytest.mark.parametrize(
+    "inp,want",
+    [
+        ("marty's", "marty"),
+        ("MARTY'S", "MARTY"),
+        ("marty’s", "marty"),
+        ("MARTY’S", "MARTY"),
+        ("marty＇s", "marty"),
+        ("MARTY＇S", "MARTY"),
+        ("m", "m"),
+        ("s", "s"),
+        ("'s", ""),  # the whole term is the possessive marker
+    ],
+)
+def test_possessive_filter_vectors(inp, want):
+    from bleve_ray.analysis.analyzers import _possessive_filter
+
+    out = _possessive_filter(_stream(inp))
+    assert [t.term for t in out] == [want]
