@@ -1058,14 +1058,32 @@ def parse_query(d: Dict) -> Query:
         return IPRangeQuery(d["cidr"], field=d.get("field", ""), boost=boost)
     if "custom_filter" in d:
         # pluggable parser hook (query.go:311-317): apps register how
-        # their custom-filter JSON maps onto a CustomFilterQuery
-        if CUSTOM_FILTER_QUERY_PARSER is None:
-            raise ValueError("custom filter query parser is not registered")
-        return CUSTOM_FILTER_QUERY_PARSER(d)
+        # their custom-filter JSON maps onto a CustomFilterQuery.
+        # Without one, the reference's default UnmarshalJSON applies
+        # (custom_query_test.go): the payload must be a JSON object and
+        # its "query" sub-object parses as the inner query; the filter
+        # callback is attached later by the app (None = keep all).
+        if CUSTOM_FILTER_QUERY_PARSER is not None:
+            return CUSTOM_FILTER_QUERY_PARSER(d)
+        body = d["custom_filter"]
+        if not isinstance(body, dict):
+            raise ValueError("custom_filter query must be a JSON object")
+        return CustomFilterQuery(
+            parse_query(body.get("query", {"match_none": {}})),
+            fields=body.get("fields", ()),
+            boost=boost,
+        )
     if "custom_score" in d:
-        if CUSTOM_SCORE_QUERY_PARSER is None:
-            raise ValueError("custom score query parser is not registered")
-        return CUSTOM_SCORE_QUERY_PARSER(d)
+        if CUSTOM_SCORE_QUERY_PARSER is not None:
+            return CUSTOM_SCORE_QUERY_PARSER(d)
+        body = d["custom_score"]
+        if not isinstance(body, dict):
+            raise ValueError("custom_score query must be a JSON object")
+        return CustomScoreQuery(
+            parse_query(body.get("query", {"match_none": {}})),
+            fields=body.get("fields", ()),
+            boost=boost,
+        )
     if "match_all" in d:
         return MatchAllQuery(boost=boost)
     if "match_none" in d:

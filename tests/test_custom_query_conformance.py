@@ -183,3 +183,34 @@ def test_custom_query_fields_do_not_leak(books_index):
         for h in r.hits:
             assert "title" in (h.fields or {})
             assert "rating" not in (h.fields or {})
+
+
+# --- search/query/custom_query_test.go: default JSON unmarshal ----------------
+
+
+def test_custom_filter_query_unmarshal_json():
+    from bleve_ray.search.query import CustomFilterQuery, MatchQuery, parse_query
+
+    q = parse_query({"custom_filter": {"query": {"match": "beer"}}})
+    assert isinstance(q, CustomFilterQuery)
+    assert isinstance(q.query, MatchQuery)
+    assert q.query.match == "beer"
+
+
+def test_custom_score_query_unmarshal_json():
+    from bleve_ray.search.query import CustomScoreQuery, MatchQuery, parse_query
+
+    q = parse_query({"custom_score": {"query": {"match": "beer"}}})
+    assert isinstance(q, CustomScoreQuery)
+    assert isinstance(q.query, MatchQuery)
+
+
+def test_custom_query_rejects_non_object_payload():
+    import pytest as _pytest
+
+    from bleve_ray.search.query import parse_query
+
+    with _pytest.raises(ValueError, match="custom_filter query must be a JSON object"):
+        parse_query({"custom_filter": "beer"})
+    with _pytest.raises(ValueError, match="custom_score query must be a JSON object"):
+        parse_query({"custom_score": "beer"})
