@@ -879,6 +879,23 @@ def validate_query(q: Query) -> None:
     elif isinstance(q, NumericRangeQuery):
         if q.min is None and q.max is None:
             raise ValueError("numeric range query must specify min or max")
+    elif isinstance(q, DateRangeQuery):
+        # date_range.go:174-192 Validate: at least one endpoint, and
+        # RFC3339-parsed endpoints must fall inside the
+        # [MinRFC3339CompatibleTime, MaxRFC3339CompatibleTime] window
+        # (1677-12-01T00:00:00Z .. 2262-04-11T11:59:59Z)
+        if not q.start and not q.end:
+            raise ValueError("must specify start or end")
+        min_ns = _parse_dt_nanos("1677-12-01T00:00:00Z")
+        max_ns = _parse_dt_nanos("2262-04-11T11:59:59Z")
+        for which, val in (("start", q.start), ("end", q.end)):
+            if not val:
+                continue
+            ns = q._bound_nanos(val, which)
+            if not q.date_time_parser and not (min_ns <= ns <= max_ns):
+                raise ValueError(
+                    f"invalid/unsupported date range, {which}: {val}"
+                )
     elif isinstance(q, TermRangeQuery):
         if not q.min and not q.max:
             raise ValueError("term range query must specify min or max")
