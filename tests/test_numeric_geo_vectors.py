@@ -203,3 +203,18 @@ def test_rect_from_point_distance():
     _, min_lat, _, max_lat = rect_from_point_distance(0, 0, 110.567)
     assert abs(max_lat - 1) <= 1e-2
     assert abs(min_lat + 1) <= 1e-2
+
+
+# --- document/field_numeric_test.go ------------------------------------------
+
+
+def test_numeric_field_16_trie_terms():
+    from bleve_ray.index.numeric import float64_to_int64, terms_for_value
+
+    # a numeric field analyzes to 16 prefix-coded trie terms (64 bits /
+    # precisionStep 4), all distinct shifts
+    terms = terms_for_value(float64_to_int64(3.4))
+    assert len(terms) == 16
+    assert len(set(terms)) == 16
+    shifts = [decode_prefix_coded(t)[1] for t in terms]
+    assert shifts == list(range(0, 64, 4))
