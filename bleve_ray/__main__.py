@@ -293,8 +293,16 @@ def main(argv=None):
 
     if args.cmd == "registry":
         from .analysis.analyzers import registered_analyzers
+        from .analysis.token_filters import registered_token_filters
 
-        print(json.dumps({"analyzers": registered_analyzers()}))
+        print(
+            json.dumps(
+                {
+                    "analyzers": registered_analyzers(),
+                    "token_filters": registered_token_filters(),
+                }
+            )
+        )
         return
 
     if args.cmd == "create":

@@ -556,3 +556,67 @@ def load_token_map_file(path) -> frozenset:
     """tokenmap.go LoadFile: read a word file into a token map."""
     with open(path, "r", encoding="utf-8") as f:
         return load_token_map(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Name -> factory registry for token filters (the reference's
+# registry.RegisterTokenFilter surface, registry/tokenfilter.go).
+# Config-bearing filters register a factory taking their config kwargs;
+# constants register ready callables.  Names match the reference's
+# registered Name constants.
+# ---------------------------------------------------------------------------
+
+
+def _token_filter_registry():
+    from .porter2 import make_porter2_filter
+    from .stemmers_extra import (
+        make_french_minimal_filter,
+        make_french_snowball_filter,
+        make_german_snowball_filter,
+        make_italian_snowball_filter,
+        make_porter_filter,
+        make_snowball_filter,
+        make_spanish_snowball_filter,
+    )
+
+    return {
+        "apostrophe": lambda: apostrophe_filter,
+        "camelCase": lambda: camelcase_filter,
+        "dict_compound": make_compound_filter,
+        "edge_ngram": make_edge_ngram_filter,
+        "elision": make_elision_filter,
+        "hierarchy": make_hierarchy_filter,
+        "keyword_marker": make_keyword_marker_filter,
+        "length": make_length_filter,
+        "to_lower": lambda: lowercase_filter,
+        "ngram": make_ngram_filter,
+        "reverse": lambda: reverse_filter,
+        "shingle": make_shingle_filter,
+        "stop_tokens": make_stop_filter,
+        "truncate_token": make_truncate_filter,
+        "normalize_unicode": make_unicodenorm_filter,
+        "unique": lambda: unique_filter,
+        "cjk_bigram": make_cjk_bigram_filter,
+        "stemmer_porter": make_porter_filter,
+        "stemmer_snowball": make_snowball_filter,
+        "stemmer_en_snowball": make_porter2_filter,
+        "stemmer_en_plural": lambda: plural_stemmer_filter,
+        "stemmer_es_snowball": make_spanish_snowball_filter,
+        "stemmer_fr_snowball": make_french_snowball_filter,
+        "stemmer_fr_min": make_french_minimal_filter,
+        "stemmer_de_snowball": make_german_snowball_filter,
+        "stemmer_it_snowball": make_italian_snowball_filter,
+    }
+
+
+def registered_token_filters():
+    """Sorted registered token-filter names (registry listing role)."""
+    return sorted(_token_filter_registry())
+
+
+def token_filter_named(name: str, *args, **kwargs):
+    """Construct a registered token filter by name (+ config args)."""
+    reg = _token_filter_registry()
+    if name not in reg:
+        raise KeyError(f"no token filter with name or type {name} registered")
+    return reg[name](*args, **kwargs)

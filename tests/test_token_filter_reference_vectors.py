@@ -70,3 +70,31 @@ def test_truncate_vectors(length, inp, want):
     f = make_truncate_filter(length)
     out = f(_toks(inp))
     assert [t.term for t in out] == [want]
+
+
+# --- registry surface (registry/tokenfilter.go role) -------------------------
+
+
+def test_token_filter_registry():
+    from bleve_ray.analysis.token_filters import (
+        registered_token_filters,
+        token_filter_named,
+    )
+    from bleve_ray.analysis.tokenizers import Token
+
+    names = registered_token_filters()
+    # every reference-registered stemmer name resolves
+    for want in [
+        "stemmer_porter", "stemmer_snowball", "stemmer_en_snowball",
+        "stemmer_en_plural", "stemmer_es_snowball", "stemmer_fr_snowball",
+        "stemmer_fr_min", "stemmer_de_snowball", "stemmer_it_snowball",
+        "to_lower", "stop_tokens", "dict_compound", "cjk_bigram",
+    ]:
+        assert want in names, want
+    f = token_filter_named("stemmer_porter")
+    out = f([Token(term="walking", position=1, start=0, end=7)])
+    assert out[0].term == "walk"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        token_filter_named("nope")
