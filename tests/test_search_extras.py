@@ -430,10 +430,18 @@ def test_custom_query_parser_registration(idx):
     q.CUSTOM_SCORE_QUERY_PARSER = None
     q.CUSTOM_FILTER_QUERY_PARSER = None
     try:
-        with pytest.raises(ValueError, match="custom score query parser"):
-            q.parse_query({"custom_score": {"base": 2.0}})
-        with pytest.raises(ValueError, match="custom filter query parser"):
-            q.parse_query({"custom_filter": {}})
+        # unregistered: the reference's default UnmarshalJSON applies
+        # (custom_query_test.go) — an OBJECT payload parses into the
+        # default wrapper (no callback yet), a non-object errors
+        assert isinstance(
+            q.parse_query({"custom_score": {"base": 2.0}}),
+            q.CustomScoreQuery,
+        )
+        assert isinstance(
+            q.parse_query({"custom_filter": {}}), q.CustomFilterQuery
+        )
+        with pytest.raises(ValueError, match="must be a JSON object"):
+            q.parse_query({"custom_score": "beer"})
 
         def parse_score(d):
             spec = d["custom_score"]
