@@ -1448,6 +1448,10 @@ class CustomFilterQuery(Query):
         import numpy as np
 
         inner = self.query.searcher(reader, mapping, options)
+        if self.filter_func is None:
+            # default-unmarshaled wrapper (custom_query_test.go): no app
+            # callback attached yet — behaves as the inner query
+            return inner
         outer = self
         want = _expand_udf_fields(reader, self.fields)
 
