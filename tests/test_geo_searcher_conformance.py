@@ -164,3 +164,43 @@ def test_geo_polygon_vectors(polygon_index, polygon, want):
         "size": 100,
     })
     assert sorted(h.id for h in r.hits) == want
+
+
+# --- TestComplexGeoPolygons (search_geopolygon_test.go:303-363) --------------
+# self-intersecting polygons resolved by the even-odd ray-cast rule
+
+COMPLEX_POLY_CASES = [
+    (
+        # bowtie-of-triangles; a,b,c inside, d on a vertex
+        [(6.0, 2.0), (3.0, 4.0), (9.0, 6.0), (3.0, 8.0), (6.0, 10.0),
+         (6.0, 2.0)],
+        [("a", 3, 4), ("b", 7, 6), ("c", 4, 8.1), ("d", 6, 10.0),
+         ("e", 5, 6), ("f", 7, 5)],
+        ["a", "b", "c", "d"],
+    ),
+    (
+        # hourglass
+        [(7.0, 2.0), (1.0, 8.0), (1.0, 2.0), (7.0, 8.0), (7.0, 2.0)],
+        [("a", 6, 5), ("b", 5, 5), ("c", 3, 5.0), ("d", 2, 4.0),
+         ("e", 5, 3), ("f", 4, 4)],
+        ["a", "b", "c", "d"],
+    ),
+]
+
+
+@pytest.mark.parametrize("polygon,points,want", COMPLEX_POLY_CASES)
+def test_complex_geo_polygons(
+    ray_session, tmp_path_factory, polygon, points, want
+):
+    tmp = tmp_path_factory.mktemp("complexpoly")
+    idx = _build_geo(
+        tmp, "cx",
+        [p[0] for p in points],
+        [float(p[1]) for p in points],
+        [float(p[2]) for p in points],
+    )
+    r = idx.search({
+        "query": {"polygon_points": list(polygon), "field": "loc"},
+        "size": 100,
+    })
+    assert sorted(h.id for h in r.hits) == want
